@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** The reference's event-pipeline surface, re-expressed as batch
+  * DataFrame transformations over the driver's `events` table.
+  *
+  * Covers SURVEY.md §2.1 ops #2-#9 (emit/enrich/partition/topic-filter/
+  * process/quarantine/decode), #11-#15 (memory-store queries), #17
+  * (pub/sub dispatch), #22 (ref counter), #23-#24 (serde round-trip).
+  *
+  * Determinism contract (SURVEY.md §7.3): the reference stamps uuid4 /
+  * wall-clock timestamps at ingest (reference `lib/support/memory.ex:90,95`);
+  * oracle-checked queries replace those with deterministic derivations —
+  * uuid = md5(event_id), created_at = ts from the data. Every query ends
+  * in a total ORDER BY.
+  */
+object EventOps {
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+
+  /** Outcome rule mirroring the reference's fixture consumer, which routes
+    * on payload content (reference `test/lib/consumer_test.exs:22-31`):
+    * an `error`-typed event or a negative value is quarantined.
+    */
+  private val outcomeCol: Column =
+    when(col("event_type") === "error" || col("value") < 0, lit("error"))
+      .otherwise(lit("ok"))
+
+  // ---------------------------------------------------------------- #2-#3
+  /** Emit + metadata enrichment (reference `lib/hivent/emitter.ex:63-85`,
+    * ingest side `lib/support/memory.ex:81-97`): stamp producer, version,
+    * deterministic uuid, coalesced cid, created_at, partition key.
+    */
+  def emitEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_id"),
+      col("event_type").as("name"),
+      lit("graft").as("producer"),
+      lit(1).as("version"),
+      md5(concat(lit("cid:"), col("event_id").cast("string"))).as("cid"),
+      md5(col("event_id").cast("string")).as("uuid"),
+      col("ts").as("created_at"),
+      col("user_id").cast("string").as("key"),
+      col("props").as("payload")
+    ).orderBy("event_id")
+
+  // ------------------------------------------------------------------- #4
+  /** Partition-key routing (reference `lib/hivent/emitter.ex:53`,
+    * `config/config.exs:8` — default partition_count 4). Portable
+    * arithmetic hash (`abs(user_id) % 4`) rather than Murmur3 so the
+    * DuckDB oracle can state the identical rule (SURVEY.md §7.3 risk 2).
+    * The physical analog at scale is `repartition(n, key)`.
+    */
+  def partitionAssign(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_id"),
+      col("user_id"),
+      lit(Tables.DefaultPartitionCount).as("partition_count"),
+      (abs(col("user_id")) % Tables.DefaultPartitionCount).as("part_id")
+    ).orderBy("event_id")
+
+  // ------------------------------------------------------------------- #5
+  /** Topic subscription filter (reference `lib/hivent/consumer.ex:105` —
+    * a consumer joins channel `event:<topic>` and receives only that
+    * topic). Catalyst pushes this predicate into the parquet scan.
+    */
+  def topicFilter(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------------- #7
+  /** Per-event processing contract (reference `lib/hivent/consumer.ex:25,
+    * 68-81`): user callback yields ok | error per event; here the
+    * deterministic outcome rule stands in for user code.
+    */
+  def processOutcomes(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        outcomeCol.as("outcome"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------------- #8
+  /** Quarantine / dead-letter split (reference `lib/hivent/consumer.ex:
+    * 72-74,98-100`): failures are routed to a DLQ with their source queue;
+    * successes proceed. Batch rendition: a two-branch union with a `route`
+    * column; ok ∪ dlq = input, ok ∩ dlq = ∅.
+    */
+  def dlqSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = events(spark, sfDir)
+      .withColumn("outcome", outcomeCol)
+      .withColumn("queue", concat(lit("event:"), col("event_type")))
+    val ok  = base.filter(col("outcome") === "ok").withColumn("route", lit("ok"))
+    val dlq = base.filter(col("outcome") =!= "ok")
+      .withColumn("route", lit("dlq"))
+    ok.unionByName(dlq)
+      .select("event_id", "event_type", "queue", "outcome", "route")
+      .orderBy("route", "event_id")
+  }
+
+  // ------------------------------------------------------------------- #9
+  /** Event decode (reference `lib/hivent/consumer.ex:69` — JSON to struct
+    * coercion per received event): extract the schemaless payload's typed
+    * fields on demand via JSON-path.
+    */
+  def eventDecode(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_id"),
+      col("event_type").as("name"),
+      get_json_object(col("props"), "$.k").cast("int").as("k")
+    ).orderBy("event_id")
+
+  // ----------------------------------------------------------------- #11
+  /** Store scan-all (reference `lib/support/memory.ex:62-64`): full scan
+    * in insertion order; `event_id` is the insertion-order surrogate.
+    */
+  def cacheAll(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).orderBy("event_id")
+
+  // ----------------------------------------------------------------- #12
+  /** Store last (reference `lib/support/memory.ex:58-60` — `List.last`):
+    * top-1 by insertion order, i.e. ORDER BY event_id DESC LIMIT 1.
+    */
+  def cacheLast(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).orderBy(col("event_id").desc).limit(1)
+
+  // ----------------------------------------------------------------- #13
+  /** Store emptiness (reference `lib/support/memory.ex:133`). */
+  def cacheEmpty(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).agg((count(lit(1)) === 0).as("is_empty"))
+
+  // ----------------------------------------------------------------- #15
+  /** Partial-match existence (reference `lib/support/memory.ex:66-72,
+    * 135-141`): "event with given payload and/or metadata exists", with
+    * partial matching for both. Implemented as the *documented* semantics
+    * — a conjunction of meta-field equality and payload JSON-path
+    * predicates — not the reference's vacuously-true payload `match?`
+    * (SURVEY.md §2.1 #15). Degenerate semi-join / EXISTS.
+    */
+  def includeMatch(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .filter(col("event_type") === "purchase" &&
+        get_json_object(col("props"), "$.k").cast("int") > 90)
+      .agg((count(lit(1)) > 0).as("found"))
+
+  // ----------------------------------------------------------------- #17
+  /** Pub/sub dispatch (reference `lib/hivent/phoenix/channel_client.ex:
+    * 363-390` — per message, a parallel filter_map over all
+    * subscriptions). N subscribers = N filtered projections of one
+    * stream, unioned here for a single oracle-checkable result.
+    */
+  def dispatchFilterMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(lit("click_sub").as("sub"), col("event_id"), col("user_id"))
+    val bigPurchases = ev
+      .filter(col("event_type") === "purchase" && col("value") > 50)
+      .select(lit("big_purchase_sub").as("sub"), col("event_id"), col("user_id"))
+    clicks.unionByName(bigPurchases).orderBy("sub", "event_id")
+  }
+
+  // ----------------------------------------------------------------- #22
+  /** Monotonic ref counter (reference `lib/hivent/phoenix/channel_client
+    * .ex:341-345`): per-socket increasing message ref ⇒ row_number over
+    * the insertion order. NOTE: a global row_number is a single-partition
+    * window — correct here because it mirrors a per-socket (per-partition)
+    * counter; the scale form is row_number per partition key, exercised
+    * in RelationalOps.latestPerKey.
+    */
+  def refSequence(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"),
+        row_number().over(Window.orderBy("event_id")).as("ref"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------- #23-#24
+  /** Serialize/deserialize round-trip (reference `message_pack_serializer
+    * .ex:10-33`): term → wire → term. The engine's wire format is JSON
+    * (columnar parquet carries data at rest); the round-trip property is
+    * what's oracle-checked.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("wire"))
+      .withColumn("decoded_type", get_json_object(col("wire"), "$.event_type"))
+      .orderBy("event_id")
+
+  /** Flagship: the full consumer pipeline in batch form (SURVEY.md §3.2)
+    * — read → enrich → partition-assign → process → route ∈ {ok, dlq}.
+    * Exercises ops #2-#9 in one plan.
+    */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val enriched = events(spark, sfDir).select(
+      col("event_id"),
+      col("event_type").as("name"),
+      lit("graft").as("producer"),
+      md5(col("event_id").cast("string")).as("uuid"),
+      col("ts").as("created_at"),
+      (abs(col("user_id")) % Tables.DefaultPartitionCount).as("part_id"),
+      col("value"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      outcomeCol.as("outcome"))
+    enriched
+      .withColumn("route", when(col("outcome") === "ok", lit("ok")).otherwise(lit("dlq")))
+      .orderBy("route", "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emit_enrich"         -> (emitEnrich _),
+    "partition_assign"    -> (partitionAssign _),
+    "topic_filter"        -> (topicFilter _),
+    "process_outcomes"    -> (processOutcomes _),
+    "dlq_split"           -> (dlqSplit _),
+    "event_decode"        -> (eventDecode _),
+    "cache_all"           -> (cacheAll _),
+    "cache_last"          -> (cacheLast _),
+    "cache_empty"         -> (cacheEmpty _),
+    "include_match"       -> (includeMatch _),
+    "dispatch_filter_map" -> (dispatchFilterMap _),
+    "ref_sequence"        -> (refSequence _),
+    "json_roundtrip"      -> (jsonRoundtrip _),
+    "consumer_pipeline"   -> (flagship _))
+
+  val oracles: Map[String, String] = Map(
+    "emit_enrich" ->
+      """SELECT event_id, event_type AS name, 'graft' AS producer, 1 AS version,
+        | md5('cid:' || CAST(event_id AS VARCHAR)) AS cid,
+        | md5(CAST(event_id AS VARCHAR)) AS uuid,
+        | ts AS created_at, CAST(user_id AS VARCHAR) AS key, props AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "partition_assign" ->
+      """SELECT event_id, user_id, 4 AS partition_count,
+        | abs(user_id) % 4 AS part_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "topic_filter" ->
+      "SELECT * FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+    "process_outcomes" ->
+      """SELECT event_id, event_type, value,
+        | CASE WHEN event_type = 'error' OR value < 0 THEN 'error' ELSE 'ok' END AS outcome
+        |FROM events ORDER BY event_id""".stripMargin,
+    "dlq_split" ->
+      """WITH base AS (
+        | SELECT event_id, event_type, 'event:' || event_type AS queue,
+        |  CASE WHEN event_type = 'error' OR value < 0 THEN 'error' ELSE 'ok' END AS outcome
+        | FROM events)
+        |SELECT event_id, event_type, queue, outcome, 'ok' AS route FROM base WHERE outcome = 'ok'
+        |UNION ALL
+        |SELECT event_id, event_type, queue, outcome, 'dlq' AS route FROM base WHERE outcome <> 'ok'
+        |ORDER BY route, event_id""".stripMargin,
+    "event_decode" ->
+      """SELECT event_id, event_type AS name,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cache_all" ->
+      "SELECT * FROM events ORDER BY event_id",
+    "cache_last" ->
+      "SELECT * FROM events ORDER BY event_id DESC LIMIT 1",
+    "cache_empty" ->
+      "SELECT count(*) = 0 AS is_empty FROM events",
+    "include_match" ->
+      """SELECT count(*) > 0 AS found FROM events
+        |WHERE event_type = 'purchase'
+        |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 90""".stripMargin,
+    "dispatch_filter_map" ->
+      """SELECT 'click_sub' AS sub, event_id, user_id FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'big_purchase_sub' AS sub, event_id, user_id FROM events
+        | WHERE event_type = 'purchase' AND value > 50
+        |ORDER BY sub, event_id""".stripMargin,
+    "ref_sequence" ->
+      """SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS INTEGER) AS ref
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT event_id,
+        | to_json(struct_pack(event_id := event_id, event_type := event_type)) AS wire,
+        | event_type AS decoded_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "consumer_pipeline" ->
+      """WITH enriched AS (
+        | SELECT event_id, event_type AS name, 'graft' AS producer,
+        |  md5(CAST(event_id AS VARCHAR)) AS uuid, ts AS created_at,
+        |  abs(user_id) % 4 AS part_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CASE WHEN event_type = 'error' OR value < 0 THEN 'error' ELSE 'ok' END AS outcome
+        | FROM events)
+        |SELECT *, CASE WHEN outcome = 'ok' THEN 'ok' ELSE 'dlq' END AS route
+        |FROM enriched ORDER BY route, event_id""".stripMargin)
+}
