@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Capability-parity relational operators (SURVEY.md §2.2): the reference
+  * has no joins/aggregations/windows (verified absent — SURVEY.md §2.1),
+  * but an engine a reference user switches to at 100 TB needs them. All
+  * are Spark built-ins so Catalyst gets pushdown/pruning/join-planning
+  * for free; every query ends in a total ORDER BY for oracle parity.
+  *
+  * Determinism pattern for float aggregation: floating addition is
+  * order-dependent and shuffle order is nondeterministic, so sums over
+  * doubles cast each value to DECIMAL(18,2) first (exact, associative),
+  * and cast the final sum back to DOUBLE. The DuckDB oracle states the
+  * identical rule. Averages divide the double-cast sum by the double-cast
+  * count — identical op order on both sides.
+  */
+object RelationalOps {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** sum(CAST(x AS DECIMAL(18,2))) cast back to double — exact and
+    * order-independent, so shuffle order can't change the answer. */
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Dec)).cast("double")
+
+  /** Discounted price with each factor cast to decimal BEFORE the
+    * multiply: casting the double product at cent midpoints rounds
+    * differently across engines, but the stored doubles are clean
+    * 2/4-decimal values, so per-factor casts agree everywhere and the
+    * decimal multiply/sum is exact. */
+  private def discPrice =
+    col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(DecimalType(9, 4)))
+
+  // ----------------------------------------------------------- aggregation
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with partial (map-
+    * side) + final phases, picked automatically by Spark. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        (sum(col("l_discount").cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ROLLUP over the Q1 grouping — grouping-set aggregation. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** CUBE over event type × day. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  /** Exact distinct (expands to a two-phase aggregate). The approximate
+    * HLL variant is `approx_distinct` (not oracle-hashable — sketch
+    * estimates differ per implementation; checked rows-only). */
+  def distinctCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** approx_count_distinct = HyperLogLog++ — the 100 TB path for distinct
+    * users where exact distinct would shuffle every key. Deterministic for
+    * a fixed input but not portable to DuckDB's HLL, so no hash oracle.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  // ----------------------------------------------------------------- joins
+  /** Broadcast-hash join: customer (small dim) broadcast to every
+    * executor; no shuffle of the fact side. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** Shuffle join of the two big tables (sort-merge or shuffled-hash,
+    * Catalyst + AQE decide), keyed on orderkey. */
+  def joinShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(discPrice).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Multiway star join: fact orders → customer → nation → region, dims
+    * broadcast; one shuffle for the final aggregate only. */
+  def joinMultiway(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Left-semi join = EXISTS (the scale form of the reference's
+    * `include?` scan — SURVEY.md §2.1 #15). */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join = NOT EXISTS. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // --------------------------------------------------------------- windows
+  /** Latest event per key — generalizes the reference's `Memory.last`
+    * (top-1 by insertion order, `lib/support/memory.ex:58-60`) to per-key
+    * ranking; the partitioned form scales (no global sort). */
+  def latestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** Top-k per group via window rank (k=3 orders by value per market
+    * segment) — the scalable top-k: no global sort, per-partition heaps. */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** Running (cumulative) sum per user — analytic frame ROWS UNBOUNDED
+    * PRECEDING..CURRENT; decimal accumulation keeps it exact. */
+  def runningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast(Dec)).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** As-of join (event attribution): for each purchase, the most recent
+    * strictly-prior click of the same user. Spark has no as-of operator;
+    * composed from built-ins (union + last-ignore-nulls over a
+    * one-preceding frame) — single shuffle on user_id, scales linearly.
+    */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("attributed_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        col("attributed_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  // ------------------------------------------------------- time windowing
+  /** Tumbling 1-hour counts per event type (batch rendition of the
+    * streaming tumbling window; `date_trunc` on both sides for parity). */
+  def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 1-hour windows every 30 min — Spark's native `window()`
+    * operator (each event lands in 2 windows); oracle mirrors via slot
+    * arithmetic on epoch microseconds. */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    * session ids — the portable formulation (SURVEY.md §7.3 risk 5; the
+    * streaming layer uses native session_window). Comparison on exact
+    * epoch microseconds on both sides.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ----------------------------------------------------------------set ops
+  /** INTERSECT: users who clicked AND purchased. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** EXCEPT: users who viewed but never signed up. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .except(ev.filter(col("event_type") === "signup").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (q1Agg _),
+    "agg_rollup"       -> (aggRollup _),
+    "agg_cube"         -> (aggCube _),
+    "distinct_count"   -> (distinctCount _),
+    "approx_distinct"  -> (approxDistinct _),
+    "join_broadcast"   -> (joinBroadcast _),
+    "join_shuffle"     -> (joinShuffle _),
+    "join_multiway"    -> (joinMultiway _),
+    "join_semi"        -> (joinSemi _),
+    "join_anti"        -> (joinAnti _),
+    "latest_per_key"   -> (latestPerKey _),
+    "topk_per_group"   -> (topkPerGroup _),
+    "running_sum"      -> (runningSum _),
+    "asof_attribution" -> (asofAttribution _),
+    "tumbling_counts"  -> (tumblingCounts _),
+    "sliding_counts"   -> (slidingCounts _),
+    "sessionize"       -> (sessionize _),
+    "set_intersect"    -> (setIntersect _),
+    "set_except"       -> (setExcept _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "latest_per_key" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        | SELECT user_id, event_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        | FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "running_sum" ->
+      """SELECT user_id, event_id, ts,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "asof_attribution" ->
+      """WITH base AS (
+        | SELECT event_id, user_id, ts, event_type,
+        |  CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |att AS (
+        | SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_click_id
+        | FROM base)
+        |SELECT event_id AS purchase_id, user_id, ts, attributed_click_id
+        |FROM att WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "sliding_counts" ->
+      """WITH slots AS (
+        | SELECT event_type, epoch_us(ts) // 1800000000 AS slot FROM events),
+        |wins AS (
+        | SELECT event_type, slot AS ws FROM slots
+        | UNION ALL
+        | SELECT event_type, slot - 1 AS ws FROM slots)
+        |SELECT make_timestamp(ws * 1800000000) AS window_start, event_type, count(*) AS n
+        |FROM wins GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM g),
+        |ids AS (
+        | SELECT user_id, event_id, ts,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM ids GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin)
+}
