@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Training-data text operators over `documents` (north-star extensions —
+  * SURVEY.md §2.3): dedup (exact, normalized, MinHash+LSH, SimHash,
+  * n-gram Jaccard), language-ID, quality scoring, token counting, and
+  * fingerprinting. Everything is DataFrame/Catalyst built-ins — explode +
+  * groupBy pipelines that shuffle on doc/shingle keys and scale linearly;
+  * no driver-side loops.
+  *
+  * Portability notes (oracle parity):
+  * - hashes are md5 hex (identical in Spark and DuckDB); MinHash uses the
+  *   lexicographic min of seeded md5s — a permutation-free formulation.
+  * - token hashes parse the first 7 md5 hex digits (28 bits, fits i32 on
+  *   both sides); bit tests use div/mod by exact powers of two rather
+  *   than shift operators.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Whitespace-collapsed lowercase normalization — shared by the fuzzy
+    * dedup family. */
+  private val normCol: Column =
+    trim(regexp_replace(lower(col("text")), "\\s+", " "))
+
+  private def normed(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"), normCol.as("norm"))
+
+  /** Occurrence count of `sub` in space-padded normalized text (leftmost
+    * non-overlapping `replace`, same semantics both engines). */
+  private def hits(padded: Column, sub: String): Column =
+    ((length(padded) - length(replace(padded, lit(sub), lit("")))) / sub.length).cast("int")
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup by content hash: hash-groupBy, keep lowest doc_id.
+    * One shuffle on the 128-bit hash; at 100 TB the window runs per
+    * hash-partition, never global. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    docs(spark, sfDir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "content_hash", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup via normalized-text hash (lower + collapse whitespace). */
+  def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
+    docs(spark, sfDir)
+      .withColumn("norm_hash", md5(normCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "norm_hash")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- MinHash
+  /** 5-char shingles of the normalized text, exploded — the base of the
+    * MinHash family. Shuffles on doc_id only. */
+  private def shingles(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    normed(spark, sfDir).select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, greatest(length(norm) - ${k - 1}, 1)), i -> substring(norm, i, $k))")).as("sh"))
+
+  /** 4-permutation MinHash signature: min of seeded md5s per doc. The
+    * min-aggregate is associative → map-side partial aggregation, one
+    * shuffle on doc_id regardless of document size. */
+  def minhashSignature(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(spark, sfDir, 5)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("1:"), col("sh")))).as("mh1"),
+        min(md5(concat(lit("2:"), col("sh")))).as("mh2"),
+        min(md5(concat(lit("3:"), col("sh")))).as("mh3"),
+        min(md5(concat(lit("4:"), col("sh")))).as("mh4"))
+      .orderBy("doc_id")
+
+  /** LSH banding over the MinHash signature (2 bands × 2 rows) and a
+    * band-bucket equi-join for candidate pairs — the 100 TB dedup path:
+    * candidates come from a hash join on band keys, never a cross join.
+    */
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignature(spark, sfDir)
+      .withColumn("b1", md5(concat(col("mh1"), col("mh2"))))
+      .withColumn("b2", md5(concat(col("mh3"), col("mh4"))))
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(1).as("band_no"), col("b1").as("bh")),
+      struct(lit(2).as("band_no"), col("b2").as("bh")))).as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.bh"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band_no") === col("b.band_no") &&
+        col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard for the LSH candidate pairs: distinct 3-gram
+    * sets, intersection via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.
+    * Join-based — no arrays collected to the driver. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val s3 = shingles(spark, sfDir, 3).distinct()
+    val sizes = s3.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val cand = dedupMinhashPairs(spark, sfDir)
+    val inter = cand
+      .join(s3.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(s3.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("i")).cast("double"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- SimHash
+  /** 28-bit SimHash over word tokens: token hash = first 7 md5 hex digits;
+    * per-bit ±1 votes; bit set where the vote sum is positive. div/mod by
+    * exact powers of two keeps the bit math portable to the oracle. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+    val hashed = toks.select(col("doc_id"),
+      expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)").as("hv"))
+    val bitIdx = spark.range(0, 28).select(col("id").cast("int").as("b"))
+    val bits = hashed
+      .crossJoin(broadcast(bitIdx))
+      .withColumn("p", expr("cast(pow(2, b) as bigint)"))
+      .groupBy(col("doc_id"), col("b"), col("p"))
+      .agg(sum(expr("case when (hv div p) % 2 = 1 then 1 else -1 end")).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, col("p")).otherwise(lit(0L))).cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- text analysis
+  /** Per-document stats: chars, words, unique words, avg word length. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      size(split(trim(col("text")), "\\s+")).as("n_words"),
+      size(array_distinct(split(trim(col("text")), "\\s+"))).as("n_unique_words"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(split(trim(col("text")), "\\s+")).cast("double"), 6).as("avg_word_len"))
+      .orderBy("doc_id")
+
+  /** Corpus language distribution. */
+  def langDist(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy("lang")
+
+  /** Stopword-profile language ID (n-gram heuristic): score each language
+    * by its function-word hit count in the normalized text; argmax with a
+    * fixed tie-break order. Pure scalar expressions — fully codegen'd. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val padded = concat(lit(" "), normCol, lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => hits(padded, s" $w ")).reduce(_ + _)
+    val en = score(Seq("the", "and", "a", "of"))
+    val es = score(Seq("el", "los", "las", "de"))
+    val fr = score(Seq("le", "et", "les", "une"))
+    val de = score(Seq("der", "und", "die", "das"))
+    docs(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      en.as("score_en"), es.as("score_es"), fr.as("score_fr"), de.as("score_de"),
+      when(en >= es && en >= fr && en >= de, lit("en"))
+        .when(es >= fr && es >= de, lit("es"))
+        .when(fr >= de, lit("fr"))
+        .otherwise(lit("de")).as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace words plus a BPE-ish regex segmentation
+    * (alnum runs | single non-alnum-non-space marks). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("n_bpe_tokens"),
+      round(size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)")).cast("double") * 100.0 /
+        greatest(length(col("text")), lit(1)).cast("double"), 6).as("tokens_per_100_chars"))
+      .orderBy("doc_id")
+
+  /** Quality score: length, punctuation ratio, stopword signal — the
+    * standard cheap pre-training filters, one deterministic double. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val padded = concat(lit(" "), normCol, lit(" "))
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val stop = Seq("the", "a", "and", "of", "to").map(w => hits(padded, s" $w ")).reduce(_ + _)
+    docs(spark, sfDir).select(
+      col("doc_id"), nWords.as("n_words"), punct.as("n_punct"), stop.as("n_stop"),
+      round(
+        least(lit(1.0), nWords.cast("double") / 200.0) * 0.5 +
+        (lit(1.0) - punct.cast("double") / greatest(length(col("text")), lit(1)).cast("double")) * 0.3 +
+        least(lit(1.0), stop.cast("double") * 10.0 / greatest(nWords, lit(1)).cast("double")) * 0.2,
+        6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over (length, head-64, tail-64) of the
+    * normalized text — an O(1)-size sketch for cheap candidate blocking.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    normed(spark, sfDir).select(
+      col("doc_id"),
+      md5(concat(
+        length(col("norm")).cast("string"), lit(":"),
+        expr("substring(norm, 1, 64)"), lit(":"),
+        expr("substring(norm, greatest(length(norm) - 63, 1), 64)"))).as("fp"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_fuzzy"         -> (dedupFuzzy _),
+    "minhash_signature"   -> (minhashSignature _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "ngram_jaccard"       -> (ngramJaccard _),
+    "simhash"             -> (simhash _),
+    "text_stats"          -> (textStats _),
+    "lang_dist"           -> (langDist _),
+    "lang_id"             -> (langId _),
+    "token_count"         -> (tokenCount _),
+    "quality_score"       -> (qualityScore _),
+    "fingerprint"         -> (fingerprint _))
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def hitsSql(sub: String): String = {
+    val esc = sub.replace("'", "''")
+    s"CAST((length(padded) - length(replace(padded, '$esc', ''))) / ${sub.length} AS INTEGER)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, content_hash, lang, n_chars FROM (
+        | SELECT doc_id, md5(text) AS content_hash, lang, n_chars,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        | FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy" ->
+      s"""SELECT doc_id, norm_hash FROM (
+        | SELECT doc_id, md5($normSql) AS norm_hash,
+        |  row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+        | FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "minhash_signature" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |sh AS (SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))), 5) AS sh FROM n)
+        |SELECT doc_id,
+        | min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
+        | min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |sh AS (SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))), 5) AS sh FROM n),
+        |sig AS (SELECT doc_id,
+        |  min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
+        |  min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
+        | FROM sh GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
+        | UNION ALL
+        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        | ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |sh AS (SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))), 5) AS sh FROM n),
+        |sig AS (SELECT doc_id,
+        |  min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
+        |  min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
+        | FROM sh GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
+        | UNION ALL
+        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bands a JOIN bands b
+        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |s3 AS (SELECT DISTINCT doc_id, sh FROM (
+        | SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 2, 1))), 3) AS sh FROM n) q),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS i
+        | FROM cand c
+        |  JOIN s3 x ON x.doc_id = c.doc_a
+        |  JOIN s3 y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        | GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        | round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        | JOIN sizes sa ON sa.doc_id = i.doc_a
+        | JOIN sizes sb ON sb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+        |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) AS hv FROM tok),
+        |bitdefs AS (SELECT unnest(generate_series(0, 27)) AS b),
+        |bits AS (
+        | SELECT doc_id, b, CAST(pow(2, b) AS BIGINT) AS p,
+        |  sum(CASE WHEN (hv // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM h, bitdefs GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        | array_length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        | array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_unique_words,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |   CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_dist" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "lang_id" ->
+      s"""WITH p AS (SELECT doc_id, lang, ' ' || $normSql || ' ' AS padded FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | ${hitsSql(" the ")} + ${hitsSql(" and ")} + ${hitsSql(" a ")} + ${hitsSql(" of ")} AS score_en,
+        | ${hitsSql(" el ")} + ${hitsSql(" los ")} + ${hitsSql(" las ")} + ${hitsSql(" de ")} AS score_es,
+        | ${hitsSql(" le ")} + ${hitsSql(" et ")} + ${hitsSql(" les ")} + ${hitsSql(" une ")} AS score_fr,
+        | ${hitsSql(" der ")} + ${hitsSql(" und ")} + ${hitsSql(" die ")} + ${hitsSql(" das ")} AS score_de
+        |FROM p)
+        |SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+        | CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+        |      WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+        |      WHEN score_fr >= score_de THEN 'fr'
+        |      ELSE 'de' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        | array_length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        | round(CAST(array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) * 100.0 /
+        |   CAST(greatest(length(text), 1) AS DOUBLE), 6) AS tokens_per_100_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH p AS (SELECT doc_id, text, ' ' || $normSql || ' ' AS padded FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |  ${hitsSql(" the ")} + ${hitsSql(" a ")} + ${hitsSql(" and ")} + ${hitsSql(" of ")} + ${hitsSql(" to ")} AS n_stop
+        | FROM p)
+        |SELECT doc_id, n_words, n_punct, n_stop,
+        | round(
+        |  least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 +
+        |  (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3 +
+        |  least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / CAST(greatest(n_words, 1) AS DOUBLE)) * 0.2,
+        |  6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+        |SELECT doc_id,
+        | md5(CAST(length(norm) AS VARCHAR) || ':' || substr(norm, 1, 64) || ':' ||
+        |     substr(norm, greatest(length(norm) - 63, 1), 64)) AS fp
+        |FROM n ORDER BY doc_id""".stripMargin)
+}
