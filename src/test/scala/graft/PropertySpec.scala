@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.2 item 3): invariants of the
+  * deterministic derivations every oracle-checked query relies on.
+  * Drives ScalaCheck generators directly (fixed seeds — reproducible)
+  * rather than via the scalatestplus bridge, which isn't a declared dep.
+  */
+class PropertySpec extends AnyFunSuite with SparkTest {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("partition assignment is total and in-range for any key") {
+    import spark.implicits._
+    for (keys <- samples(Gen.listOfN(50, Gen.choose(Long.MinValue + 1, Long.MaxValue)), 10)) {
+      val parts = keys.toDF("user_id")
+        .select((abs(col("user_id")) % 4).as("p"))
+        .as[Long].collect()
+      assert(parts.forall(p => p >= 0 && p < 4))
+    }
+  }
+
+  test("union-split partitions any outcome-labelled input") {
+    import spark.implicits._
+    for (outcomes <- samples(Gen.listOfN(30, Gen.oneOf("ok", "error")), 5)
+         if outcomes.nonEmpty) {
+      val df = outcomes.zipWithIndex.map { case (o, i) => (i.toLong, o) }
+        .toDF("id", "outcome").cache()
+      val ok = df.filter(col("outcome") === "ok")
+      val dlq = df.filter(col("outcome") =!= "ok")
+      assert(ok.count() + dlq.count() == df.count())
+      assert(ok.select("id").intersect(dlq.select("id")).count() == 0)
+      df.unpersist()
+    }
+  }
+
+  test("deterministic uuid derivation is injective on distinct ids") {
+    import spark.implicits._
+    for (ids <- samples(Gen.listOfN(40, Gen.choose(0L, 1000000L)), 5)) {
+      val distinctIds = ids.distinct
+      val uuids = distinctIds.toDF("event_id")
+        .select(md5(col("event_id").cast("string")).as("uuid"))
+        .as[String].collect()
+      assert(uuids.distinct.length == distinctIds.length)
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ConsumerPipeline
+import graft.streaming.ConsumerPipeline.RawEvent
+
+/** Streaming semantics via MemoryStream + processAllAvailable — the
+  * synchronous replacement for the reference's `wait_until` polling
+  * (SURVEY.md §5.2 item 4). Asserts the same outcomes as the batch
+  * oracle-checked queries.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTest {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def fixture = Seq(
+    RawEvent(1L, ts(0), 7L, "purchase", 10.0, """{"k": 1}"""),
+    RawEvent(2L, ts(1), 7L, "error", 5.0, """{"k": 2}"""),
+    RawEvent(3L, ts(2), 8L, "click", 1.0, """{"k": 3}"""),
+    RawEvent(4L, ts(3), 8L, "purchase", -4.0, """{"k": 4}"""),
+    RawEvent(5L, ts(4), 9L, "view", 2.0, """{"k": 5}"""))
+
+  test("consume path: ok/dlq split with checkpointing (consumer_test.exs:90-111)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val okPath = tempDir("ok")
+    val dlqPath = tempDir("dlq")
+    val q = ConsumerPipeline.start(stream.toDF(), okPath, dlqPath, tempDir("ckpt"))
+    try {
+      stream.addData(fixture: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ok = spark.read.parquet(okPath)
+    val dlq = spark.read.parquet(dlqPath)
+    // error-typed event 2 and negative-value purchase 4 are quarantined
+    assert(dlq.select("event_id").as[Long].collect().sorted.sameElements(Array(2L, 4L)))
+    assert(ok.count() == 3)
+    // DLQ rows carry their source queue (consumer.ex:98-100)
+    assert(dlq.filter(col("queue").isNull).count() == 0)
+    assert(dlq.filter(col("name") === "error").select("queue").distinct()
+      .head().getString(0) == "event:error")
+  }
+
+  test("effectively-once: duplicate uuids within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val deduped = ConsumerPipeline.dedupByUuid(ConsumerPipeline.enrich(stream.toDF()))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tempDir("ckpt"))
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture: _*)
+      q.processAllAvailable()
+      stream.addData(fixture.take(2): _*) // redelivery (at-least-once)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 5) // redelivered events deduped by uuid
+    assert(out.select("uuid").distinct().count() == 5)
+  }
+
+  test("tumbling window counts match the batch rendition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val agg = ConsumerPipeline.tumblingCounts(ConsumerPipeline.enrich(stream.toDF()))
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .option("checkpointLocation", tempDir("ckpt"))
+      .outputMode("complete").start()
+    try {
+      stream.addData(fixture: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("tumbling_out")
+    // all fixture events fall in the 10:00 hour
+    assert(out.agg(sum("n")).head().getLong(0) == 5)
+    assert(out.filter(col("window_start") === ts(0)).count() == out.count())
+  }
+
+  test("session windows close after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val sessions = ConsumerPipeline.sessionCounts(ConsumerPipeline.enrich(stream.toDF()))
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .option("checkpointLocation", tempDir("ckpt"))
+      .outputMode("complete").start()
+    try {
+      // user 7: two bursts 40 minutes apart → two sessions
+      stream.addData(
+        RawEvent(1L, ts(0), 7L, "click", 1.0, "{}"),
+        RawEvent(2L, ts(5), 7L, "click", 1.0, "{}"),
+        RawEvent(3L, ts(45), 7L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("session_out").filter(col("key") === "7")
+    assert(out.count() == 2)
+    assert(out.agg(sum("n_events")).head().getLong(0) == 3)
+  }
+}
