@@ -28,9 +28,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns — the
+    * custom codegen'd expression (graft.functions.DotProduct); same fold
+    * order as `aggregate(zip_with(...))` and DuckDB's list_dot_product,
+    * so results are bit-identical, just inside whole-stage codegen. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+    graft.functions.VectorFunctions.dot_product(col(a), col(b))
 
   private def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -60,12 +63,16 @@ object SimilarityOps {
     * `label` — the O(n²/blocks) exact path; the LSH variant below is the
     * scale path. */
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = vecs(spark, sfDir).select(col("vec_id").as("vec_a"),
-      col("label").as("la"), col("v").as("va"))
-    val b = vecs(spark, sfDir).select(col("vec_id").as("vec_b"),
-      col("label").as("lb"), col("v").as("vb"))
+    // pre-normalize once per vector (norm hoisted to its own projection),
+    // so each pair costs a single dot product instead of three
+    val unit = vecs(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("v"), sqrt(dot("v", "v")).as("nrm"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / nrm)").as("u"))
+    val a = unit.select(col("vec_id").as("vec_a"), col("label").as("la"), col("u").as("ua"))
+    val b = unit.select(col("vec_id").as("vec_b"), col("label").as("lb"), col("u").as("ub"))
     a.join(b, col("la") === col("lb") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosine("va", "vb"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), round(dot("ua", "ub"), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
@@ -166,11 +173,13 @@ object SimilarityOps {
         |FROM v, p WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "embedding_neardup" ->
-      s"""WITH v AS (SELECT vec_id, label, $vSql AS v FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
+        |nv AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |u AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u FROM nv)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | round(${cosSql("a.v", "b.v")}, 6) AS cos
-        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+        | round(list_dot_product(a.u, b.u), 6) AS cos
+        |FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),

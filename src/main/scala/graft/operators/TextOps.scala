@@ -64,17 +64,25 @@ object TextOps {
   }
 
   // -------------------------------------------------------------- MinHash
-  /** 5-char shingles of the normalized text, exploded — the base of the
-    * MinHash family. Shuffles on doc_id only. */
-  private def shingles(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    normed(spark, sfDir).select(col("doc_id"),
-      explode(expr(s"transform(sequence(1, greatest(length(norm) - ${k - 1}, 1)), i -> substring(norm, i, $k))")).as("sh"))
+  /** Word n-gram shingles of the normalized text, exploded — the base of
+    * the MinHash family. Word shingles, not character shingles: with a
+    * small shared vocabulary, character-k-gram SETS of long documents all
+    * converge to the full vocabulary's k-grams (Jaccard → 1 for unrelated
+    * docs) and LSH candidates explode quadratically; word sequences keep
+    * discriminating. Shuffles on doc_id only. */
+  private def shingles(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"),
+        // tokens is materialized as its own projection so the split runs
+        // once per document, not once per shingle inside the lambda
+        explode(expr(s"transform(sequence(1, greatest(size(tokens) - ${n - 1}, 1)), i -> array_join(slice(tokens, i, $n), ' '))")).as("sh"))
 
   /** 4-permutation MinHash signature: min of seeded md5s per doc. The
     * min-aggregate is associative → map-side partial aggregation, one
     * shuffle on doc_id regardless of document size. */
   def minhashSignature(spark: SparkSession, sfDir: String): DataFrame =
-    shingles(spark, sfDir, 5)
+    shingles(spark, sfDir, 3)
       .groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("1:"), col("sh")))).as("mh1"),
@@ -88,9 +96,11 @@ object TextOps {
     * candidates come from a hash join on band keys, never a cross join.
     */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached: the band self-join consumes the signature twice
     val sig = minhashSignature(spark, sfDir)
       .withColumn("b1", md5(concat(col("mh1"), col("mh2"))))
       .withColumn("b2", md5(concat(col("mh3"), col("mh4"))))
+      .cache()
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(1).as("band_no"), col("b1").as("bh")),
       struct(lit(2).as("band_no"), col("b2").as("bh")))).as("band"))
@@ -108,9 +118,9 @@ object TextOps {
     * sets, intersection via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.
     * Join-based — no arrays collected to the driver. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val s3 = shingles(spark, sfDir, 3).distinct()
+    val s3 = shingles(spark, sfDir, 3).distinct().cache()
     val sizes = s3.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = dedupMinhashPairs(spark, sfDir)
+    val cand = dedupMinhashPairs(spark, sfDir).cache()
     val inter = cand
       .join(s3.as("x"), col("x.doc_id") === col("doc_a"))
       .join(s3.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
@@ -134,14 +144,20 @@ object TextOps {
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
     val hashed = toks.select(col("doc_id"),
       expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)").as("hv"))
-    val bitIdx = spark.range(0, 28).select(col("id").cast("int").as("b"))
-    val bits = hashed
-      .crossJoin(broadcast(bitIdx))
-      .withColumn("p", expr("cast(pow(2, b) as bigint)"))
-      .groupBy(col("doc_id"), col("b"), col("p"))
-      .agg(sum(expr("case when (hv div p) % 2 = 1 then 1 else -1 end")).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, col("p")).otherwise(lit(0L))).cast("long").as("simhash"))
+    // one aggregation pass: 28 ±1-vote sums as separate aggregate
+    // expressions (all codegen'd; single shuffle on doc_id) instead of a
+    // 28×-row explode
+    val votes = (0 until 28).map { b =>
+      val p = 1L << b
+      sum(expr(s"case when (hv div ${p}L) % 2 = 1 then 1 else -1 end")).as(s"s$b")
+    }
+    val sig = (0 until 28).map { b =>
+      val p = 1L << b
+      when(col(s"s$b") > 0, lit(p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.cast("long").as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -261,14 +277,18 @@ object TextOps {
         | FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "minhash_signature" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |sh AS (SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))), 5) AS sh FROM n)
+        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt)
         |SELECT doc_id,
         | min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
         | min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |sh AS (SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))), 5) AS sh FROM n),
+        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
         |sig AS (SELECT doc_id,
         |  min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
         |  min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
@@ -283,7 +303,9 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |sh AS (SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))), 5) AS sh FROM n),
+        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
         |sig AS (SELECT doc_id,
         |  min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
         |  min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
@@ -296,8 +318,7 @@ object TextOps {
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM bands a JOIN bands b
         |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |s3 AS (SELECT DISTINCT doc_id, sh FROM (
-        | SELECT doc_id, substr(norm, unnest(generate_series(1, greatest(length(norm) - 2, 1))), 3) AS sh FROM n) q),
+        |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
         |inter AS (
         | SELECT c.doc_a, c.doc_b, count(*) AS i
