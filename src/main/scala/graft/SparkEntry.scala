@@ -22,12 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries
+    EventOps.queries ++ RelationalOps.queries ++ AnalyticOps.queries ++
+      TextOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles
+    EventOps.oracles ++ RelationalOps.oracles ++ AnalyticOps.oracles ++
+      TextOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles
 }

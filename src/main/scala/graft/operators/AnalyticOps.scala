@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Second wave of capability-parity analytics: reshaping (pivot/unpivot),
+  * distribution statistics (exact percentiles, quartiles, percent_rank),
+  * ordered string aggregation, a scalar-function pack, a bucketed range
+  * join, and windowed relative filters. Same contracts as RelationalOps:
+  * Catalyst built-ins, decimal accumulation for float sums, total ORDER BY
+  * for oracle parity.
+  */
+object AnalyticOps {
+
+  private val Dec = DecimalType(18, 2)
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Dec)).cast("double")
+
+  /** PIVOT: per-user event-type counts as columns (explicit value list —
+    * at scale an implicit pivot would need an extra distinct pass). */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** UNPIVOT/melt: wide metrics back to long (id, metric, metric_value). */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("user_id").cast("double").as("user_id_d"))
+      .unpivot(Array(col("event_id")),
+        Array(col("value"), col("user_id_d")), "metric", "metric_value")
+      .orderBy("event_id", "metric")
+
+  /** Exact interpolated percentiles per group (the exact form; the HLL/
+    * sketch analog at 100 TB is approx_percentile, kept non-oracle like
+    * approx_distinct). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"))
+      .orderBy("event_type")
+
+  /** Ranking family over a deterministic total order: quartile ntile,
+    * percent_rank, dense_rank per market segment. */
+  def rankQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        dense_rank().over(w).as("drank"))
+      .filter(col("quartile") === 1)
+      .orderBy("c_mktsegment", "pct_rank", "o_orderkey")
+  }
+
+  /** Ordered string aggregation: alphabetical distinct event types per
+    * user — deterministic by construction (sorted before joining). */
+  def stringCollect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+      .orderBy("user_id")
+
+  /** Scalar-function pack: string/date/math built-ins in one projection —
+    * all codegen'd, all with DuckDB equivalents. */
+  def scalarPack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      upper(col("event_type")).as("type_upper"),
+      lpad(col("event_type"), 10, "_").as("type_pad"),
+      substring(col("event_type"), 1, 3).as("type_pre"),
+      concat_ws("|", col("event_type"), col("user_id").cast("string")).as("tag"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      hour(col("ts")).as("h"),
+      round(abs(col("value") * -1), 2).as("value_abs"),
+      ceil(col("value")).as("value_ceil"),
+      floor(col("value")).as("value_floor"),
+      round(sqrt(abs(col("value"))), 6).as("value_sqrt"),
+      greatest(col("value"), lit(50.0)).as("value_hi"),
+      coalesce(nullif(col("event_type"), lit("error")), lit("quarantine")).as("routed"))
+      .orderBy("event_id")
+
+  /** Bucketed range join — the scalable interval-join shape: an equality
+    * component (customer bucket) drives the shuffle/hash join, the range
+    * predicate filters inside each bucket. A pure range join would be a
+    * nested-loop cross product at 100 TB. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.orders(spark, sfDir),
+        pmod(col("o_custkey"), lit(50)) === col("user_id") &&
+          col("o_orderdate") >= col("ts") - expr("INTERVAL 3 DAYS") &&
+          col("o_orderdate") <= col("ts") + expr("INTERVAL 3 DAYS"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("event_id")
+
+  /** Windowed relative filter: orders above their segment's average —
+    * the scale-correct form of a correlated scalar subquery (one window
+    * pass instead of a per-row subquery; decimal-exact average). */
+  def aboveAvgFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("seg_avg",
+        sum(col("o_totalprice").cast(Dec)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .filter(col("o_totalprice") > col("seg_avg"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
+        round(col("seg_avg"), 6).as("seg_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** HAVING: users with at least 250 events. */
+  def havingFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 250)
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_counts"     -> (pivotCounts _),
+    "unpivot_metrics"  -> (unpivotMetrics _),
+    "percentiles"      -> (percentiles _),
+    "rank_quartiles"   -> (rankQuartiles _),
+    "string_collect"   -> (stringCollect _),
+    "scalar_pack"      -> (scalarPack _),
+    "range_join"       -> (rangeJoin _),
+    "above_avg_filter" -> (aboveAvgFilter _),
+    "having_filter"    -> (havingFilter _))
+
+  val oracles: Map[String, String] = Map(
+    "pivot_counts" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT event_id, 'value' AS metric, value AS metric_value FROM events
+        |UNION ALL
+        |SELECT event_id, 'user_id_d' AS metric, CAST(user_id AS DOUBLE) FROM events
+        |ORDER BY event_id, metric""".stripMargin,
+    "percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 6) AS p25,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rank_quartiles" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, quartile, pct_rank, drank FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE quartile = 1 ORDER BY c_mktsegment, pct_rank, o_orderkey""".stripMargin,
+    "string_collect" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "scalar_pack" ->
+      """SELECT event_id,
+        | upper(event_type) AS type_upper,
+        | lpad(event_type, 10, '_') AS type_pad,
+        | substr(event_type, 1, 3) AS type_pre,
+        | event_type || '|' || CAST(user_id AS VARCHAR) AS tag,
+        | strftime(ts, '%Y-%m-%d %H') AS hour_str,
+        | CAST(year(ts) AS INTEGER) AS y,
+        | CAST(month(ts) AS INTEGER) AS m,
+        | CAST(hour(ts) AS INTEGER) AS h,
+        | round(abs(value * -1), 2) AS value_abs,
+        | CAST(ceil(value) AS BIGINT) AS value_ceil,
+        | CAST(floor(value) AS BIGINT) AS value_floor,
+        | round(sqrt(abs(value)), 6) AS value_sqrt,
+        | greatest(value, 50.0) AS value_hi,
+        | coalesce(nullif(event_type, 'error'), 'quarantine') AS routed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """SELECT event_id, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM events JOIN orders
+        | ON o_custkey % 50 = user_id
+        | AND o_orderdate >= ts - INTERVAL 3 DAY
+        | AND o_orderdate <= ts + INTERVAL 3 DAY
+        |WHERE event_type = 'purchase'
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "above_avg_filter" ->
+      """SELECT o_orderkey, c_mktsegment, o_totalprice, round(seg_avg, 6) AS seg_avg FROM (
+        | SELECT o_orderkey, c_mktsegment, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |    / CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS seg_avg
+        | FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE o_totalprice > seg_avg ORDER BY o_orderkey""".stripMargin,
+    "having_filter" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) >= 250 ORDER BY user_id""".stripMargin)
+}
