@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
 /** Structured-Streaming rendition of the reference's consumer runtime
   * (SURVEY.md §3.2): topic subscription → per-event processing →
@@ -88,6 +88,29 @@ object ConsumerPipeline {
       .groupBy(window(col("created_at"), "1 hour"), col("name"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("name"), col("n"))
+
+  /** Running per-user statistics carried across micro-batches — the
+    * custom-state surface (`KeyValueGroupedDataset.mapGroupsWithState`).
+    * This is the engine-level generalization of the reference's
+    * consumer-side accumulation (its recorder test double keeps
+    * per-consumer lists — `test/support/channel_client.ex:53-75`): state
+    * lives in the checkpointed state store, partitioned by key, and
+    * survives restarts. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserStats(events: Dataset[RawEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[RawEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          val next = evs.foldLeft(prev) { (acc, e) =>
+            UserStats(uid, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
 
   /** Native session windows (30-min gap) — streaming-only; the batch
     * oracle uses the portable lag+cumsum formulation instead

@@ -86,6 +86,27 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.filter(col("window_start") === ts(0)).count() == out.count())
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val stats = ConsumerPipeline.runningUserStats(stream.toDS())
+    val q = stats.writeStream.format("memory").queryName("stats_out")
+      .option("checkpointLocation", tempDir("ckpt"))
+      .outputMode("update").start()
+    try {
+      stream.addData(RawEvent(1L, ts(0), 7L, "click", 1.0, "{}"),
+        RawEvent(2L, ts(1), 7L, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      stream.addData(RawEvent(3L, ts(2), 7L, "click", 4.0, "{}"))
+      q.processAllAvailable() // state must carry the first batch's totals
+    } finally q.stop()
+    val last = spark.table("stats_out").filter(col("user_id") === 7)
+      .orderBy(col("n_events").desc).head()
+    assert(last.getAs[Long]("n_events") == 3)
+    assert(math.abs(last.getAs[Double]("total_value") - 7.0) < 1e-9)
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
