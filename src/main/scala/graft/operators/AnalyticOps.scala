@@ -86,7 +86,9 @@ object AnalyticOps {
       year(col("ts")).as("y"),
       month(col("ts")).as("m"),
       hour(col("ts")).as("h"),
-      round(abs(col("value") * -1), 2).as("value_abs"),
+      // + 0.0 normalizes IEEE -0.0 (Spark's abs returns +0.0, DuckDB's
+      // keeps the sign bit; adding positive zero makes both +0.0)
+      round(abs(col("value") * -1) + 0.0, 2).as("value_abs"),
       ceil(col("value")).as("value_ceil"),
       floor(col("value")).as("value_floor"),
       round(sqrt(abs(col("value"))), 6).as("value_sqrt"),
@@ -186,7 +188,7 @@ object AnalyticOps {
         | CAST(year(ts) AS INTEGER) AS y,
         | CAST(month(ts) AS INTEGER) AS m,
         | CAST(hour(ts) AS INTEGER) AS h,
-        | round(abs(value * -1), 2) AS value_abs,
+        | round(abs(value * -1) + 0.0, 2) AS value_abs,
         | CAST(ceil(value) AS BIGINT) AS value_ceil,
         | CAST(floor(value) AS BIGINT) AS value_floor,
         | round(sqrt(abs(value)), 6) AS value_sqrt,
