@@ -127,6 +127,35 @@ object AnalyticOps {
       .orderBy("o_orderkey")
   }
 
+  /** Salted two-phase aggregation — the skew pattern: partial aggregate
+    * on (key, salt) spreads a hot key over `saltBuckets` reducers, the
+    * final aggregate merges partials. Exact for count and decimal sums
+    * (associative), so the oracle is the PLAIN group-by: the salted plan
+    * must produce identical results. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val saltBuckets = 16
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(saltBuckets)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast(Dec)).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Sketch percentiles (t-digest-style) — the 100 TB path where exact
+    * percentiles would sort every group; like approx_distinct, sketch
+    * outputs aren't portable to DuckDB, so rows-only check. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
+      .select(col("event_type"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"))
+      .orderBy("event_type")
+
   /** HAVING: users with at least 250 events. */
   def havingFilter(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -144,6 +173,8 @@ object AnalyticOps {
     "scalar_pack"      -> (scalarPack _),
     "range_join"       -> (rangeJoin _),
     "above_avg_filter" -> (aboveAvgFilter _),
+    "salted_agg"       -> (saltedAgg _),
+    "approx_percentiles" -> (approxPercentiles _),
     "having_filter"    -> (havingFilter _))
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +244,9 @@ object AnalyticOps {
         |WHERE o_totalprice > seg_avg ORDER BY o_orderkey""".stripMargin,
     "having_filter" ->
       """SELECT user_id, count(*) AS n FROM events
-        |GROUP BY user_id HAVING count(*) >= 250 ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id HAVING count(*) >= 250 ORDER BY user_id""".stripMargin,
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Sources/sinks beyond the driver's parquet (SURVEY.md §2.2 rows 1-3):
+  * the reference's only "wire format" is MessagePack+gzip over a socket
+  * (`transports/message_pack_serializer.ex:18-33`); the engine's at-rest
+  * equivalents are columnar parquet (default), line-JSON (the wire-debug
+  * format), and CSV (interchange). All readers return the canonical
+  * events schema so every operator runs unchanged on any source.
+  *
+  * Scale notes: JSON/CSV readers take an explicit schema — schema
+  * inference is a full extra pass over 100 TB. Writers partition by the
+  * event-time date so downstream scans prune partitions on time
+  * predicates.
+  */
+object EventSource {
+
+  /** Canonical events from parquet (driver data). */
+  def parquet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+
+  /** Write events as date-partitioned parquet — the production sink
+    * layout (partition pruning on `event_date`). */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Line-JSON round-trip: the engine's wire-debug format. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .json(path)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** CSV interchange (header, explicit schema — no inference pass). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true")
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .csv(path)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Streaming file source over the canonical schema — the engine's
+    * stand-in for the reference's socket subscription when replaying
+    * at-rest data (used by tests and backfills; Kafka would slot in here
+    * with the same downstream plan). */
+  def streamParquet(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(path)
+}
