@@ -132,6 +132,52 @@ object RelationalOps {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** LEFT OUTER join preserving customers with zero orders (count(order
+    * key) not count(*), so unmatched rows count 0). */
+  def joinOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** CROSS join of the two tiny dims — the one place a cartesian product
+    * is legitimate (5 × 25 rows; anything larger must be an equi-join). */
+  def crossJoinDims(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).select(col("r_name"))
+      .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
+      .orderBy("r_name", "n_name")
+
+  /** LIMIT/OFFSET pagination over a total order. */
+  def limitOffset(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .offset(10)
+      .limit(5)
+
+  /** lag/lead deltas per key: time since previous event and id of the
+    * next — the navigation-function family. */
+  def lagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("micros_since_prev"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Conditional aggregates: count_if / filtered sums / bool_or. */
+  def condAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 50).as("n_big"),
+        sum(when(col("value") > 50, col("value").cast(Dec))
+          .otherwise(lit(0).cast(Dec))).cast("double").as("sum_big"),
+        bool_or(col("value") > 190).as("any_huge"))
+      .orderBy("event_type")
+
   // --------------------------------------------------------------- windows
   /** Latest event per key — generalizes the reference's `Memory.last`
     * (top-1 by insertion order, `lib/support/memory.ex:58-60`) to per-key
@@ -258,6 +304,11 @@ object RelationalOps {
     "join_multiway"    -> (joinMultiway _),
     "join_semi"        -> (joinSemi _),
     "join_anti"        -> (joinAnti _),
+    "join_outer"       -> (joinOuter _),
+    "cross_join_dims"  -> (crossJoinDims _),
+    "limit_offset"     -> (limitOffset _),
+    "lag_lead"         -> (lagLead _),
+    "cond_agg"         -> (condAgg _),
     "latest_per_key"   -> (latestPerKey _),
     "topk_per_group"   -> (topkPerGroup _),
     "running_sum"      -> (runningSum _),
@@ -317,6 +368,29 @@ object RelationalOps {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "cross_join_dims" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
+    "lag_lead" ->
+      """SELECT user_id, event_id, ts,
+        | epoch_us(ts) - lag(epoch_us(ts)) OVER w AS micros_since_prev,
+        | lead(event_id) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "cond_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        | CAST(sum(CASE WHEN value > 50 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_big,
+        | bool_or(value > 190) AS any_huge
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "latest_per_key" ->
       """SELECT user_id, event_id, ts, event_type FROM (
         | SELECT user_id, event_id, ts, event_type,
