@@ -86,6 +86,30 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.filter(col("window_start") === ts(0)).count() == out.count())
   }
 
+  test("dispatch: N subscribers = N concurrent filtered queries on one stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val enriched = ConsumerPipeline.enrich(stream.toDF())
+    // two subscriptions with their own matcher+mapper, like the reference's
+    // Flow filter_map dispatch (channel_client.ex:363-390)
+    val clicks = ConsumerPipeline.subscribe(enriched, "click")
+      .select("uuid", "key")
+    val purchases = ConsumerPipeline.subscribe(enriched, "purchase")
+      .select("uuid", "value")
+    val q1 = clicks.writeStream.format("memory").queryName("sub_clicks")
+      .option("checkpointLocation", tempDir("ck1")).start()
+    val q2 = purchases.writeStream.format("memory").queryName("sub_purchases")
+      .option("checkpointLocation", tempDir("ck2")).start()
+    try {
+      stream.addData(fixture: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    assert(spark.table("sub_clicks").count() == 1)    // event 3
+    assert(spark.table("sub_purchases").count() == 2) // events 1, 4
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
