@@ -29,8 +29,14 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, sfDir, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      // driver data: TIMESTAMP(NANOS) read as long via the legacy conf
+      case LongType => org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      // engine-written data: already microsecond timestamps
+      case _ => org.apache.spark.sql.functions.col("ts")
+    }
+    raw.withColumn("ts", tsCol)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")

@@ -78,31 +78,31 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random ±1 hyperplane components: md5-seeded by
-    * (plane, dim) — reproducible on any cluster AND in the SQL oracle. */
-  private def planes(spark: SparkSession, nPlanes: Int, dim: Int): DataFrame =
-    spark.range(nPlanes).select(col("id").as("pl"))
-      .crossJoin(spark.range(dim).select(col("id").as("pd")))
-      .withColumn("s", expr(
-        "case when cast(conv(substring(md5(concat(cast(pl as string), ':', cast(pd as string))), 1, 4), 16, 10) as int) % 2 = 1 then cast(1 as double) else cast(-1 as double) end"))
+    * (plane, dim) — reproducible on any cluster AND in the SQL oracle
+    * (same md5-parity rule stated in both). */
+  private def planeSign(pl: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$pl:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    if (Integer.parseInt(hex, 16) % 2 == 1) 1.0 else -1.0
+  }
 
   /** Random-hyperplane LSH ANN: 6-bit signatures bucket the vectors; the
     * probe searches only its own bucket, then re-ranks exactly. At 100 TB
-    * the signature is computed in one scan and candidates come from a
-    * bucket equi-join — no cross join anywhere. The per-plane dot products
-    * accumulate in DECIMAL so the sign (= the bit) is shuffle-order-proof.
-    */
+    * the signature is computed in ONE scan — the 6 planes are constant
+    * literal vectors, so each bit is a codegen dot product in the
+    * projection (no explode, no join, no shuffle); candidates then come
+    * from a bucket equi-join. Sign decisions are deterministic because
+    * the dot-product fold order is fixed. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val nPlanes = 6
     val e = vecs(spark, sfDir)
-    val comps = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-    val pl = planes(spark, nPlanes, 64)
-    val sig = comps
-      .join(broadcast(pl), col("d") === col("pd"))
-      .groupBy(col("vec_id"), col("pl"))
-      .agg(sum((col("s") * col("x")).cast("decimal(24,12)")).as("dp"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dp") > 0, expr("cast(pow(2, pl) as bigint)"))
-        .otherwise(lit(0L))).cast("long").as("bucket"))
+    val bucketCol = (0 until nPlanes).map { p =>
+      val plane = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
+      when(graft.functions.VectorFunctions.dot_product(col("v"), plane) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = e.select(col("vec_id"), bucketCol.cast("long").as("bucket"))
     val probeBucket = sig.filter(col("vec_id") === 0).select(col("bucket").as("pb"))
     val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
     sig.join(broadcast(probeBucket), col("bucket") === col("pb"))
@@ -183,22 +183,17 @@ object SimilarityOps {
         |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
-        |comps AS (
-        | SELECT vec_id, d, v[d + 1] AS x
-        | FROM v, (SELECT unnest(generate_series(0, 63)) AS d) dd),
         |pl AS (
         | SELECT p.pl, dd.d,
         |  CASE WHEN CAST('0x' || substr(md5(CAST(p.pl AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 1
         |   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
         | FROM (SELECT unnest(generate_series(0, 5)) AS pl) p,
         |      (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |planevecs AS (SELECT pl, list(s ORDER BY d) AS pvec FROM pl GROUP BY pl),
         |sig AS (
-        | SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, pl) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        | FROM (
-        |  SELECT c.vec_id, pl.pl, sum(CAST(pl.s * c.x AS DECIMAL(24,12))) AS dp
-        |  FROM comps c JOIN pl ON c.d = pl.d
-        |  GROUP BY c.vec_id, pl.pl) t
-        | GROUP BY vec_id),
+        | SELECT vec_id,
+        |  CAST(sum(CASE WHEN list_dot_product(v, pvec) > 0 THEN CAST(pow(2, pl) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM v, planevecs GROUP BY vec_id),
         |pb AS (SELECT bucket AS probe_bucket FROM sig WHERE vec_id = 0),
         |pv AS (SELECT v AS p FROM v WHERE vec_id = 0)
         |SELECT s.vec_id, s.bucket, round(${cosSql("v.v", "pv.p")}, 6) AS cos
