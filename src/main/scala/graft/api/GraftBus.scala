@@ -35,6 +35,8 @@ import graft.model.Tables.{Event, Meta}
 class GraftBus(spark: SparkSession, clientId: String = "graft",
     partitionCount: Int = 4) {
 
+  // one lock guards both collections so clear() is atomic w.r.t. consume()
+  private val lock = new Object
   private val buffer = mutable.ArrayBuffer.empty[Event]
   private val quarantined = mutable.ArrayBuffer.empty[(Event, String)]
 
@@ -50,7 +52,7 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
         created_at = java.sql.Timestamp.from(Instant.now()),
         key = key.orNull),
       payload)
-    buffer.synchronized { buffer += event }
+    lock.synchronized { buffer += event }
     event
   }
 
@@ -58,7 +60,7 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
     * partition), in insertion order via a monotonic seq column. */
   def toDF: DataFrame = {
     import spark.implicits._
-    val rows = buffer.synchronized { buffer.toVector }
+    val rows = lock.synchronized { buffer.toVector }
     val base = rows.zipWithIndex.map { case (e, i) => (i.toLong, e) }
       .toDF("seq", "event")
     base.select(col("seq"), col("event.meta").as("meta"),
@@ -69,18 +71,18 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
 
   // ------------------------------------------------- Memory store queries
   /** `Memory.all` — full scan in insertion order (`memory.ex:62-64`). */
-  def all(): Seq[Event] = buffer.synchronized { buffer.toVector }
+  def all(): Seq[Event] = lock.synchronized { buffer.toVector }
 
   /** `Memory.last` (`memory.ex:58-60`). */
-  def last(): Option[Event] = buffer.synchronized { buffer.lastOption }
+  def last(): Option[Event] = lock.synchronized { buffer.lastOption }
 
   /** `Memory.empty?` (`memory.ex:133`). */
-  def isEmpty: Boolean = buffer.synchronized { buffer.isEmpty }
+  def isEmpty: Boolean = lock.synchronized { buffer.isEmpty }
 
   /** `Memory.clear` (`memory.ex:54-56`). */
-  def clear(): Unit = {
-    buffer.synchronized { buffer.clear() }
-    quarantined.synchronized { quarantined.clear() }
+  def clear(): Unit = lock.synchronized {
+    buffer.clear()
+    quarantined.clear()
   }
 
   /** `Memory.include?` — partial match on payload and/or meta
@@ -96,7 +98,7 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
     * a topic. `Left(reason)` quarantines the event with its queue name;
     * `Right(())` acks. Returns (ok, quarantined) counts. */
   def consume(topic: String)(process: Event => Either[String, Unit]): (Long, Long) = {
-    val events = buffer.synchronized { buffer.toVector }
+    val events = lock.synchronized { buffer.toVector }
       .filter(_.meta.name == topic)
     var ok = 0L
     var bad = 0L
@@ -104,7 +106,7 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
       process(e) match {
         case Right(_) => ok += 1
         case Left(_) =>
-          quarantined.synchronized { quarantined += ((e, s"event:$topic")) }
+          lock.synchronized { quarantined += ((e, s"event:$topic")) }
           bad += 1
       }
     }
@@ -113,5 +115,5 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
 
   /** The dead-letter queue with source-queue tags (`consumer.ex:98-100`). */
   def deadLetters(): Seq[(Event, String)] =
-    quarantined.synchronized { quarantined.toVector }
+    lock.synchronized { quarantined.toVector }
 }

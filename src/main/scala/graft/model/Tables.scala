@@ -26,6 +26,13 @@ object Tables {
     * default. Read it as long nanos (legacy conf) and truncate to
     * microsecond timestamps — exactly what DuckDB does when it reads the
     * same file, so oracle parity holds.
+    *
+    * SIDE EFFECT (deliberate): this sets the session conf
+    * `spark.sql.legacy.parquet.nanosAsLong` and leaves it set — the flag
+    * must still be active when the lazily-planned scan executes, so a
+    * set/restore around the read would break execution. Any later nanos
+    * parquet read in the same session will therefore yield long columns
+    * instead of an error; the schema match below handles both layouts.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -31,23 +31,31 @@ object EventSource {
       .partitionBy("event_date")
       .parquet(path)
 
+  /** Microsecond-precise timestamp format for text formats — Spark's
+    * default .SSS millisecond pattern would silently truncate event
+    * times and break round-trips (events carry µs precision). */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** Line-JSON round-trip: the engine's wire-debug format. */
   def writeJson(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+    df.write.mode("overwrite").option("timestampFormat", TsFormat).json(path)
 
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("timestampFormat", TsFormat)
       .json(path)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
   /** CSV interchange (header, explicit schema — no inference pass). */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", TsFormat).csv(path)
 
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true")
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("timestampFormat", TsFormat)
       .csv(path)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
 

@@ -25,18 +25,21 @@ object ConsumerPipeline {
   case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
-  /** Metadata enrichment, streaming form — same derivations as the batch
-    * `EventOps.emitEnrich` (deterministic uuid/cid; created_at from event
-    * time, never the wall clock). */
+  /** Metadata enrichment, streaming form — same derivations and schema as
+    * the batch `EventOps.emitEnrich` (deterministic uuid/cid; created_at
+    * from event time, never the wall clock; partition from the shared
+    * default count). */
   def enrich(events: DataFrame, producer: String = "graft"): DataFrame =
     events.select(
       col("event_id"),
       col("event_type").as("name"),
       lit(producer).as("producer"),
+      lit(1).as("version"),
+      md5(concat(lit("cid:"), col("event_id").cast("string"))).as("cid"),
       md5(col("event_id").cast("string")).as("uuid"),
       col("ts").as("created_at"),
       col("user_id").cast("string").as("key"),
-      (abs(col("user_id")) % 4).as("part_id"),
+      (abs(col("user_id")) % graft.model.Tables.DefaultPartitionCount).as("part_id"),
       col("value"),
       col("props").as("payload"))
 
@@ -57,27 +60,36 @@ object ConsumerPipeline {
   def dedupByUuid(enriched: DataFrame, watermark: String = "10 minutes"): DataFrame =
     enriched.withWatermark("created_at", watermark).dropDuplicates("uuid")
 
-  /** At-least-once consume with DLQ: every micro-batch is union-split to
-    * the ok sink and the quarantine sink. Parquet appends inside
-    * foreachBatch are idempotent per (batchId) on restart via checkpoint
-    * replay protection. */
+  /** Consume with DLQ: every micro-batch is union-split to the ok sink
+    * and the quarantine sink. foreachBatch is only at-least-once, so the
+    * writes are made idempotent by keying each batch's output directory
+    * on the batchId and OVERWRITING it — a replayed batch rewrites the
+    * same directory instead of appending duplicates. With
+    * `exactlyOnce = true` (default) duplicate uuids within the watermark
+    * are also dropped before routing (the effectively-once upgrade over
+    * the reference's at-least-once contract).
+    */
   def start(events: DataFrame, okPath: String, dlqPath: String,
-      checkpointDir: String, service: String = "graft-consumer"): StreamingQuery =
-    withOutcome(enrich(events))
+      checkpointDir: String, service: String = "graft-consumer",
+      exactlyOnce: Boolean = true): StreamingQuery = {
+    val enriched = enrich(events)
+    val deduped = if (exactlyOnce) dedupByUuid(enriched) else enriched
+    withOutcome(deduped)
       .writeStream
       .queryName(service)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val routed = batch.cache()
         try {
           routed.filter(col("outcome") === "ok")
-            .write.mode("append").parquet(okPath)
+            .write.mode("overwrite").parquet(s"$okPath/batch=$batchId")
           routed.filter(col("outcome") =!= "ok")
             .withColumn("queue", concat(lit("event:"), col("name")))
-            .write.mode("append").parquet(dlqPath)
+            .write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
         } finally routed.unpersist()
       }
       .start()
+  }
 
   /** Tumbling windowed aggregation with watermark — late rows beyond the
     * watermark are dropped (engine policy; the reference has no event-time

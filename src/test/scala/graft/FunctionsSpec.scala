@@ -25,6 +25,17 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("DotProduct is strict about mismatched lengths (like list_dot_product)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val err = intercept[Exception] {
+      df.select(VectorFunctions.dot_product(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("lengths differ")))
+  }
+
   test("DotProduct is null-safe and rejects wrong types at analysis") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")

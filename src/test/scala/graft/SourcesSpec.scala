@@ -30,6 +30,9 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(back.count() == events.count())
     assert(back.agg(sum("event_id")).head().getLong(0) ==
       events.agg(sum("event_id")).head().getLong(0))
+    // microsecond-exact: the default .SSS format would truncate
+    assert(back.agg(sum(unix_micros(col("ts")))).head().getLong(0) ==
+      events.agg(sum(unix_micros(col("ts")))).head().getLong(0))
   }
 
   test("CSV round-trip preserves rows") {
