@@ -49,6 +49,43 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .head().getString(0) == "event:error")
   }
 
+  test("sink is idempotent under micro-batch replay (crash between commit and checkpoint)") {
+    val events = graft.model.Tables.events(spark, sf)
+    val stage = tempDir("stage")
+    events.write.mode("overwrite").parquet(stage)
+    val okPath = tempDir("ok")
+    val dlqPath = tempDir("dlq")
+    val ckpt = tempDir("ckpt")
+    val stream = graft.sources.EventSource.streamParquet(spark, stage)
+    val q1 = ConsumerPipeline.start(stream, okPath, dlqPath, ckpt)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    val okAfterFirst = spark.read.parquet(okPath).count()
+
+    // simulate a crash after the sink wrote but before the batch was
+    // committed: delete the newest commit marker so restart replays it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete() // local-FS checksum shadow of the marker
+
+    // q1's checkpoint-path registration is released asynchronously after
+    // stop(); wait it out before restarting on the same checkpoint
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty)
+
+    val q2 = ConsumerPipeline.start(
+      graft.sources.EventSource.streamParquet(spark, stage), okPath, dlqPath, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ok = spark.read.parquet(okPath)
+    assert(ok.count() == okAfterFirst) // replayed batch overwrote, not appended
+    assert(ok.select("event_id").distinct().count() == okAfterFirst)
+  }
+
   test("effectively-once: duplicate uuids within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
