@@ -156,6 +156,40 @@ object AnalyticOps {
         element_at(col("ps"), 3).as("p75"))
       .orderBy("event_type")
 
+  /** Date/time arithmetic pack: diffs, offsets, boundaries. */
+  def datePack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      datediff(lit("2024-06-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_cutoff"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      date_trunc("week", col("o_orderdate")).as("week_start"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("q"))
+      .orderBy("o_orderkey")
+
+  /** Pattern predicates: LIKE / regexp / prefix filters. */
+  def patternFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_type").like("%ECONOMY%") ||
+        col("p_name").rlike("^(red|blue) .*(bolt|widget)"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  /** RANGE-frame trailing window: events per user in the trailing hour,
+    * ordered by exact epoch micros (a RANGE frame over a physical unit —
+    * the remaining window-frame family after ROWS frames). */
+  def trailingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_trailing_1h"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** HAVING: users with at least 250 events. */
   def havingFilter(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -175,6 +209,9 @@ object AnalyticOps {
     "above_avg_filter" -> (aboveAvgFilter _),
     "salted_agg"       -> (saltedAgg _),
     "approx_percentiles" -> (approxPercentiles _),
+    "date_pack"        -> (datePack _),
+    "pattern_filter"   -> (patternFilter _),
+    "trailing_window"  -> (trailingWindow _),
     "having_filter"    -> (havingFilter _))
 
   val oracles: Map[String, String] = Map(
@@ -245,6 +282,24 @@ object AnalyticOps {
     "having_filter" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 250 ORDER BY user_id""".stripMargin,
+    "date_pack" ->
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS INTEGER) AS days_to_cutoff,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "pattern_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE '%ECONOMY%' OR regexp_matches(p_name, '^(red|blue) .*(bolt|widget)')
+        |ORDER BY p_partkey""".stripMargin,
+    "trailing_window" ->
+      """SELECT user_id, event_id, ts,
+        | count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
