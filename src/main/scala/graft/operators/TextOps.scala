@@ -15,7 +15,8 @@ import graft.model.Tables
   *
   * Portability notes (oracle parity):
   * - hashes are md5 hex (identical in Spark and DuckDB); MinHash uses the
-  *   lexicographic min of seeded md5s — a permutation-free formulation.
+  *   lexicographic min of 8-hex md5 chunks (one-hash/k-pieces) — a
+  *   permutation-free formulation.
   * - token hashes parse the first 7 md5 hex digits (28 bits, fits i32 on
   *   both sides); bit tests use div/mod by exact powers of two rather
   *   than shift operators.
@@ -78,17 +79,20 @@ object TextOps {
         // once per document, not once per shingle inside the lambda
         explode(expr(s"transform(sequence(1, greatest(size(tokens) - ${n - 1}, 1)), i -> array_join(slice(tokens, i, $n), ' '))")).as("sh"))
 
-  /** 4-permutation MinHash signature: min of seeded md5s per doc. The
-    * min-aggregate is associative → map-side partial aggregation, one
+  /** 4-permutation MinHash signature via one-hash/k-pieces: a single md5
+    * per shingle, its four 8-hex chunks acting as four independent hash
+    * functions (4× less hashing than seeded md5s, shorter min-compares).
+    * The min-aggregate is associative → map-side partial aggregation, one
     * shuffle on doc_id regardless of document size. */
   def minhashSignature(spark: SparkSession, sfDir: String): DataFrame =
     shingles(spark, sfDir, 3)
+      .withColumn("h", md5(col("sh")))
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("1:"), col("sh")))).as("mh1"),
-        min(md5(concat(lit("2:"), col("sh")))).as("mh2"),
-        min(md5(concat(lit("3:"), col("sh")))).as("mh3"),
-        min(md5(concat(lit("4:"), col("sh")))).as("mh4"))
+        min(substring(col("h"), 1, 8)).as("mh1"),
+        min(substring(col("h"), 9, 8)).as("mh2"),
+        min(substring(col("h"), 17, 8)).as("mh3"),
+        min(substring(col("h"), 25, 8)).as("mh4"))
       .orderBy("doc_id")
 
   /** LSH banding over the MinHash signature (2 bands × 2 rows) and a
@@ -281,18 +285,19 @@ object TextOps {
         |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
         | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt)
         |SELECT doc_id,
-        | min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
-        | min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
+        | min(substr(md5(sh), 1, 8)) AS mh1, min(substr(md5(sh), 9, 8)) AS mh2,
+        | min(substr(md5(sh), 17, 8)) AS mh3, min(substr(md5(sh), 25, 8)) AS mh4
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
         |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
         |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
         | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
+        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
         |sig AS (SELECT doc_id,
-        |  min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
-        |  min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
-        | FROM sh GROUP BY doc_id),
+        |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
+        |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
+        | FROM hashed GROUP BY doc_id),
         |bands AS (
         | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
         | UNION ALL
@@ -306,10 +311,11 @@ object TextOps {
         |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
         |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
         | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
+        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
         |sig AS (SELECT doc_id,
-        |  min(md5('1:' || sh)) AS mh1, min(md5('2:' || sh)) AS mh2,
-        |  min(md5('3:' || sh)) AS mh3, min(md5('4:' || sh)) AS mh4
-        | FROM sh GROUP BY doc_id),
+        |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
+        |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
+        | FROM hashed GROUP BY doc_id),
         |bands AS (
         | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
         | UNION ALL
