@@ -51,7 +51,12 @@ object RelationalOps {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** ROLLUP over the Q1 grouping — grouping-set aggregation. */
+  /** ROLLUP over the Q1 grouping — grouping-set aggregation.
+    *
+    * Known engine divergence (empty input only): the SQL standard's `()`
+    * grouping set yields one grand-total row over an empty table (DuckDB
+    * does this); Spark's rollup/cube yield zero rows. Harmless on any
+    * non-empty table and left as Spark-native behavior. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -106,6 +106,21 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     meta.unpersist()
   }
 
+  test("queries degrade to empty results on empty tables, not errors") {
+    // empty copies of every table, written with the canonical schemas
+    val dst = tempDir("sf0")
+    graft.model.Tables.events(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    for (t <- graft.model.Tables.names if t != "events")
+      graft.model.Tables.load(spark, sf, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, dst).count() // must not throw
+      assert(n == 0 || name == "cache_empty" || name == "include_match",
+        s"$name returned $n rows on empty input")
+    }
+  }
+
   test("entry flagship returns rows (driver t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
