@@ -100,11 +100,14 @@ object TextOps {
     * candidates come from a hash join on band keys, never a cross join.
     */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // cached: the band self-join consumes the signature twice
+    // cached EAGERLY: the band self-join consumes the signature twice in
+    // one job, and a lazy cache would let both branches race to compute
+    // the full shingle pipeline before either populates it
     val sig = minhashSignature(spark, sfDir)
       .withColumn("b1", md5(concat(col("mh1"), col("mh2"))))
       .withColumn("b2", md5(concat(col("mh3"), col("mh4"))))
       .cache()
+    sig.count()
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(1).as("band_no"), col("b1").as("bh")),
       struct(lit(2).as("band_no"), col("b2").as("bh")))).as("band"))
