@@ -53,7 +53,8 @@ object EventOps {
   // ------------------------------------------------------------------- #4
   /** Partition-key routing (reference `lib/hivent/emitter.ex:53`,
     * `config/config.exs:8` — default partition_count 4). Portable
-    * arithmetic hash (`abs(user_id) % 4`) rather than Murmur3 so the
+    * rule (`pmod(user_id, 4)` — total over ALL longs, unlike abs%, which
+    * goes negative at Long.MinValue) rather than Murmur3 so the
     * DuckDB oracle can state the identical rule (SURVEY.md §7.3 risk 2).
     * The physical analog at scale is `repartition(n, key)`.
     */
@@ -62,7 +63,7 @@ object EventOps {
       col("event_id"),
       col("user_id"),
       lit(Tables.DefaultPartitionCount).as("partition_count"),
-      (abs(col("user_id")) % Tables.DefaultPartitionCount).as("part_id")
+      pmod(col("user_id"), lit(Tables.DefaultPartitionCount)).as("part_id")
     ).orderBy("event_id")
 
   // ------------------------------------------------------------------- #5
@@ -203,7 +204,7 @@ object EventOps {
       lit("graft").as("producer"),
       md5(col("event_id").cast("string")).as("uuid"),
       col("ts").as("created_at"),
-      (abs(col("user_id")) % Tables.DefaultPartitionCount).as("part_id"),
+      pmod(col("user_id"), lit(Tables.DefaultPartitionCount)).as("part_id"),
       col("value"),
       get_json_object(col("props"), "$.k").cast("int").as("k"),
       outcomeCol.as("outcome"))
@@ -237,7 +238,7 @@ object EventOps {
         |FROM events ORDER BY event_id""".stripMargin,
     "partition_assign" ->
       """SELECT event_id, user_id, 4 AS partition_count,
-        | abs(user_id) % 4 AS part_id
+        | ((user_id % 4) + 4) % 4 AS part_id
         |FROM events ORDER BY event_id""".stripMargin,
     "topic_filter" ->
       "SELECT * FROM events WHERE event_type = 'purchase' ORDER BY event_id",
@@ -286,7 +287,7 @@ object EventOps {
       """WITH enriched AS (
         | SELECT event_id, event_type AS name, 'graft' AS producer,
         |  md5(CAST(event_id AS VARCHAR)) AS uuid, ts AS created_at,
-        |  abs(user_id) % 4 AS part_id, value,
+        |  ((user_id % 4) + 4) % 4 AS part_id, value,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  CASE WHEN event_type = 'error' OR value < 0 THEN 'error' ELSE 'ok' END AS outcome
         | FROM events)

@@ -39,7 +39,7 @@ object ConsumerPipeline {
       md5(col("event_id").cast("string")).as("uuid"),
       col("ts").as("created_at"),
       col("user_id").cast("string").as("key"),
-      (abs(col("user_id")) % graft.model.Tables.DefaultPartitionCount).as("part_id"),
+      pmod(col("user_id"), lit(graft.model.Tables.DefaultPartitionCount)).as("part_id"),
       col("value"),
       col("props").as("payload"))
 

@@ -27,12 +27,13 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
 
   test("emit_enrich stamps producer and preserves payload (emitter_test.exs:53-64)") {
     val e = EventOps.emitEnrich(spark, sf).cache()
+    val srcAll = graft.model.Tables.events(spark, sf)
+    assert(e.count() == srcAll.count()) // no rows dropped
     assert(e.filter(col("producer") =!= "graft").count() == 0)
     assert(e.filter(col("uuid").isNull || col("cid").isNull).count() == 0)
-    // payload carried through unchanged
-    val src = graft.model.Tables.events(spark, sf).select(col("event_id"), col("props"))
-    val joined = e.join(src, "event_id")
-    assert(joined.filter(col("payload") =!= col("props")).count() == 0)
+    // payload carried through unchanged (null-safe comparison)
+    val joined = e.join(srcAll.select(col("event_id"), col("props")), "event_id")
+    assert(joined.filter(!(col("payload") <=> col("props"))).count() == 0)
     e.unpersist()
   }
 
@@ -56,17 +57,27 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(!absent.head().getBoolean(0))
   }
 
-  test("dedup_exact is idempotent and keeps the lowest doc_id per hash") {
+  test("dedup_exact keeps exactly the lowest doc_id per content hash") {
     val once = TextOps.dedupExact(spark, sf).cache()
     val hashes = once.select("content_hash").distinct().count()
     assert(once.count() == hashes)
+    // survivors are exactly min(doc_id) per hash, computed independently
+    val expected = graft.model.Tables.documents(spark, sf)
+      .withColumn("content_hash", md5(col("text")))
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+    assert(once.select("doc_id", "content_hash")
+      .except(expected.select("doc_id", "content_hash")).count() == 0)
+    assert(expected.count() == once.count())
     once.unpersist()
   }
 
-  test("minhash candidate pairs are ordered and jaccard is within [0,1]") {
+  test("minhash finds the corpus's real near-dup pairs with valid jaccard") {
     val pairs = TextOps.ngramJaccard(spark, sf).cache()
+    assert(pairs.count() > 0) // the synthetic corpus contains near-dups
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
     assert(pairs.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // LSH candidates at 2x2 banding should be genuinely similar docs
+    assert(pairs.agg(max("jaccard")).head().getDouble(0) > 0.5)
     pairs.unpersist()
   }
 
@@ -88,11 +99,24 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
-  test("ann candidates are a subset of brute-force ranking domain") {
+  test("ann paths return real non-probe candidates with brute-force-consistent cosines") {
     val lsh = SimilarityOps.annLsh(spark, sf).collect()
+    assert(lsh.nonEmpty) // verified non-empty on this corpus
     assert(lsh.forall(r => r.getAs[Long]("vec_id") != 0))
+    assert(lsh.map(_.getAs[Long]("vec_id")).distinct.length == lsh.length)
     val ivf = SimilarityOps.annIvf(spark, sf).collect()
-    assert(ivf.forall(r => r.getAs[Double]("cos") <= 1.0))
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+    // every ANN cosine must equal the brute-force cosine for that vec:
+    // any candidate scoring above the brute-force top-10 floor must BE
+    // in the brute-force top-10
+    val brute = SimilarityOps.topkSimilarity(spark, sf).collect()
+    val bruteMap = brute.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val floor = brute.map(_.getAs[Double]("cos")).min
+    for (r <- lsh ++ ivf; v = r.getAs[Long]("vec_id"); c = r.getAs[Double]("cos")) {
+      if (c > floor) assert(bruteMap.get(v).contains(c),
+        s"vec $v cos $c above brute-force floor but absent/different in top-10")
+    }
   }
 
   test("multimodal decode plumbing: bytes flow through mapPartitions batches") {

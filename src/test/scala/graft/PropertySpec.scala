@@ -17,9 +17,12 @@ class PropertySpec extends AnyFunSuite with SparkTest {
 
   test("partition assignment is total and in-range for any key") {
     import spark.implicits._
-    for (keys <- samples(Gen.listOfN(50, Gen.choose(Long.MinValue + 1, Long.MaxValue)), 10)) {
+    // Long.MinValue is always included: abs(Long.MinValue) stays negative,
+    // which is exactly why the shipped rule is pmod, not abs-%
+    for (tail <- samples(Gen.listOfN(50, Gen.choose(Long.MinValue, Long.MaxValue)), 10)) {
+      val keys = Long.MinValue :: Long.MaxValue :: -1L :: tail
       val parts = keys.toDF("user_id")
-        .select((abs(col("user_id")) % 4).as("p"))
+        .select(pmod(col("user_id"), lit(4)).as("p"))
         .as[Long].collect()
       assert(parts.forall(p => p >= 0 && p < 4))
     }

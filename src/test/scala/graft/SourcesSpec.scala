@@ -17,7 +17,8 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     // partition pruning: a date filter should scan a subset of partitions
     val pruned = back.filter(col("event_date") === "2024-01-05")
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") )
+    // non-empty PartitionFilters — 'PartitionFilters: []' must NOT pass
+    assert("PartitionFilters: \\[[^\\]]+".r.findFirstIn(plan).isDefined, plan)
     assert(pruned.count() > 0)
   }
 

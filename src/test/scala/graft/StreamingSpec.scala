@@ -17,7 +17,9 @@ import graft.streaming.ConsumerPipeline.RawEvent
 class StreamingSpec extends AnyFunSuite with SparkTest {
 
   private def ts(minute: Int): Timestamp =
-    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    // explicit UTC instant: Timestamp.valueOf would parse in the host
+    // zone while window boundaries align to UTC epoch instants
+    Timestamp.from(java.time.Instant.parse(f"2024-01-01T10:$minute%02d:00Z"))
 
   private def fixture = Seq(
     RawEvent(1L, ts(0), 7L, "purchase", 10.0, """{"k": 1}"""),

@@ -51,15 +51,36 @@ def table_digest(cols, rows, order_sensitive=True):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    missing = []
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written dataset directory
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        else:
+            missing.append(t)
+    if missing:
+        print(f"ERROR: input tables missing from {sf_dir}: {missing}")
+        sys.exit(2)
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     failures = []
+    # rows-only check for queries without an oracle (sketch-based ops):
+    # output must exist and be readable; report its row count
+    for qdir in sorted(Path(out_dir).iterdir()):
+        if not qdir.is_dir() or qdir.name in oracle:
+            continue
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+            print(f"rows {qdir.name} ({n} rows, no oracle)")
+            if n == 0:
+                failures.append((qdir.name, "rows-only check returned 0 rows"))
+                print(f"FAIL {qdir.name}: rows-only check returned 0 rows")
+        except Exception as e:
+            failures.append((qdir.name, f"rows-only read failed: {e}"))
+            print(f"FAIL {qdir.name}: rows-only read failed: {e}")
     for name, sql in sorted(oracle.items()):
         qdir = Path(out_dir) / name
         if not qdir.exists():
