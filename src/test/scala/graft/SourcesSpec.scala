@@ -44,6 +44,25 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(back.count() == events.count())
   }
 
+  test("bucketed tables co-locate joins: no shuffle exchange on the join key") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val events = EventSource.parquet(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    events.write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("events_bucketed")
+    val t = spark.table("events_bucketed")
+    val joined = t.as("a").join(t.as("b"), "user_id")
+      .groupBy("user_id").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the key: the join itself needs no
+    // hashpartitioning exchange (only the scan and agg machinery remain)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0, s"expected bucket-co-located join, got:\n$plan")
+    assert(joined.count() > 0)
+    assert(warehouse != null)
+  }
+
   test("streaming file source replays at-rest data through the consumer") {
     val events = EventSource.parquet(spark, sf)
     val stage = tempDir("stage")
