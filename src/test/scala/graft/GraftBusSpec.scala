@@ -62,6 +62,14 @@ class GraftBusSpec extends AnyFunSuite with SparkTest {
     assert(dlq.head._1.payload.contains("error"))
   }
 
+  test("empty store: toDF and include behave, no crash on zero events") {
+    val bus = new GraftBus(spark)
+    assert(bus.toDF.count() == 0)
+    assert(!bus.include(col("meta.name") === "anything"))
+    bus.clear() // idempotent on empty
+    assert(bus.isEmpty)
+  }
+
   test("store DF: partition derived from key within [0, partitionCount)") {
     val bus = new GraftBus(spark, partitionCount = 4)
     (1 to 20).foreach(i => bus.emit("e", "{}", 1, key = Some(s"k$i")))
