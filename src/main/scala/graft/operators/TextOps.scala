@@ -168,6 +168,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- featurization
+  /** Hashing-trick term-frequency embedding: token → md5-derived bucket in
+    * [0, 64) → per-(doc, dim) counts. The standard featurizer shape at
+    * 100 TB: one explode + one groupBy, integer-exact, no vocabulary
+    * broadcast. Long format (doc_id, dim, tf) — the sparse layout
+    * downstream ops join on. */
+  def tfEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 64").as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "dim")
+
+  /** Content-vector cosine over the MinHash-LSH candidate pairs: the
+    * embedding-cosine near-dup path where the embedding is derived from
+    * the text itself. Dot products and norms are integer-exact sums of
+    * tf products (no float accumulation anywhere until the final
+    * divide), joined on the sparse dim — never a dense cross join. */
+  def docEmbedSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tfEmbedding(spark, sfDir).cache()
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val cand = dedupMinhashPairs(spark, sfDir)
+    val dots = cand
+      .join(tf.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(tf.as("y"), col("y.doc_id") === col("doc_b") && col("y.dim") === col("x.dim"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+    dots
+      .join(norms.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(norms.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------- text analysis
   /** Per-document stats: chars, words, unique words, avg word length. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -258,6 +298,8 @@ object TextOps {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "ngram_jaccard"       -> (ngramJaccard _),
     "simhash"             -> (simhash _),
+    "tf_embedding"        -> (tfEmbedding _),
+    "doc_embed_similarity" -> (docEmbedSimilarity _),
     "text_stats"          -> (textStats _),
     "lang_dist"           -> (langDist _),
     "lang_id"             -> (langId _),
@@ -352,6 +394,49 @@ object TextOps {
         | FROM h, bitdefs GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tf_embedding" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)
+        |SELECT doc_id,
+        | CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
+        | count(*) AS tf
+        |FROM tok GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+    "doc_embed_similarity" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
+        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
+        |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
+        | FROM hashed GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
+        | UNION ALL
+        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bands a JOIN bands b
+        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |tok AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+        |tf AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
+        |  count(*) AS tf FROM tok GROUP BY doc_id, dim),
+        |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+        |dots AS (
+        | SELECT c.doc_a, c.doc_b, sum(x.tf * y.tf) AS dot
+        | FROM cand c
+        |  JOIN tf x ON x.doc_id = c.doc_a
+        |  JOIN tf y ON y.doc_id = c.doc_b AND y.dim = x.dim
+        | GROUP BY c.doc_a, c.doc_b)
+        |SELECT d.doc_a, d.doc_b,
+        | round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+        |FROM dots d
+        | JOIN norms na ON na.doc_id = d.doc_a
+        | JOIN norms nb ON nb.doc_id = d.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
         | array_length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
