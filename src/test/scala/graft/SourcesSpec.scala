@@ -48,6 +48,16 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val events = EventSource.parquet(spark, sf)
     spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    // a fresh metastore doesn't know about last JVM's table, but its
+    // directory survives and blocks CREATE — clear the location too
+    val loc = new java.io.File(new java.net.URI(warehouse).getPath, "events_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     events.write.mode("overwrite")
       .bucketBy(8, "user_id").sortBy("user_id")
       .saveAsTable("events_bucketed")
