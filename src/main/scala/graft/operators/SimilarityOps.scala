@@ -132,7 +132,10 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
-    val probeLists = assigned.filter(col("vec_id") === 0)
+    // probe-list selection needs only the probe vector vs the centroids —
+    // computing it from `assigned` would run the full-table assignment
+    // pass a second time
+    val probeLists = e.filter(col("vec_id") === 0)
       .select(col("v").as("p"))
       .crossJoin(broadcast(cents))
       .select(col("cid"), round(cosine("p", "cv"), 6).as("pcos"))

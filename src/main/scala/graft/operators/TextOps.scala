@@ -143,14 +143,17 @@ object TextOps {
   }
 
   // -------------------------------------------------------------- SimHash
-  /** 28-bit SimHash over word tokens: token hash = first 7 md5 hex digits;
-    * per-bit ±1 votes; bit set where the vote sum is positive. div/mod by
-    * exact powers of two keeps the bit math portable to the oracle. */
+  /** Word tokens hashed to 28 bits (first 7 md5 hex digits) — shared by
+    * SimHash and the TF featurizer so the two can never drift apart. */
+  private def tokenHashes(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)").as("hv"))
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docs(spark, sfDir).select(col("doc_id"),
-      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
-    val hashed = toks.select(col("doc_id"),
-      expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)").as("hv"))
+    val hashed = tokenHashes(spark, sfDir)
     // one aggregation pass: 28 ±1-vote sums as separate aggregate
     // expressions (all codegen'd; single shuffle on doc_id) instead of a
     // 28×-row explode
@@ -175,11 +178,8 @@ object TextOps {
     * broadcast. Long format (doc_id, dim, tf) — the sparse layout
     * downstream ops join on. */
   def tfEmbedding(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 64").as("dim"))
+    tokenHashes(spark, sfDir)
+      .select(col("doc_id"), (col("hv") % 64).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("tf"))
       .orderBy("doc_id", "dim")
@@ -190,7 +190,9 @@ object TextOps {
     * tf products (no float accumulation anywhere until the final
     * divide), joined on the sparse dim — never a dense cross join. */
   def docEmbedSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    // eager cache: consumed by three independent stages in one job
     val tf = tfEmbedding(spark, sfDir).cache()
+    tf.count()
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val cand = dedupMinhashPairs(spark, sfDir)
@@ -199,12 +201,18 @@ object TextOps {
       .join(tf.as("y"), col("y.doc_id") === col("doc_b") && col("y.dim") === col("x.dim"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
-    dots
-      .join(norms.as("na"), col("na.doc_id") === col("doc_a"))
-      .join(norms.as("nb"), col("nb.doc_id") === col("doc_b"))
+    // total over ALL candidate pairs: a pair sharing no dim (or with a
+    // token-less side) scores 0 rather than silently disappearing
+    cand
+      .join(dots, Seq("doc_a", "doc_b"), "left_outer")
+      .join(norms.as("na"), col("na.doc_id") === col("doc_a"), "left_outer")
+      .join(norms.as("nb"), col("nb.doc_id") === col("doc_b"), "left_outer")
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot").cast("double") /
-          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))), 6).as("cos"))
+        when(coalesce(col("na.n2"), lit(0L)) === 0 ||
+             coalesce(col("nb.n2"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dot"), lit(0L)).cast("double") /
+            (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))), 6))
+          .as("cos"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -313,6 +321,38 @@ object TextOps {
     s"CAST((length(padded) - length(replace(padded, '$esc', ''))) / ${sub.length} AS INTEGER)"
   }
 
+  /** Shared oracle CTE stack (normalized text → word-3-gram shingles →
+    * one-hash/k-pieces signature → 2×2 bands → candidate pairs),
+    * interpolated into every candidate-consuming oracle so the banding
+    * scheme can never drift between them. */
+  private def candCtesSql: String =
+    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+       |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+       | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
+       |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
+       |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
+       | FROM hashed GROUP BY doc_id),
+       |bands AS (
+       | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
+       | UNION ALL
+       | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared oracle CTEs for the 28-bit token-hash TF featurizer
+    * (mirrors [[tokenHashes]]). */
+  private val tfCtesSql: String =
+    """tok AS (
+      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+      |tf AS (SELECT doc_id,
+      |  CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
+      |  count(*) AS tf FROM tok GROUP BY doc_id, dim)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, content_hash, lang, n_chars FROM (
@@ -334,41 +374,10 @@ object TextOps {
         | min(substr(md5(sh), 17, 8)) AS mh3, min(substr(md5(sh), 25, 8)) AS mh4
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
-        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
-        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
-        |sig AS (SELECT doc_id,
-        |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
-        |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
-        | FROM hashed GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
-        | UNION ALL
-        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        | ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $candCtesSql
+        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
-        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
-        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
-        |sig AS (SELECT doc_id,
-        |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
-        |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
-        | FROM hashed GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
-        | UNION ALL
-        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM bands a JOIN bands b
-        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      s"""WITH $candCtesSql,
         |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
         |inter AS (
@@ -395,35 +404,11 @@ object TextOps {
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tf_embedding" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)
-        |SELECT doc_id,
-        | CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
-        | count(*) AS tf
-        |FROM tok GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+      s"""WITH $tfCtesSql
+        |SELECT doc_id, dim, tf FROM tf ORDER BY doc_id, dim""".stripMargin,
     "doc_embed_similarity" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
-        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
-        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
-        |sig AS (SELECT doc_id,
-        |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
-        |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
-        | FROM hashed GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
-        | UNION ALL
-        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM bands a JOIN bands b
-        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |tok AS (
-        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
-        |tf AS (SELECT doc_id,
-        |  CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
-        |  count(*) AS tf FROM tok GROUP BY doc_id, dim),
+      s"""WITH $candCtesSql,
+        |$tfCtesSql,
         |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
         |dots AS (
         | SELECT c.doc_a, c.doc_b, sum(x.tf * y.tf) AS dot
@@ -431,12 +416,15 @@ object TextOps {
         |  JOIN tf x ON x.doc_id = c.doc_a
         |  JOIN tf y ON y.doc_id = c.doc_b AND y.dim = x.dim
         | GROUP BY c.doc_a, c.doc_b)
-        |SELECT d.doc_a, d.doc_b,
-        | round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
-        |FROM dots d
-        | JOIN norms na ON na.doc_id = d.doc_a
-        | JOIN norms nb ON nb.doc_id = d.doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |SELECT c.doc_a, c.doc_b,
+        | CASE WHEN coalesce(na.n2, 0) = 0 OR coalesce(nb.n2, 0) = 0 THEN 0.0
+        |      ELSE round(CAST(coalesce(d.dot, 0) AS DOUBLE) /
+        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) END AS cos
+        |FROM cand c
+        | LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+        | LEFT JOIN norms na ON na.doc_id = c.doc_a
+        | LEFT JOIN norms nb ON nb.doc_id = c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
         | array_length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
