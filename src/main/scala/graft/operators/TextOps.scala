@@ -328,7 +328,7 @@ object TextOps {
   private def candCtesSql: String =
     s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-       |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+       |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
        |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
        |sig AS (SELECT doc_id,
@@ -339,7 +339,7 @@ object TextOps {
        | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
        | UNION ALL
        | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
@@ -349,7 +349,7 @@ object TextOps {
   private val tfCtesSql: String =
     """tok AS (
       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
-      |tf AS (SELECT doc_id,
+      |tf AS MATERIALIZED (SELECT doc_id,
       |  CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
       |  count(*) AS tf FROM tok GROUP BY doc_id, dim)""".stripMargin
 
@@ -367,7 +367,7 @@ object TextOps {
     "minhash_signature" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
         |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-        |sh AS (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+        |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
         | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt)
         |SELECT doc_id,
         | min(substr(md5(sh), 1, 8)) AS mh1, min(substr(md5(sh), 9, 8)) AS mh2,
