@@ -111,16 +111,21 @@ object AnalyticOps {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy("event_id")
 
-  /** Windowed relative filter: orders above their segment's average —
-    * the scale-correct form of a correlated scalar subquery (one window
-    * pass instead of a per-row subquery; decimal-exact average). */
+  /** Relative filter: orders above their segment's average — the
+    * scale-correct form of a correlated scalar subquery. A window over
+    * `c_mktsegment` (5 distinct values) would funnel the whole table into
+    * 5 partitions; instead the per-segment average is an ordinary partial+
+    * final hash aggregate (5 rows out) broadcast back onto the fact scan —
+    * no giant window partitions, no extra shuffle of orders. Decimal-exact
+    * sum/count division keeps the average bit-identical to the window
+    * formulation, so the oracle is unchanged. */
   def aboveAvgFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-    Tables.orders(spark, sfDir)
+    val joined = Tables.orders(spark, sfDir)
       .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
-      .withColumn("seg_avg",
-        sum(col("o_totalprice").cast(Dec)).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double"))
+    val segAvg = joined.groupBy(col("c_mktsegment"))
+      .agg((sum(col("o_totalprice").cast(Dec)).cast("double") /
+        count(lit(1)).cast("double")).as("seg_avg"))
+    joined.join(broadcast(segAvg), Seq("c_mktsegment"))
       .filter(col("o_totalprice") > col("seg_avg"))
       .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
         round(col("seg_avg"), 6).as("seg_avg"))

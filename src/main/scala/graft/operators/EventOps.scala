@@ -168,17 +168,64 @@ object EventOps {
 
   // ----------------------------------------------------------------- #22
   /** Monotonic ref counter (reference `lib/hivent/phoenix/channel_client
-    * .ex:341-345`): per-socket increasing message ref ⇒ row_number over
-    * the insertion order. NOTE: a global row_number is a single-partition
-    * window — correct here because it mirrors a per-socket (per-partition)
-    * counter; the scale form is row_number per partition key, exercised
-    * in RelationalOps.latestPerKey.
+    * .ex:341-345`): a global dense sequence over the insertion order —
+    * the distributed way. `row_number() OVER (ORDER BY event_id)` would
+    * sort ALL rows through one partition; instead this is the classic
+    * two-pass global ranking:
+    *   1. range-bucket rows by a DATA-derived rule (min/max of the key,
+    *      collected once — metadata-sized, 1 row) so bucketing is
+    *      deterministic and order-preserving without a sampled range
+    *      shuffle whose boundaries could differ between plan branches;
+    *   2. per-bucket counts (≤ nBuckets rows) → cumulative offsets on the
+    *      driver-scale side, broadcast back;
+    *   3. row_number within each bucket + the bucket's offset.
+    * Every heavy stage is partitioned; the only global window runs over
+    * ≤ nBuckets count rows. Identical output to the naive global window.
     */
-  def refSequence(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir)
-      .select(col("event_id"),
-        row_number().over(Window.orderBy("event_id")).as("ref"))
+  def refSequence(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("event_id"))
+    val bounds = ev.agg(min("event_id"), max("event_id")).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: no rows, same schema
+      ev.select(col("event_id"), lit(0).as("ref")).limit(0)
+    } else {
+      val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+      val nBuckets = spark.sessionState.conf.numShufflePartitions.max(1)
+      val span = ((maxId - minId) / nBuckets + 1L).max(1L)
+      val bucketed = ev.withColumn("bucket",
+        ((col("event_id") - lit(minId)) / lit(span)).cast("long"))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"),
+          coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("offset"))
+      val wRank = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
+      bucketed.join(broadcast(offsets), Seq("bucket"))
+        .select(col("event_id"),
+          (row_number().over(wRank) + col("offset")).cast("int").as("ref"))
+        .orderBy("event_id")
+    }
+  }
+
+  /** Version-branched consumption (reference `lib/hivent/emitter.ex:64` —
+    * `meta.version` is integer-guarded; consumers branch on it, with
+    * schema evolution "handled socially" — SURVEY.md §1.2). The engine
+    * routes each event to its version's handler and quarantines versions
+    * no handler claims, the consumer-side analog of the emit guard.
+    * Version is derived deterministically from the data (the driver
+    * tables carry no version column).
+    */
+  def versionRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val version = (pmod(col("event_id"), lit(3)) + 1).cast("int")
+    events(spark, sfDir).select(
+      col("event_id"),
+      version.as("version"),
+      when(version === 1, concat(lit("legacy:"), col("event_type")))
+        .when(version === 2, concat(lit("v2:"), col("event_type")))
+        .otherwise(lit("quarantine:unsupported_version")).as("handled"))
       .orderBy("event_id")
+  }
 
   // ------------------------------------------------------------- #23-#24
   /** Serialize/deserialize round-trip (reference `message_pack_serializer
@@ -226,6 +273,7 @@ object EventOps {
     "include_match"       -> (includeMatch _),
     "dispatch_filter_map" -> (dispatchFilterMap _),
     "ref_sequence"        -> (refSequence _),
+    "version_route"       -> (versionRoute _),
     "json_roundtrip"      -> (jsonRoundtrip _),
     "consumer_pipeline"   -> (flagship _))
 
@@ -277,6 +325,14 @@ object EventOps {
         |ORDER BY sub, event_id""".stripMargin,
     "ref_sequence" ->
       """SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS INTEGER) AS ref
+        |FROM events ORDER BY event_id""".stripMargin,
+    "version_route" ->
+      """SELECT event_id,
+        | CAST(((event_id % 3) + 3) % 3 + 1 AS INTEGER) AS version,
+        | CASE ((event_id % 3) + 3) % 3 + 1
+        |  WHEN 1 THEN 'legacy:' || event_type
+        |  WHEN 2 THEN 'v2:' || event_type
+        |  ELSE 'quarantine:unsupported_version' END AS handled
         |FROM events ORDER BY event_id""".stripMargin,
     "json_roundtrip" ->
       """SELECT event_id,

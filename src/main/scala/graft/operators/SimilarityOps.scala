@@ -59,20 +59,71 @@ object SimilarityOps {
       .limit(10)
   }
 
-  /** Exact near-duplicate pairs (cosine ≥ 0.4) with cheap blocking on
-    * `label` — the O(n²/blocks) exact path; the LSH variant below is the
-    * scale path. */
+  /** Bands for the near-dup LSH grid (OR-amplification count). */
+  private val NeardupBands = 16
+
+  /** Target bucket occupancy for the near-dup LSH grid. Bits-per-band
+    * scale with log2(n / occupancy), so buckets stay ~constant-size as
+    * the table grows and candidate pairs grow LINEARLY with n (a fixed
+    * bit count would keep a fixed fraction of the quadratic pair space).
+    */
+  private val NeardupOccupancy = 16
+
+  /** Smallest r with occupancy * 2^r >= n — an integer ladder (not
+    * float log2) so the Scala side and the SQL oracle can never disagree
+    * on rounding. */
+  private[operators] def adaptiveBits(n: Long): Int = {
+    var r = 1
+    while (r < 24 && NeardupOccupancy.toLong * (1L << r) < n) r += 1
+    r
+  }
+
+  /** Embedding near-duplicate pairs (cosine ≥ 0.4) — the candidate-bounded
+    * scale path (round-1 verdict: the label-blocked all-pairs form was a
+    * quadratic scale-killer). Shape mirrors `doc_embed_similarity`:
+    * candidates come from an LSH band-bucket equi-join, then ONLY the
+    * candidates are exactly re-scored.
+    *
+    * The grid: [[NeardupBands]] bands × r md5-seeded hyperplane bits,
+    * where r = [[adaptiveBits]](n) holds bucket occupancy ~constant — so
+    * candidate pairs grow ~linearly in n (measured in SCALING.md), and
+    * the bit signatures are computed in ONE projection over literal plane
+    * vectors (no shuffle before the bucket join). The count that sizes
+    * the grid is a single metadata-sized driver value.
+    *
+    * Recall is the standard LSH tradeoff (documented in SCALING.md): a
+    * pair at cosine c collides per band with prob (1 − acos(c)/π)^r, so
+    * true near-duplicates (c → 1) are caught with prob ≈ 1 while the
+    * synthetic data's borderline 0.45-cosine pairs are partially
+    * recalled. The DuckDB oracle states the identical grid, bit rule and
+    * ladder, so the result is deterministic and hash-checked.
+    */
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    // pre-normalize once per vector (norm hoisted to its own projection),
-    // so each pair costs a single dot product instead of three
-    val unit = vecs(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("v"), sqrt(dot("v", "v")).as("nrm"))
-      .select(col("vec_id"), col("label"),
-        expr("transform(v, x -> x / nrm)").as("u"))
-    val a = unit.select(col("vec_id").as("vec_a"), col("label").as("la"), col("u").as("ua"))
-    val b = unit.select(col("vec_id").as("vec_b"), col("label").as("lb"), col("u").as("ub"))
-    a.join(b, col("la") === col("lb") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(dot("ua", "ub"), 6).as("cos"))
+    val e = vecs(spark, sfDir)
+    val bits = adaptiveBits(e.count())
+    val bandCols = (0 until NeardupBands).map { bandNo =>
+      val bucket = (0 until bits).map { bit =>
+        val p = bandNo * bits + bit
+        val plane = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
+        when(graft.functions.VectorFunctions.dot_product(col("v"), plane) > 0,
+          lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bandNo).as("band_no"), bucket.cast("long").as("bh"))
+    }
+    val sig = e.select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("b.band_no").as("band_no"), col("b.bh").as("bh"))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band_no") === col("b.band_no") && col("a.bh") === col("b.bh") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val unit = e
+      .select(col("vec_id"), col("v"), sqrt(dot("v", "v")).as("nrm"))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+    cand
+      .join(unit.as("ua"), col("ua.vec_id") === col("vec_a"))
+      .join(unit.as("ub"), col("ub.vec_id") === col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(dot("ua.u", "ub.u"), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
@@ -175,13 +226,37 @@ object SimilarityOps {
         |SELECT vec_id, round(${cosSql("v", "pv")}, 6) AS cos
         |FROM v, p WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // States the IDENTICAL LSH grid as the Scala side: 16 bands ×
+    // adaptiveBits(n) md5-seeded ±1 hyperplane bits (plane index =
+    // band*bits+bit), candidates from the band-bucket self-join, exact
+    // re-score on unit vectors. MATERIALIZED because DuckDB re-inlines
+    // multiply-referenced CTEs (sig is referenced twice).
     "embedding_neardup" ->
-      s"""WITH v AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
-        |nv AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
-        |u AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u FROM nv)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | round(list_dot_product(a.u, b.u), 6) AS cos
-        |FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT coalesce(min(rr) FILTER (WHERE 16 * CAST(pow(2, rr) AS BIGINT) >= n.n), 24) AS bits
+        |      FROM (SELECT unnest(generate_series(1, 24)) AS rr) s, n),
+        |pl AS MATERIALIZED (
+        | SELECT b.band_no, t.bit, dd.d,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(b.band_no * r.bits + t.bit AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 1
+        |   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+        | FROM (SELECT unnest(generate_series(0, 15)) AS band_no) b, r,
+        |      (SELECT unnest(generate_series(0, 23)) AS bit) t,
+        |      (SELECT unnest(generate_series(0, 63)) AS d) dd
+        | WHERE t.bit < r.bits),
+        |planevecs AS MATERIALIZED (
+        | SELECT band_no, bit, list(s ORDER BY d) AS pvec FROM pl GROUP BY band_no, bit),
+        |sig AS MATERIALIZED (
+        | SELECT vec_id, band_no,
+        |  CAST(sum(CASE WHEN list_dot_product(v, pvec) > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS bh
+        | FROM v, planevecs GROUP BY vec_id, band_no),
+        |cand AS MATERIALIZED (
+        | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        | FROM sig a JOIN sig b ON a.band_no = b.band_no AND a.bh = b.bh AND a.vec_id < b.vec_id),
+        |u AS MATERIALIZED (
+        | SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM v)
+        |SELECT c.vec_a, c.vec_b, round(list_dot_product(a.u, b.u), 6) AS cos
+        |FROM cand c JOIN u a ON a.vec_id = c.vec_a JOIN u b ON b.vec_id = c.vec_b
         |WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_lsh" ->
