@@ -61,10 +61,42 @@ object EventSource {
 
   /** Streaming file source over the canonical schema — the engine's
     * stand-in for the reference's socket subscription when replaying
-    * at-rest data (used by tests and backfills; Kafka would slot in here
-    * with the same downstream plan). */
+    * at-rest data (used by tests and backfills; the live topic source
+    * below slots in with the same downstream plan). */
   def streamParquet(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(path)
+
+  /** Live Kafka-shaped subscription (reference `consumer.ex:105` joins
+    * `"event:#{topic}"` with a partition count): a micro-batch stream
+    * over the partitioned topic log. `partitions` is this consumer-group
+    * member's assignment (empty = consume the whole topic); disjoint
+    * assignments across members scale the group out horizontally
+    * ([[GraftTopicLog.assignment]]). */
+  def streamTopic(spark: SparkSession, dir: String, topic: String,
+      partitions: Seq[Int] = Nil,
+      partitionCount: Int = Tables.DefaultPartitionCount): DataFrame = {
+    val reader = spark.readStream
+      .format(classOf[GraftTopicProvider].getName)
+      .option("path", dir)
+      .option("topic", topic)
+      .option("partition.count", partitionCount)
+    (if (partitions.nonEmpty) reader.option("partitions", partitions.mkString(","))
+     else reader).load()
+  }
+
+  /** Decode topic-log records (key/value strings) back to the canonical
+    * event schema — the consumer-side `deserialize` (reference
+    * `message_pack_serializer.ex:26-33`; the engine's wire-debug format
+    * is line-JSON). Keeps the broker columns (partition/offset) so
+    * downstream stages can assert ordering per partition. */
+  def parseTopicEvents(records: DataFrame): DataFrame =
+    records.select(
+      col("partition"), col("offset"),
+      from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"),
+        java.util.Map.of("timestampFormat", TsFormat)).as("e"))
+      .select(col("partition"), col("offset"), col("e.*"))
 }

@@ -170,6 +170,102 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(last.getAs[Double]("total_value") - 7.0) < 1e-9)
   }
 
+  // --- live topic source (reference consumer.ex:105, group sharing :92-96)
+
+  private def wireJson(e: RawEvent): String = {
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(e.ts.toInstant)
+    s"""{"event_id":${e.event_id},"ts":"$iso","user_id":${e.user_id},""" +
+      s""""event_type":"${e.event_type}","value":${e.value},"props":"{}"}"""
+  }
+
+  private def appendFixture(dir: String, topic: String, events: Seq[RawEvent]): Unit =
+    graft.sources.GraftTopicLog.append(dir, topic,
+      events.map(e => (e.user_id.toString, e.ts.toInstant.toEpochMilli * 1000L, wireJson(e))))
+
+  test("consumer group: two members split a topic's partitions; union equals the input") {
+    import spark.implicits._
+    val topicDir = tempDir("broker")
+    val events = (1 to 40).map(i =>
+      RawEvent(i.toLong, ts(i % 60), i.toLong % 11, "click", i.toDouble, "{}"))
+    appendFixture(topicDir, "order:confirmed", events)
+
+    val n = graft.model.Tables.DefaultPartitionCount
+    val memberA = graft.sources.GraftTopicLog.assignment(n, 0, 2)
+    val memberB = graft.sources.GraftTopicLog.assignment(n, 1, 2)
+    assert((memberA ++ memberB).sorted == (0 until n)) // disjoint + complete
+
+    def member(name: String, parts: Seq[Int]) =
+      graft.sources.EventSource.parseTopicEvents(
+        graft.sources.EventSource.streamTopic(spark, topicDir, "order:confirmed", parts))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempDir(s"ck_$name")).start()
+
+    val qa = member("member_a", memberA)
+    val qb = member("member_b", memberB)
+    try { qa.processAllAvailable(); qb.processAllAvailable() }
+    finally { qa.stop(); qb.stop() }
+
+    val a = spark.table("member_a")
+    val b = spark.table("member_b")
+    // each member saw ONLY its assigned partitions
+    assert(a.select("partition").distinct().as[Int].collect().toSet.subsetOf(memberA.toSet))
+    assert(b.select("partition").distinct().as[Int].collect().toSet.subsetOf(memberB.toSet))
+    // no event processed twice, and the union is exactly the input
+    assert(a.select("event_id").intersect(b.select("event_id")).count() == 0)
+    assert(a.unionByName(b).select("event_id").as[Long].collect().sorted
+      .sameElements(events.map(_.event_id).sorted))
+    // key-hash routing: every row of one key landed in one partition
+    assert(a.unionByName(b).groupBy("user_id")
+      .agg(countDistinct(col("partition")).as("nparts"))
+      .filter(col("nparts") > 1).count() == 0)
+  }
+
+  test("topic source resumes from checkpointed offsets across appends and restart") {
+    import spark.implicits._
+    val topicDir = tempDir("broker")
+    val ckpt = tempDir("ckpt")
+    val outPath = tempDir("out")
+    val first = (1 to 10).map(i => RawEvent(i.toLong, ts(i), i.toLong, "view", 1.0, "{}"))
+    appendFixture(topicDir, "t", first)
+
+    def start() = graft.sources.EventSource.parseTopicEvents(
+      graft.sources.EventSource.streamTopic(spark, topicDir, "t"))
+      .writeStream.format("parquet").option("path", outPath)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outPath).count() == 10)
+      // live append while the subscription is running
+      appendFixture(topicDir, "t", Seq(RawEvent(11L, ts(11), 11L, "view", 1.0, "{}")))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outPath).count() == 11)
+    } finally { q1.stop(); q1.awaitTermination() }
+    // checkpoint-path registration releases asynchronously after stop()
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+
+    // restart from the same checkpoint: only NEW bytes are read
+    appendFixture(topicDir, "t", Seq(RawEvent(12L, ts(12), 12L, "view", 1.0, "{}")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outPath)
+      // no prefix re-read: 12 distinct events, each exactly once
+      assert(out.count() == 12)
+      assert(out.select("event_id").as[Long].collect().sorted
+        .sameElements(1L to 12L))
+      // offsets are strictly monotonic per partition (Kafka ordering contract)
+      val offs = out.select("partition", "offset").as[(Int, Long)].collect()
+      assert(offs.groupBy(_._1).values.forall(ps => ps.map(_._2).distinct.length == ps.length))
+    } finally q2.stop()
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
