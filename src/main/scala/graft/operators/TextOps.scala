@@ -85,28 +85,32 @@ object TextOps {
     * The min-aggregate is associative → map-side partial aggregation, one
     * shuffle on doc_id regardless of document size. */
   def minhashSignature(spark: SparkSession, sfDir: String): DataFrame =
-    shingles(spark, sfDir, 3)
-      .withColumn("h", md5(col("sh")))
+    signatureFrom(shingles(spark, sfDir, 3)).orderBy("doc_id")
+
+  /** Signature from an (optionally pre-persisted) shingle DataFrame.
+    * The min-aggregate is duplicate-insensitive, so feeding DISTINCT
+    * shingles yields the identical signature — which lets `ngramJaccard`
+    * reuse one persisted distinct-shingle base for signature, sizes, and
+    * intersection instead of rebuilding the shingle pipeline per stage. */
+  private def signatureFrom(sh: DataFrame): DataFrame =
+    sh.withColumn("h", md5(col("sh")))
       .groupBy(col("doc_id"))
       .agg(
         min(substring(col("h"), 1, 8)).as("mh1"),
         min(substring(col("h"), 9, 8)).as("mh2"),
         min(substring(col("h"), 17, 8)).as("mh3"),
         min(substring(col("h"), 25, 8)).as("mh4"))
-      .orderBy("doc_id")
 
-  /** LSH banding over the MinHash signature (2 bands × 2 rows) and a
-    * band-bucket equi-join for candidate pairs — the 100 TB dedup path:
-    * candidates come from a hash join on band keys, never a cross join.
-    */
-  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // cached EAGERLY: the band self-join consumes the signature twice in
-    // one job, and a lazy cache would let both branches race to compute
-    // the full shingle pipeline before either populates it
-    val sig = minhashSignature(spark, sfDir)
+  /** LSH band-bucket candidate pairs from a shingle DataFrame (unsorted —
+    * public queries add their own orderBy). The signature is persisted
+    * EAGERLY: the band self-join consumes it twice in one job, and a lazy
+    * cache would let both branches race to compute the full shingle
+    * pipeline before either populates it. */
+  private def candidatePairsFrom(sh: DataFrame): DataFrame = {
+    val sig = signatureFrom(sh)
       .withColumn("b1", md5(concat(col("mh1"), col("mh2"))))
       .withColumn("b2", md5(concat(col("mh3"), col("mh4"))))
-      .cache()
+      .persist()
     sig.count()
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(1).as("band_no"), col("b1").as("bh")),
@@ -118,16 +122,29 @@ object TextOps {
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** LSH banding over the MinHash signature (2 bands × 2 rows) and a
+    * band-bucket equi-join for candidate pairs — the 100 TB dedup path:
+    * candidates come from a hash join on band keys, never a cross join.
+    */
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    candidatePairsFrom(shingles(spark, sfDir, 3)).orderBy("doc_a", "doc_b")
 
   /** Exact n-gram Jaccard for the LSH candidate pairs: distinct 3-gram
     * sets, intersection via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.
-    * Join-based — no arrays collected to the driver. */
+    * Join-based — no arrays collected to the driver.
+    *
+    * ONE eagerly-persisted distinct-shingle base feeds all three
+    * consumers (signature→candidates, per-doc sizes, intersection join) —
+    * the shingle pipeline runs exactly once per query instead of once per
+    * consumer (round-2 verdict: the per-stage rebuild made this query
+    * 49% of the whole bench). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val s3 = shingles(spark, sfDir, 3).distinct().cache()
+    val s3 = shingles(spark, sfDir, 3).distinct().persist()
+    s3.count()
     val sizes = s3.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = dedupMinhashPairs(spark, sfDir).cache()
+    val cand = candidatePairsFrom(s3)
     val inter = cand
       .join(s3.as("x"), col("x.doc_id") === col("doc_a"))
       .join(s3.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
@@ -177,12 +194,14 @@ object TextOps {
     * 100 TB: one explode + one groupBy, integer-exact, no vocabulary
     * broadcast. Long format (doc_id, dim, tf) — the sparse layout
     * downstream ops join on. */
-  def tfEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+  private def tfUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     tokenHashes(spark, sfDir)
       .select(col("doc_id"), (col("hv") % 64).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("tf"))
-      .orderBy("doc_id", "dim")
+
+  def tfEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    tfUnsorted(spark, sfDir).orderBy("doc_id", "dim")
 
   /** Content-vector cosine over the MinHash-LSH candidate pairs: the
     * embedding-cosine near-dup path where the embedding is derived from
@@ -190,12 +209,16 @@ object TextOps {
     * tf products (no float accumulation anywhere until the final
     * divide), joined on the sparse dim — never a dense cross join. */
   def docEmbedSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    // eager cache: consumed by three independent stages in one job
-    val tf = tfEmbedding(spark, sfDir).cache()
+    // eager persists: tf is consumed by three independent stages in one
+    // job (unsorted — the output orderBy is the only sort), and cand is
+    // consumed twice (dot products + the pair-preserving outer join);
+    // lazily-cached either would be recomputed per consuming branch
+    val tf = tfUnsorted(spark, sfDir).persist()
     tf.count()
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val cand = dedupMinhashPairs(spark, sfDir)
+    val cand = candidatePairsFrom(shingles(spark, sfDir, 3)).persist()
+    cand.count()
     val dots = cand
       .join(tf.as("x"), col("x.doc_id") === col("doc_a"))
       .join(tf.as("y"), col("y.doc_id") === col("doc_b") && col("y.dim") === col("x.dim"))
