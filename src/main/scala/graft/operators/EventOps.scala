@@ -192,8 +192,11 @@ object EventOps {
       val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
       val nBuckets = spark.sessionState.conf.numShufflePartitions.max(1)
       val span = ((maxId - minId) / nBuckets + 1L).max(1L)
+      // integer `div`, not float `/`: a double quotient loses exactness
+      // past 2^53 and could misbucket, breaking the global-ranking
+      // invariant (keys here are non-negative, so div == floor-div)
       val bucketed = ev.withColumn("bucket",
-        ((col("event_id") - lit(minId)) / lit(span)).cast("long"))
+        expr(s"(event_id - ${minId}L) div ${span}L"))
       val wOff = Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = bucketed.groupBy(col("bucket"))
