@@ -76,14 +76,17 @@ object EventSource {
     * ([[GraftTopicLog.assignment]]). */
   def streamTopic(spark: SparkSession, dir: String, topic: String,
       partitions: Seq[Int] = Nil,
-      partitionCount: Int = Tables.DefaultPartitionCount): DataFrame = {
-    val reader = spark.readStream
+      partitionCount: Int = Tables.DefaultPartitionCount,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    var reader = spark.readStream
       .format(classOf[GraftTopicProvider].getName)
       .option("path", dir)
       .option("topic", topic)
       .option("partition.count", partitionCount)
-    (if (partitions.nonEmpty) reader.option("partitions", partitions.mkString(","))
-     else reader).load()
+    if (partitions.nonEmpty)
+      reader = reader.option("partitions", partitions.mkString(","))
+    maxBytesPerTrigger.foreach(b => reader = reader.option("maxBytesPerTrigger", b))
+    reader.load()
   }
 
   /** Decode topic-log records (key/value strings) back to the canonical

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -113,6 +113,52 @@ object GraftTopicLog {
       k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
     }.toMap
   }
+
+  /** Largest record-boundary byte offset in (start, limit] of a partition
+    * log (a boundary sits just after a '\n'). If no newline lies in that
+    * window — a single record larger than the whole byte budget — returns
+    * the first boundary AFTER limit, so an undersized cap degrades to
+    * one-record batches instead of stalling the stream. Scans only a
+    * bounded window near the cap point (backward in 64 KiB chunks), never
+    * the backlog. */
+  private[graft] def recordBoundaryAtMost(f: File, start: Long, limit: Long): Long = {
+    val size = f.length()
+    if (limit >= size) return size // flushed whole lines: EOF is a boundary
+    val chunk = 64 * 1024
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    try {
+      def readRange(lo: Long, len: Int): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(len)
+        ch.position(lo)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        buf.array()
+      }
+      // backward chunked scan for the last '\n' with index in [start, limit)
+      var hi = limit
+      while (hi > start) {
+        val lo = math.max(start, hi - chunk)
+        val arr = readRange(lo, (hi - lo).toInt)
+        var i = arr.length - 1
+        while (i >= 0) {
+          if (arr(i) == '\n') return lo + i + 1
+          i -= 1
+        }
+        hi = lo
+      }
+      // oversized record: forward scan from limit for its terminating '\n'
+      var pos = limit
+      while (pos < size) {
+        val arr = readRange(pos, math.min(chunk.toLong, size - pos).toInt)
+        var i = 0
+        while (i < arr.length) {
+          if (arr(i) == '\n') return pos + i + 1
+          i += 1
+        }
+        pos += arr.length
+      }
+      size
+    } finally ch.close()
+  }
 }
 
 private[sources] case class GraftTopicOffset(offsets: Map[Int, Long]) extends Offset {
@@ -123,14 +169,57 @@ private[sources] case class GraftTopicOffset(offsets: Map[Int, Long]) extends Of
 private[sources] case class GraftTopicInputPartition(topic: String, partition: Int,
     file: String, startByte: Long, endByte: Long) extends InputPartition
 
+/** Micro-batch stream with source-paced admission control: the reference
+  * runtime is server-paced push (`lib/hivent/consumer.ex:68` — one event
+  * per `:poll`); the Spark analog is [[SupportsAdmissionControl]] with a
+  * `maxBytesPerTrigger` budget. Without it, restart-after-backlog reads
+  * the WHOLE backlog as one batch — unbounded executor memory and an
+  * all-or-nothing commit. The budget is split across partitions
+  * proportionally to their backlog and clamped to record boundaries, so
+  * every batch is bounded AND every offset is replayable. */
 private[sources] class GraftTopicMicroBatchStream(dir: String, topic: String,
-    partitions: Seq[Int]) extends MicroBatchStream {
+    partitions: Seq[Int], maxBytesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset =
     GraftTopicOffset(partitions.map(_ -> 0L).toMap)
 
+  // uncapped fallback — the engine calls the 2-arg admission-control
+  // overload below for SupportsAdmissionControl sources
   override def latestOffset(): Offset =
     GraftTopicOffset(GraftTopicLog.endOffsets(dir, topic, partitions))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftTopicOffset].offsets
+    val ends = GraftTopicLog.endOffsets(dir, topic, partitions)
+    maxBytesPerTrigger match {
+      case None => GraftTopicOffset(ends)
+      case Some(cap) =>
+        val backlog = ends.map { case (p, e) =>
+          p -> math.max(0L, e - s.getOrElse(p, 0L))
+        }
+        val total = backlog.values.sum
+        if (total <= cap) GraftTopicOffset(ends)
+        else GraftTopicOffset(ends.map { case (p, e) =>
+          val st = s.getOrElse(p, 0L)
+          if (backlog(p) == 0L) p -> st
+          else {
+            // proportional share of the byte budget (double math — a soft
+            // budget needs no exactness, and long multiplication could
+            // overflow), ≥1 so a partition with any backlog always admits
+            // at least one record (the boundary clamp rounds a partial
+            // record up to a whole one)
+            val share = math.max(1L, (cap.toDouble * backlog(p) / total).toLong)
+            p -> GraftTopicLog.recordBoundaryAtMost(
+              GraftTopicLog.partitionFile(dir, topic, p), st, st + share)
+          }
+        })
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftTopicOffset(GraftTopicLog.offsetsFromJson(json))
@@ -160,62 +249,78 @@ private[sources] class GraftTopicReaderFactory extends PartitionReaderFactory {
     new GraftTopicPartitionReader(partition.asInstanceOf[GraftTopicInputPartition])
 }
 
-/** Reads records in [startByte, endByte) of one partition log. The slice
-  * is bounded by the micro-batch (admission happened at offset planning),
-  * so a single ranged read is the right I/O shape — one seek, one
-  * sequential scan, no per-record syscalls. */
+/** Reads records in [startByte, endByte) of one partition log as a
+  * STREAM: one seek, then a buffered sequential scan. The old shape — one
+  * `ByteBuffer.allocate((end-start).toInt)` of the whole slice — threw at
+  * ≥2 GiB and silently truncated past 4 GiB (Int cast) while the
+  * checkpoint advanced: silent data loss. A bounded buffered stream reads
+  * any range size in O(64 KiB) memory. */
 private[sources] class GraftTopicPartitionReader(p: GraftTopicInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val records: Iterator[(Long, String)] = {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(p.file))
-    val bytes = try {
-      val buf = java.nio.ByteBuffer.allocate((p.endByte - p.startByte).toInt)
-      ch.position(p.startByte)
-      while (buf.hasRemaining && ch.read(buf) >= 0) {}
-      buf.array()
-    } finally ch.close()
-    var pos = p.startByte
-    new String(bytes, UTF_8).split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
-      val at = pos
-      pos += line.getBytes(UTF_8).length + 1L
-      (at, line)
+  private val ch = java.nio.channels.FileChannel.open(Paths.get(p.file))
+  ch.position(p.startByte)
+
+  /** Range-bounded view of the channel — EOF at endByte. */
+  private val bounded = new java.io.InputStream {
+    private var remaining = p.endByte - p.startByte
+    private val one = new Array[Byte](1)
+    override def read(): Int =
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0L) return -1
+      val n = ch.read(java.nio.ByteBuffer.wrap(b, off,
+        math.min(len.toLong, remaining).toInt))
+      if (n > 0) remaining -= n
+      n
     }
   }
 
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(bounded, UTF_8), 64 * 1024)
+  private var pos = p.startByte
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!records.hasNext) false
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null && line.isEmpty) { // defensive: blank line = 1 byte
+      pos += 1L
+      line = reader.readLine()
+    }
+    if (line == null) false
     else {
-      val (off, line) = records.next()
+      val at = pos
+      pos += line.getBytes(UTF_8).length + 1L
       val Array(key, ts, value) = line.split("\t", 3)
       current = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(p.topic), p.partition, off,
+        UTF8String.fromString(p.topic), p.partition, at,
         UTF8String.fromString(key), UTF8String.fromString(value), ts.toLong))
       true
     }
+  }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = { reader.close(); ch.close() }
 }
 
 private[sources] class GraftTopicScan(dir: String, topic: String,
-    partitions: Seq[Int]) extends Scan {
+    partitions: Seq[Int], maxBytesPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = GraftTopicLog.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTopicMicroBatchStream(dir, topic, partitions)
+    new GraftTopicMicroBatchStream(dir, topic, partitions, maxBytesPerTrigger)
 }
 
 private[sources] class GraftTopicTable(dir: String, topic: String,
-    partitions: Seq[Int]) extends Table with SupportsRead {
+    partitions: Seq[Int], maxBytesPerTrigger: Option[Long])
+    extends Table with SupportsRead {
   override def name(): String = s"graft-topic($topic)"
   override def schema(): StructType = GraftTopicLog.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftTopicScan(dir, topic, partitions)
+      override def build(): Scan =
+        new GraftTopicScan(dir, topic, partitions, maxBytesPerTrigger)
     }
 }
 
@@ -229,6 +334,11 @@ private[sources] class GraftTopicTable(dir: String, topic: String,
   *                      `config/config.exs:8` default)
   *  - `partitions`      comma-separated subset this member consumes
   *                      (default: all) — the consumer-group assignment
+  *  - `maxBytesPerTrigger` admission-control byte budget per micro-batch
+  *                      (default: unbounded) — bounds restart-after-
+  *                      backlog batches; split across partitions
+  *                      proportionally to backlog, clamped to record
+  *                      boundaries
   */
 class GraftTopicProvider extends TableProvider {
 
@@ -252,6 +362,11 @@ class GraftTopicProvider extends TableProvider {
       .getOrElse(0 until count)
     partitions.foreach(p => require(p >= 0 && p < count,
       s"graft-topic: partition $p outside [0, $count)"))
-    new GraftTopicTable(dir, topic, partitions)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"graft-topic: maxBytesPerTrigger must be positive, got $n")
+      n
+    }
+    new GraftTopicTable(dir, topic, partitions, maxBytes)
   }
 }

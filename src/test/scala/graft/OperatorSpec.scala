@@ -149,6 +149,42 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx_distinct tracks exact distinct within HLL tolerance") {
+    val approx = RelationalOps.approxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = RelationalOps.distinctCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, ex) <- exact) {
+      // default HLL++ rsd is 5%; 3σ plus small-cardinality slack — an
+      // implementation returning garbage (0, n, hash values) fails this
+      val tol = math.max(0.15 * ex, 5.0)
+      assert(math.abs(approx(k) - ex) <= tol,
+        s"$k: approx=${approx(k)} exact=$ex tolerance=$tol")
+    }
+  }
+
+  test("approx_percentiles sit at the right rank of each group's distribution") {
+    val byGroup = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted
+      }
+    val rows = AnalyticOps.approxPercentiles(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == byGroup.keySet)
+    for (r <- rows; (q, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+      val vals = byGroup(r.getString(0))
+      val est = r.getDouble(i + 1)
+      // rank test: the fraction of values ≤ the estimate must bracket the
+      // requested quantile (accuracy=10000 ⇒ rank error ≤ 1/10000, plus
+      // 1/n discretization because estimates are actual data points)
+      val frac = vals.count(_ <= est).toDouble / vals.length
+      val slack = 1.0 / 10000 + 1.0 / vals.length + 1e-9
+      assert(math.abs(frac - q) <= slack,
+        s"${r.getString(0)} q=$q est=$est frac=$frac n=${vals.length}")
+    }
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch-based ops (HLL distinct, t-digest percentiles) aren't

@@ -266,6 +266,63 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q2.stop()
   }
 
+  test("admission control: a restart backlog drains in multiple bounded batches (consumer.ex:68)") {
+    import spark.implicits._
+    val topicDir = tempDir("broker")
+    val ckpt = tempDir("ckpt")
+    val events = (1 to 200).map(i =>
+      RawEvent(i.toLong, ts(i % 60), i.toLong % 7, "view", 1.0, "{}"))
+    appendFixture(topicDir, "big", events) // whole backlog exists BEFORE the query starts
+    val totalBytes = (0 until graft.model.Tables.DefaultPartitionCount)
+      .map(p => graft.sources.GraftTopicLog.partitionFile(topicDir, "big", p))
+      .filter(_.exists).map(_.length).sum
+    assert(totalBytes > 0)
+    val cap = totalBytes / 6 + 1 // budget forces ≥~6 micro-batches
+
+    val q = graft.sources.EventSource.parseTopicEvents(
+      graft.sources.EventSource.streamTopic(spark, topicDir, "big",
+        maxBytesPerTrigger = Some(cap)))
+      .writeStream.format("memory").queryName("bounded_out")
+      .option("checkpointLocation", ckpt).start()
+    val progress = try {
+      q.processAllAvailable()
+      q.recentProgress.filter(_.numInputRows > 0)
+    } finally q.stop()
+
+    val out = spark.table("bounded_out")
+    // nothing lost, nothing duplicated: bounded offsets are still exact
+    // record boundaries, so every record parses and resumes cleanly
+    assert(out.count() == 200)
+    assert(out.select("event_id").as[Long].collect().sorted
+      .sameElements(events.map(_.event_id).sorted))
+    // the backlog really was admitted in bounded slices, not one batch
+    assert(progress.length > 1,
+      s"expected multiple bounded batches, got ${progress.length}")
+    assert(progress.map(_.numInputRows).max < 200)
+  }
+
+  test("record-boundary clamp: bounded offsets never split a record; tiny caps still progress") {
+    val topicDir = tempDir("broker")
+    appendFixture(topicDir, "clamp",
+      (1 to 5).map(i => RawEvent(i.toLong, ts(i), 3L, "view", 1.0, "{}")))
+    // all keys equal → one partition holds all 5 records
+    val part = graft.sources.GraftTopicLog.partitionFor("3", graft.model.Tables.DefaultPartitionCount)
+    val f = graft.sources.GraftTopicLog.partitionFile(topicDir, "clamp", part)
+    val lines = java.nio.file.Files.readAllLines(f.toPath)
+    assert(lines.size == 5)
+    val bounds = lines.toArray.map(_.asInstanceOf[String].getBytes("UTF-8").length + 1L)
+      .scanLeft(0L)(_ + _) // record boundaries: 0, b1, b1+b2, ...
+    // a cap inside record 3 clamps DOWN to the boundary after record 2
+    val midRecord3 = bounds(2) + 3
+    assert(graft.sources.GraftTopicLog.recordBoundaryAtMost(f, 0L, midRecord3) == bounds(2))
+    // a cap smaller than the first record rounds UP to one whole record
+    assert(graft.sources.GraftTopicLog.recordBoundaryAtMost(f, 0L, 2L) == bounds(1))
+    // a cap past EOF returns EOF
+    assert(graft.sources.GraftTopicLog.recordBoundaryAtMost(f, 0L, f.length() + 100) == f.length())
+    // starting mid-log behaves the same relative to `start`
+    assert(graft.sources.GraftTopicLog.recordBoundaryAtMost(f, bounds(1), bounds(1) + 1) == bounds(2))
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
