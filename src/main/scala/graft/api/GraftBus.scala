@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Tables.{Event, Meta}
 
+/** Result of a request-reply exchange (reference
+  * `lib/hivent/phoenix/channel_client.ex:196-224`): the reply payload's
+  * `status` field selects ok/error; no reply within the timeout is
+  * [[ReplyTimeout]]. */
+sealed trait ReplyResult
+case class ReplyOk(response: String) extends ReplyResult
+case class ReplyError(response: String) extends ReplyResult
+case object ReplyTimeout extends ReplyResult
+
 /** Migration facade for reference users: the public surface of
   * hivent/ex-hivent (`Hivent.emit`, `Hivent.Consumer`, `Hivent.Memory` —
   * reference `lib/hivent.ex:27`, `lib/hivent/consumer.ex:25`,
@@ -116,4 +125,69 @@ class GraftBus(spark: SparkSession, clientId: String = "graft",
   /** The dead-letter queue with source-queue tags (`consumer.ex:98-100`). */
   def deadLetters(): Seq[(Event, String)] =
     lock.synchronized { quarantined.toVector }
+
+  // ------------------------------------------------------- request-reply
+  /** Monotonic reply-correlation refs (`channel_client.ex:341-345` —
+    * `:make_ref` per push). */
+  private val refCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Waiters keyed by ref: the engine's rendition of the reference's
+    * per-ref reply subscription (`channel_client.ex:199-216` — subscribe
+    * a matcher on (topic, reply-event, ref), push, block with timeout,
+    * unsubscribe in `after`). */
+  private val pendingReplies =
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.concurrent.ArrayBlockingQueue[ReplyResult]]()
+
+  /** Topic responders — the test/interactive stand-in for the reference
+    * server's channel-side reply (`push_and_receive`'s counterparty).
+    * `Right(response)` replies ok; `Left(response)` replies error. */
+  private val responders =
+    new java.util.concurrent.ConcurrentHashMap[String, Event => Either[String, String]]()
+
+  def onRequest(topic: String)(handler: Event => Either[String, String]): Unit =
+    responders.put(topic, handler)
+
+  /** Deliver a reply for `ref` (server side). Returns false when nobody
+    * is waiting — the waiter timed out and unsubscribed, mirroring the
+    * reference's unsubscribe-in-`after`. */
+  def reply(ref: Long, result: Either[String, String]): Boolean = {
+    val q = pendingReplies.get(ref)
+    q != null && q.offer(result.fold(ReplyError.apply, ReplyOk.apply))
+  }
+
+  /** Push an event and block for its correlated reply
+    * (`channel_client.ex:196-224`): default timeout 5 s, hard max 60 s
+    * (the reference's `@default_timeout`/`@max_timeout`). The reply
+    * subscription is registered BEFORE the push (no lost-reply race) and
+    * always dropped afterwards. A registered [[onRequest]] responder for
+    * the topic runs asynchronously, like the server-side channel. */
+  def pushAndReceive(name: String, payload: String, version: Int,
+      timeoutMillis: Long = GraftBus.DefaultReplyTimeoutMillis,
+      cid: Option[String] = None, key: Option[String] = None): ReplyResult = {
+    val bounded = math.min(timeoutMillis, GraftBus.MaxReplyTimeoutMillis)
+    val ref = refCounter.incrementAndGet()
+    val waiter = new java.util.concurrent.ArrayBlockingQueue[ReplyResult](1)
+    pendingReplies.put(ref, waiter)
+    try {
+      val event = emit(name, payload, version, cid, key)
+      Option(responders.get(name)).foreach { handler =>
+        val t = new Thread(() => {
+          val res = try handler(event)
+          catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
+          reply(ref, res)
+        }, s"graft-responder-$ref")
+        t.setDaemon(true)
+        t.start()
+      }
+      val r = waiter.poll(bounded, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (r == null) ReplyTimeout else r
+    } finally pendingReplies.remove(ref)
+  }
+}
+
+object GraftBus {
+  /** `@default_timeout` / `@max_timeout` (`channel_client.ex:64-65`). */
+  val DefaultReplyTimeoutMillis: Long = 5000L
+  val MaxReplyTimeoutMillis: Long = 60000L
 }

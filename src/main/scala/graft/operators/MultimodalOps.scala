@@ -7,11 +7,16 @@ import graft.model.Tables
 
 /** Multimodal column plumbing (north-star extension — SURVEY.md §2.3):
   * image/audio/video travel as opaque `binary` columns with typed
-  * metadata alongside. The Spark-side mechanics — schema, batched
-  * per-partition decode, partition sizing — are real and tested; the
-  * actual codec call is STUBBED (no image/audio libraries in this
-  * environment) behind [[MultimodalOps.decodeStub]], which any real
-  * decoder with the same signature can replace.
+  * metadata alongside. Two tiers:
+  *
+  *  - `image_meta`: REAL decode — synthesized valid PNG/JPEG bytes
+  *    ([[synthPng]]/[[synthJpeg]]) parsed back by a pure-JVM header
+  *    parser ([[decodeImageMeta]]: PNG IHDR, JPEG SOF marker walk),
+  *    oracle-checked against independently derived metadata.
+  *  - `multimodal_meta`: the audio/video pipeline shape, where the codec
+  *    call is STUBBED (no ffmpeg-class libraries in this environment)
+  *    behind [[MultimodalOps.decodeStub]], which any real decoder with
+  *    the same signature can replace.
   *
   * Why mapPartitions: a decoder has per-call setup (codec init, model
   * load). Batching it per partition amortizes that setup exactly like a
@@ -67,8 +72,116 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- real image decode
+  /** One decoded image row: real metadata parsed from real header bytes. */
+  case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int,
+      n_bytes: Int)
+
+  case class ImageBytes(doc_id: Long, payload: Array[Byte])
+
+  /** Minimal VALID PNG: signature + IHDR (with real CRC32) + IEND. A
+    * header-reading decoder — this one, javax.imageio, `file` — sees a
+    * well-formed wxh 8-bit RGB image. */
+  private[graft] def synthPng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Minimal VALID JPEG header stream: SOI + JFIF APP0 + SOF0 (which
+    * carries the dimensions) + SOS (required by strict readers before
+    * they report metadata) + EOI. */
+  private[graft] def synthJpeg(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(Array(0xff, 0xe0, 0x00, 0x10,    // APP0, len 16
+      'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00,
+      0x00, 0x01, 0x00, 0x01, 0x00, 0x00).map(_.toByte))
+    val sof = java.nio.ByteBuffer.allocate(13)
+      .put(0xff.toByte).put(0xc0.toByte)       // SOF0 (baseline)
+      .putShort(11.toShort)                    // segment length
+      .put(8.toByte)                           // precision
+      .putShort(h.toShort).putShort(w.toShort) // lines, samples/line
+      .put(1.toByte)                           // 1 component (grayscale)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+    out.write(sof.array())
+    out.write(Array(0xff, 0xda, 0x00, 0x08,    // SOS, len 8, 1 component
+      0x01, 0x01, 0x00, 0x00, 0x3f, 0x00).map(_.toByte))
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** REAL pure-JVM header parse — PNG IHDR / JPEG SOF marker walk (the
+    * same reads javax.imageio does; no codec library needed for
+    * metadata). Returns (format, width, height); throws on bytes that
+    * are neither — a malformed payload must quarantine, not pass. */
+  private[graft] def decodeImageMeta(payload: Array[Byte]): (String, Int, Int) = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    if (payload.length >= 24 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+        payload(2) == 'N'.toByte && payload(3) == 'G'.toByte) {
+      // bytes 8-15 are the IHDR length+type; 16-23 its width/height
+      require(new String(payload, 12, 4, "US-ASCII") == "IHDR", "PNG without IHDR first")
+      ("png", buf.getInt(16), buf.getInt(20))
+    } else if (payload.length >= 4 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      // walk segments: marker(2) + big-endian length(2) covering payload
+      var i = 2
+      while (i + 4 <= payload.length) {
+        require((payload(i) & 0xff) == 0xff, f"bad JPEG marker at $i")
+        val marker = payload(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) { // a SOF
+          val h = ((payload(i + 5) & 0xff) << 8) | (payload(i + 6) & 0xff)
+          val w = ((payload(i + 7) & 0xff) << 8) | (payload(i + 8) & 0xff)
+          return ("jpeg", w, h)
+        }
+        i += 2 + (((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff))
+      }
+      throw new IllegalArgumentException("JPEG without SOF")
+    } else throw new IllegalArgumentException("unrecognized image payload")
+  }
+
+  /** Synthesized-image table: real PNG/JPEG bytes (alternating by
+    * doc_id) with data-derived dimensions — the binary-column shape a
+    * production pipeline carries, built without any image library. */
+  def imageTable(spark: SparkSession, sfDir: String): Dataset[ImageBytes] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = (((id % 640) + 1).toInt, ((id % 480) + 1).toInt)
+        ImageBytes(id, if (id % 2 == 0) synthPng(w, h) else synthJpeg(w, h))
+      })
+  }
+
+  /** Batched REAL decode over image payloads: mapPartitions parses each
+    * header (decoder init amortized per partition), yielding metadata the
+    * oracle can independently derive from doc_id — so a parser bug
+    * (endianness, offset, marker walk) fails the hash check. */
+  def imageMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, sfDir).mapPartitions(_.map { row =>
+      val (fmt, w, h) = decodeImageMeta(row.payload)
+      ImageMeta(row.doc_id, fmt, w, h, row.payload.length)
+    }).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "image_meta"      -> (imageMeta _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -80,5 +193,17 @@ object MultimodalOps {
         | CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
         | CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
         | CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // independently derives what the Spark side must RECOVER BY PARSING
+    // real PNG/JPEG bytes: dims from doc_id, n_bytes from the fixed
+    // header sizes (PNG: 8 sig + 25 IHDR + 12 IEND = 45; JPEG: 2 SOI +
+    // 18 APP0 + 13 SOF0 + 10 SOS + 2 EOI = 45). Any parser offset/
+    // endianness bug breaks the hash match.
+    "image_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        | CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        | CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+        | CAST(45 AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -102,4 +102,14 @@ object EventSource {
           "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"),
         java.util.Map.of("timestampFormat", TsFormat)).as("e"))
       .select(col("partition"), col("offset"), col("e.*"))
+
+  /** Canonical-schema parse of a bare `value` JSON column — the shared
+    * tail of every wire decode (topic log, MessagePack frames). */
+  def parseWireJson(records: DataFrame): DataFrame =
+    records.select(
+      from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"),
+        java.util.Map.of("timestampFormat", TsFormat)).as("e"))
+      .select(col("e.*"))
 }

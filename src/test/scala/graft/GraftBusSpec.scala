@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.api.GraftBus
+import graft.api.{GraftBus, ReplyError, ReplyOk, ReplyTimeout}
 
 /** Mirrors the reference's public-API tests: emitter enrichment
   * (`test/lib/emitter_test.exs:53-64`), memory store semantics
@@ -68,6 +68,37 @@ class GraftBusSpec extends AnyFunSuite with SparkTest {
     assert(!bus.include(col("meta.name") === "anything"))
     bus.clear() // idempotent on empty
     assert(bus.isEmpty)
+  }
+
+  test("push_and_receive: ok reply correlated by ref; request is published (channel_client.ex:196-224)") {
+    val bus = new GraftBus(spark)
+    bus.onRequest("search") { e =>
+      Right(s"""{"result": "found", "echo": ${e.payload}}""")
+    }
+    val r = bus.pushAndReceive("search", """{"query": "Elixir"}""", version = 1)
+    r match {
+      case ReplyOk(resp) =>
+        assert(resp.contains("\"found\""))
+        assert(resp.contains("\"Elixir\"")) // the reply saw the pushed payload
+      case other => fail(s"expected ok reply, got $other")
+    }
+    // the request event was published to the store like any emit
+    // (emitter_test.exs:66-72 — reply path returns the published event)
+    assert(bus.all().map(_.meta.name) == Seq("search"))
+    assert(bus.last().get.payload.contains("Elixir"))
+  }
+
+  test("push_and_receive: error replies and timeouts") {
+    val bus = new GraftBus(spark)
+    bus.onRequest("failing") { _ => Left("""{"reason": "nope"}""") }
+    bus.pushAndReceive("failing", "{}", 1) match {
+      case ReplyError(resp) => assert(resp.contains("nope"))
+      case other => fail(s"expected error reply, got $other")
+    }
+    // no responder for this topic → no reply arrives → timeout
+    assert(bus.pushAndReceive("unanswered", "{}", 1, timeoutMillis = 50L) == ReplyTimeout)
+    // a reply after the waiter gave up is dropped (unsubscribe-in-after)
+    assert(!bus.reply(999L, Right("late")))
   }
 
   test("store DF: partition derived from key within [0, partitionCount)") {

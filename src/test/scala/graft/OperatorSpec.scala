@@ -185,6 +185,29 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("image decode: synthesized PNG/JPEG headers parse back exactly; garbage quarantines") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (17, 300))) {
+      assert(MultimodalOps.decodeImageMeta(MultimodalOps.synthPng(w, h)) == ("png", w, h))
+      assert(MultimodalOps.decodeImageMeta(MultimodalOps.synthJpeg(w, h)) == ("jpeg", w, h))
+    }
+    // an independent JVM decoder agrees on the dimensions — the bytes
+    // are real images, not a private format
+    for ((bytes, w, h) <- Seq((MultimodalOps.synthPng(33, 44), 33, 44),
+        (MultimodalOps.synthJpeg(55, 66), 55, 66))) {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, "ImageIO recognized the format")
+      val r = readers.next()
+      r.setInput(in)
+      assert(r.getWidth(0) == w && r.getHeight(0) == h)
+      r.dispose(); in.close()
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeImageMeta(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch-based ops (HLL distinct, t-digest percentiles) aren't
