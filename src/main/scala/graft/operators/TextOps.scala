@@ -386,27 +386,41 @@ object TextOps {
   }
 
   /** Shared oracle CTE stack (normalized text → word-3-gram shingles →
-    * one-hash/k-pieces signature → 2×2 bands → candidate pairs),
-    * interpolated into every candidate-consuming oracle so the banding
-    * scheme can never drift between them. */
-  private def candCtesSql: String =
+    * seeded-hash/k-pieces signature → bands → candidate pairs). The
+    * signature and banding SQL is GENERATED from [[MinhashPieces]] /
+    * [[MinhashBands]] — the same constants the Scala pipeline reads — so
+    * the two sides of the oracle can never drift (round-4 regression:
+    * the Scala grid moved to 8/4×2 while a hand-written oracle stayed on
+    * the old 4/2×2). */
+  private def sigCtesSql: String = {
+    val hashedCols = (0 until MinhashHashes)
+      .map(i => s"md5('$i:' || sh) AS h$i").mkString(", ")
+    val sigCols = (0 until MinhashPieces).map { k =>
+      s"min(substr(h${k / 4}, ${(k % 4) * 8 + 1}, 8)) AS mh${k + 1}"
+    }.mkString(", ")
     s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
        |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
-       |hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
-       |sig AS (SELECT doc_id,
-       |  min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2,
-       |  min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4
-       | FROM hashed GROUP BY doc_id),
+       |hashed AS (SELECT doc_id, $hashedCols FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id, $sigCols
+       | FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  private def candCtesSql: String = {
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cat = (0 until MinhashRows)
+        .map(r => s"mh${b * MinhashRows + r + 1}").mkString(" || ")
+      s"SELECT doc_id, ${b + 1} AS band_no, md5($cat) AS bh FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""$sigCtesSql,
        |bands AS (
-       | SELECT doc_id, 1 AS band_no, md5(mh1 || mh2) AS bh FROM sig
-       | UNION ALL
-       | SELECT doc_id, 2 AS band_no, md5(mh3 || mh4) AS bh FROM sig),
+       | $bandSelects),
        |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** Shared oracle CTEs for the 28-bit token-hash TF featurizer
     * (mirrors [[tokenHashes]]). */
@@ -429,14 +443,9 @@ object TextOps {
         |  row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
         | FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "minhash_signature" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-        |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
-        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt)
-        |SELECT doc_id,
-        | min(substr(md5(sh), 1, 8)) AS mh1, min(substr(md5(sh), 9, 8)) AS mh2,
-        | min(substr(md5(sh), 17, 8)) AS mh3, min(substr(md5(sh), 25, 8)) AS mh4
-        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $sigCtesSql
+        |SELECT doc_id, ${(1 to MinhashPieces).map("mh" + _).mkString(", ")}
+        |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
