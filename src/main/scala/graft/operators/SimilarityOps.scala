@@ -101,22 +101,18 @@ object SimilarityOps {
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val bits = adaptiveBits(e.count())
-    val bandCols = (0 until NeardupBands).map { bandNo =>
-      val bucket = (0 until bits).map { bit =>
-        val p = bandNo * bits + bit
-        val plane = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
-        when(graft.functions.VectorFunctions.dot_product(col("v"), plane) > 0,
-          lit(1L << bit)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(bandNo).as("band_no"), bucket.cast("long").as("bh"))
-    }
     // sig feeds BOTH sides of the band self-join and unit is joined twice:
     // persisted EAGERLY (mirroring TextOps.candidatePairsFrom) so the
-    // 16×bits-dot-product signature projection and the normalization run
-    // once, not once per consuming branch — at 100 TB that is 2× of the
-    // dominant scan (round-3 verdict, What's wrong #4)
-    val sig = e.select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("vec_id"), col("b.band_no").as("band_no"), col("b.bh").as("bh"))
+    // bands×bits-dot-product signature projection and the normalization
+    // run once, not once per consuming branch — at 100 TB that is 2× of
+    // the dominant scan (round-3 verdict, What's wrong #4). All band
+    // buckets come from ONE fused HyperplaneBuckets loop: the literal-
+    // plane spelling put bands×bits×64 literal nodes in the plan, and
+    // analysis + per-plane codegen dominated the query's wall time.
+    val sig = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.hyperplane_buckets(
+          col("v"), NeardupBands, bits, 64)))
+      .select(col("vec_id"), col("pos").as("band_no"), col("col").as("bh"))
       .persist()
     sig.count()
     val cand = sig.as("a").join(sig.as("b"),
