@@ -104,13 +104,18 @@ object TextOps {
     * associative → map-side partial aggregation, one shuffle on doc_id
     * regardless of document size. */
   def minhashSignature(spark: SparkSession, sfDir: String): DataFrame =
-    signatureFrom(shingles(spark, sfDir, 3)).orderBy("doc_id")
+    signatureFrom(shingles(spark, sfDir, 3)).drop("sz").orderBy("doc_id")
 
   /** Signature from an (optionally pre-persisted) shingle DataFrame.
     * The min-aggregate is duplicate-insensitive, so feeding DISTINCT
     * shingles yields the identical signature — which lets `ngramJaccard`
     * reuse one persisted distinct-shingle base for signature, sizes, and
-    * intersection instead of rebuilding the shingle pipeline per stage. */
+    * intersection instead of rebuilding the shingle pipeline per stage.
+    *
+    * The same groupBy also carries the per-doc shingle count as `sz` —
+    * callers that need set sizes (ngramJaccard's |A|/|B|, fed distinct
+    * shingles) get them from THIS shuffle instead of aggregating the
+    * shingle base a second time; callers that don't, drop the column. */
   private def signatureFrom(sh: DataFrame): DataFrame = {
     // each seeded hash is computed ONCE in the projection; the per-piece
     // mins slice its chunks
@@ -119,18 +124,14 @@ object TextOps {
         md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i")): _*)
     val aggs = (0 until MinhashPieces).map { k =>
       min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh${k + 1}")
-    }
+    } :+ count(lit(1)).as("sz")
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band-bucket candidate pairs from a shingle DataFrame (unsorted —
-    * public queries add their own orderBy). The signature is persisted
-    * EAGERLY: the band self-join consumes it twice in one job, and a lazy
-    * cache would let both branches race to compute the full shingle
-    * pipeline before either populates it. */
-  private def candidatePairsFrom(sh: DataFrame): DataFrame = {
-    val sig = signatureFrom(sh).persist()
-    sig.count()
+  /** Band-bucket candidate pairs from a (pre-persisted) signature
+    * DataFrame — the band self-join consumes the signature twice in one
+    * job, so callers persist it first. */
+  private def candidatePairsFromSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { b =>
       val bh = md5(concat((0 until MinhashRows).map(r =>
         col(s"mh${b * MinhashRows + r + 1}")): _*))
@@ -145,6 +146,17 @@ object TextOps {
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** LSH band-bucket candidate pairs from a shingle DataFrame (unsorted —
+    * public queries add their own orderBy). The signature is persisted
+    * EAGERLY: the band self-join consumes it twice in one job, and a lazy
+    * cache would let both branches race to compute the full shingle
+    * pipeline before either populates it. */
+  private def candidatePairsFrom(sh: DataFrame): DataFrame = {
+    val sig = signatureFrom(sh).persist()
+    sig.count()
+    candidatePairsFromSig(sig)
   }
 
   /** LSH banding over the MinHash signature ([[MinhashBands]] bands ×
@@ -166,11 +178,27 @@ object TextOps {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val s3 = shingles(spark, sfDir, 3).distinct().persist()
     s3.count()
-    val sizes = s3.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = candidatePairsFrom(s3)
+    // ONE groupBy over the distinct-shingle base yields both the MinHash
+    // signature (candidate generation) and the exact set sizes `sz` — the
+    // previous separate sizes aggregation was a second full shuffle of s3
+    val sig = signatureFrom(s3).persist()
+    sig.count()
+    val sizes = sig.select(col("doc_id"), col("sz"))
+    val cand = candidatePairsFromSig(sig).persist()
+    cand.count()
+    // Candidates ≪ corpus at scale: semi-filter each side of the
+    // intersection join down to the docs that actually appear in a pair
+    // BEFORE the (doc, shingle) shuffle — without this the pair join
+    // shuffles the whole corpus-wide shingle set, which at 100 TB is the
+    // dominant cost. The candidate doc lists are broadcast (they are the
+    // LSH output, bounded by design).
+    val aDocs = cand.select(col("doc_a").as("doc_id")).distinct()
+    val bDocs = cand.select(col("doc_b").as("doc_id")).distinct()
+    val xs = s3.join(broadcast(aDocs), Seq("doc_id"), "left_semi")
+    val ys = s3.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
     val inter = cand
-      .join(s3.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(s3.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
+      .join(xs.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(ys.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -260,9 +288,17 @@ object TextOps {
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val cand = candidatePairsFrom(shinglesOf(base, 3)).persist()
     cand.count()
+    // Semi-filter the corpus-wide TF table down to docs that appear in a
+    // candidate pair before the sparse-dim join — same 100 TB argument as
+    // ngramJaccard: never shuffle the full corpus into a join whose left
+    // side is the (bounded) LSH candidate set.
+    val aDocs = cand.select(col("doc_a").as("doc_id")).distinct()
+    val bDocs = cand.select(col("doc_b").as("doc_id")).distinct()
+    val xs = tf.join(broadcast(aDocs), Seq("doc_id"), "left_semi")
+    val ys = tf.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
     val dots = cand
-      .join(tf.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(tf.as("y"), col("y.doc_id") === col("doc_b") && col("y.dim") === col("x.dim"))
+      .join(xs.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(ys.as("y"), col("y.doc_id") === col("doc_b") && col("y.dim") === col("x.dim"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
     // total over ALL candidate pairs: a pair sharing no dim (or with a
