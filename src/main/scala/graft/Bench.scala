@@ -74,8 +74,7 @@ object Bench {
     * fresh-JVM-per-query, which is the number a per-job cluster
     * deployment would actually see. */
   private def cleanup(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    graft.api.Caches.release(spark)
     System.gc()
   }
 }

@@ -24,10 +24,7 @@ object Verify {
       // queries may cache intermediates they reuse internally; don't let
       // cached blocks accumulate across the ~60-query run (blocking — the
       // async clearCache alone leaves blocks draining into the next query)
-      finally {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      }
+      finally graft.api.Caches.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

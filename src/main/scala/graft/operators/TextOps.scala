@@ -210,6 +210,61 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the LSH candidate-pair graph: every doc
+    * labeled with the MINIMUM doc_id reachable through near-dup pairs
+    * (singletons label themselves). This is the step an actual
+    * training-data dedup runs after pair generation — groups, not pairs,
+    * decide what is kept.
+    *
+    * Min-label propagation to fixpoint: each round joins the edge list
+    * with the current labels and takes the per-doc min — one shuffle per
+    * round, converging in O(component diameter) rounds. Near-dup
+    * components are shallow in practice (dup clusters, not social
+    * graphs), so the round count stays small at 100 TB; for adversarially
+    * deep graphs the same loop body accepts the large-star/small-star
+    * edge rewriting, which bounds rounds at O(log n). The only driver
+    * actions are one metadata-sized convergence count per round — labels
+    * only ever DECREASE, so `new < old` counts exactly the changed rows.
+    * Superseded per-round label caches are blocking-unpersisted inside
+    * the loop. */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = candidatePairsFrom(shingles(spark, sfDir, 3)).persist()
+    cand.count()
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    edges.count()
+    var labels = docs(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("group_id")).persist()
+    labels.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 100) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("group_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("group_id")).as("group_id"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("group_id", "old_group"), Seq("doc_id"))
+        .filter(col("group_id") < col("old_group")).count()
+      labels.unpersist(blocking = true)
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
+  /** Canonical keep-list from [[dedupGroups]]: one representative doc per
+    * component (the min-id member) with its component size — the rows a
+    * dedup pipeline keeps and the dup count it reports. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    dedupGroups(spark, sfDir)
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("group_sz"))
+      .select(col("group_id").as("doc_id"), col("group_sz"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- SimHash
   /** Word tokens hashed to 28 bits (first 7 md5 hex digits) — shared by
     * SimHash and the TF featurizer so the two can never drift apart. */
@@ -404,6 +459,8 @@ object TextOps {
     "dedup_fuzzy"         -> (dedupFuzzy _),
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_groups"        -> (dedupGroups _),
+    "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
     "simhash"             -> (simhash _),
     "tf_embedding"        -> (tfEmbedding _),
@@ -485,6 +542,27 @@ object TextOps {
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_groups" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r)
+        |SELECT doc_id, min(r) AS group_id FROM reach
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r),
+        |groups AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id)
+        |SELECT group_id AS doc_id, CAST(count(*) AS BIGINT) AS group_sz
+        |FROM groups GROUP BY group_id ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $candCtesSql,
         |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),

@@ -81,6 +81,30 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     pairs.unpersist()
   }
 
+  test("dedup_groups is a valid components labeling of the candidate-pair graph") {
+    val groups = TextOps.dedupGroups(spark, sf).cache()
+    val docs = graft.model.Tables.documents(spark, sf)
+    // total labeling: every doc appears exactly once
+    assert(groups.count() == docs.count())
+    assert(groups.select("doc_id").distinct().count() == docs.count())
+    // edge consistency: both ends of every candidate pair share a group
+    val pairs = TextOps.dedupMinhashPairs(spark, sf)
+    val ga = groups.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("group_id", "g_a")
+    val gb = groups.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("group_id", "g_b")
+    assert(pairs.join(ga, "doc_a").join(gb, "doc_b")
+      .filter(col("g_a") =!= col("g_b")).count() == 0)
+    // the label is a member of its own component and is the minimum:
+    // every group_id labels itself (canonical representative exists)
+    val roots = groups.select(col("group_id").as("doc_id")).distinct()
+    assert(roots.join(groups, "doc_id")
+      .filter(col("group_id") =!= col("doc_id")).count() == 0)
+    assert(groups.filter(col("group_id") > col("doc_id")).count() == 0)
+    // canonical keep-list partitions the corpus: component sizes sum to N
+    val canon = TextOps.dedupCanonical(spark, sf)
+    assert(canon.agg(sum("group_sz")).head().getLong(0) == docs.count())
+    groups.unpersist()
+  }
+
   test("quality score is bounded in [0,1]") {
     val q = TextOps.qualityScore(spark, sf)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
