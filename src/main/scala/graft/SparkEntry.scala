@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventOps.queries ++ RelationalOps.queries ++ AnalyticOps.queries ++
-      TextOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
+      TextOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventOps.oracles ++ RelationalOps.oracles ++ AnalyticOps.oracles ++
-      TextOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles
+      TextOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
+      PipelineOps.oracles
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Training-data pipeline ASSEMBLY operators (north-star extensions,
+  * SURVEY.md §2.3 family): the steps that turn a deduplicated corpus into
+  * a training set — deterministic stratified sampling, hash-based
+  * train/val/test splits, TF-IDF featurization, and fixed-budget sequence
+  * packing.
+  *
+  * Everything is hash-deterministic rather than RNG-based: at 100 TB a
+  * sample/split must be stable under task retries, re-runs, and
+  * repartitioning, so membership is a pure function of the row key
+  * (`md5(seed || doc_id)`), never `rand()`. That also makes every one of
+  * these oracle-checkable in DuckDB with the same expression.
+  */
+object PipelineOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** First 7 md5 hex digits of `seed:doc_id` as a bigint in [0, 2^28) —
+    * the same 28-bit construction as TextOps token hashes (fits i32 in
+    * both engines). */
+  private def keyHash(seed: String): Column =
+    expr(s"cast(conv(substring(md5(concat('$seed:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)")
+
+  private def keyHashSql(seed: String): String =
+    s"CAST(CAST('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 7) AS INTEGER) AS BIGINT)"
+
+  // ------------------------------------------------------------- sampling
+  /** Per-language keep-rates (percent). Downsamples the dominant
+    * languages — the standard corpus-rebalancing move. The SQL oracle is
+    * GENERATED from this map, so the two engines cannot drift. */
+  private[operators] val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 30, "zh" -> 50)
+  private val SampleDefaultRate = 80
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * `hash(doc_id) % 100 < rate(lang)`. A pure per-row filter — no
+    * shuffle, no RNG state, retry-stable, pushed down to the scan;
+    * at 100 TB this is a map-only pass. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(SampleDefaultRate): Column) {
+      case ((lang, r), other) => when(col("lang") === lang, lit(r)).otherwise(other)
+    }
+    docs(spark, sfDir)
+      .filter((keyHash("smp") % 100) < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- splits
+  /** Hash-based train/val/test assignment (900/50/50 per mille) with
+    * per-split counts — membership is a function of doc_id alone, so a
+    * doc never migrates between splits as the corpus grows (the property
+    * random splits lack). Aggregation output is 3 rows. */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = keyHash("spl") % 1000
+    docs(spark, sfDir)
+      .select(when(bucket < 900, "train").when(bucket < 950, "val")
+        .otherwise("test").as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
+  // -------------------------------------------------------------- TF-IDF
+  /** TF-IDF over the hashing-trick TF embedding: idf = ln((N+1)/(df+1))+1
+    * (smoothed), value = tf·idf. The document-frequency table is one row
+    * per dim (64 rows) — broadcast to the TF table, so the only shuffle
+    * is the TF groupBy itself; N arrives via a broadcast single-row
+    * aggregate, never a driver-side action. */
+  def tfidfEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = TextOps.tfUnsorted(spark, sfDir)
+    val df = tf.groupBy(col("dim")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), Seq("dim"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("dim"),
+        round(col("tf").cast("double") *
+          (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "dim")
+  }
+
+  // ------------------------------------------------------------- packing
+  val PackShards = 8
+  val PackBudget = 2048
+
+  /** Fixed-budget sequence packing (concat-and-chunk): docs are laid out
+    * in doc_id order and each doc joins the pack where its START offset
+    * falls — `pack = start_tokens div budget`. Packing runs WITHIN
+    * [[PackShards]] hash shards, not globally: a global running sum is a
+    * one-partition window (the classic scale killer), while per-shard
+    * windows parallelize freely — at 100 TB you set the shard count to
+    * the cluster's parallelism, and training never needed one global
+    * order anyway. pack_id = shard · 10^6 + pack keeps ids disjoint. */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("start_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("n_tokens"),
+        (col("shard").cast("long") * 1000000L +
+          expr(s"start_tokens div ${PackBudget}L")).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "dataset_split"     -> (datasetSplit _),
+    "tfidf_embedding"   -> (tfidfEmbedding _),
+    "sequence_pack"     -> (sequencePack _))
+
+  /** Shared TF CTE text lives in TextOps (tfCtesSql); the sampling CASE
+    * and packing constants are generated from the Scala values above. */
+  val oracles: Map[String, String] = {
+    val rateCase = SampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $SampleDefaultRate END")
+    Map(
+      "sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+          |WHERE ${keyHashSql("smp")} % 100 < $rateCase
+          |ORDER BY doc_id""".stripMargin,
+      "dataset_split" ->
+        s"""SELECT CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+          |  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs
+          |FROM (SELECT ${keyHashSql("spl")} % 1000 AS b FROM documents) t
+          |GROUP BY split ORDER BY split""".stripMargin,
+      "tfidf_embedding" ->
+        s"""WITH ${TextOps.tfCtesSql},
+          |df AS (SELECT dim, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY dim),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+          |SELECT t.doc_id, t.dim,
+          | round(CAST(t.tf AS DOUBLE) *
+          |  (ln(CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+          |FROM tf t JOIN df USING (dim) CROSS JOIN n
+          |ORDER BY doc_id, dim""".stripMargin,
+      "sequence_pack" ->
+        s"""SELECT doc_id, shard, n_tokens,
+          | shard * 1000000 + (start_tokens // $PackBudget) AS pack_id
+          |FROM (
+          | SELECT doc_id, doc_id % $PackShards AS shard,
+          |  CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(sum(CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+          |   OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tokens
+          | FROM documents) t
+          |ORDER BY doc_id""".stripMargin)
+  }
+}

@@ -309,7 +309,7 @@ object TextOps {
     * 100 TB: one explode + one groupBy, integer-exact, no vocabulary
     * broadcast. Long format (doc_id, dim, tf) — the sparse layout
     * downstream ops join on. */
-  private def tfUnsorted(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def tfUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     tfOf(normed(spark, sfDir))
 
   private def tfOf(normDf: DataFrame): DataFrame =
@@ -517,7 +517,7 @@ object TextOps {
 
   /** Shared oracle CTEs for the 28-bit token-hash TF featurizer
     * (mirrors [[tokenHashes]]). */
-  private val tfCtesSql: String =
+  private[operators] val tfCtesSql: String =
     """tok AS (
       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
       |tf AS MATERIALIZED (SELECT doc_id,

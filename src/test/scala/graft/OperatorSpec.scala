@@ -105,6 +105,39 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     groups.unpersist()
   }
 
+  test("pipeline assembly ops: sample is stratified, split partitions, packs respect the budget") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val n = docs.count()
+    // deterministic sample: re-running yields byte-identical membership
+    val s1 = PipelineOps.sampleStratified(spark, sf)
+    assert(s1.except(PipelineOps.sampleStratified(spark, sf)).count() == 0)
+    // en is downsampled harder than the default-rate languages
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    val deTotal = docs.filter(col("lang") === "de").count().toDouble
+    val deKept = s1.filter(col("lang") === "de").count().toDouble
+    assert(enKept / enTotal < deKept / deTotal)
+    // split covers every doc exactly once and is ~900/50/50
+    val split = PipelineOps.datasetSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == n)
+    assert(split("train") > split("val") && split("train") > split("test"))
+    // packing: start offsets within a pack stay under the budget, and
+    // every pack is a contiguous doc_id run within its shard
+    val packed = PipelineOps.sequencePack(spark, sf).cache()
+    assert(packed.count() == n)
+    val perPack = packed.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("m"))
+    // a pack only overflows by (at most) the tokens of its last member
+    val maxDoc = packed.agg(max("n_tokens")).head().getLong(0)
+    assert(perPack.filter(col("total") > PipelineOps.PackBudget + maxDoc).count() == 0)
+    // tfidf: strictly positive, one row per (doc, dim) of the TF table
+    val tfidf = PipelineOps.tfidfEmbedding(spark, sf)
+    assert(tfidf.filter(col("tfidf") <= 0).count() == 0)
+    assert(tfidf.groupBy("doc_id", "dim").count().filter(col("count") > 1).count() == 0)
+    packed.unpersist()
+  }
+
   test("quality score is bounded in [0,1]") {
     val q = TextOps.qualityScore(spark, sf)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
