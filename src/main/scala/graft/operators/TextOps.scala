@@ -227,15 +227,21 @@ object TextOps {
     * only ever DECREASE, so `new < old` counts exactly the changed rows.
     * Superseded per-round label caches are blocking-unpersisted inside
     * the loop. */
-  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+  private def dedupGroupsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = candidatePairsFrom(shingles(spark, sfDir, 3)).persist()
     cand.count()
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     edges.count()
-    var labels = docs(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("group_id")).persist()
+    // Iterate ONLY over docs that touch an edge: singletons can never
+    // change label, and in a deduplicated corpus they are the vast
+    // majority — the fixpoint loop runs on the (small) pair subgraph,
+    // not the whole corpus, and the untouched docs join back as
+    // themselves at the end. `edges` holds both directions, so `src`
+    // alone covers every endpoint.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id")).persist()
     labels.count()
     var changed = 1L
     var rounds = 0
@@ -252,14 +258,19 @@ object TextOps {
       labels = next
       rounds += 1
     }
-    labels.orderBy("doc_id")
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("group_id", "g"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("g"), col("doc_id")).as("group_id"))
   }
+
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    dedupGroupsUnsorted(spark, sfDir).orderBy("doc_id")
 
   /** Canonical keep-list from [[dedupGroups]]: one representative doc per
     * component (the min-id member) with its component size — the rows a
     * dedup pipeline keeps and the dup count it reports. */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame =
-    dedupGroups(spark, sfDir)
+    dedupGroupsUnsorted(spark, sfDir)
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("group_sz"))
       .select(col("group_id").as("doc_id"), col("group_sz"))
