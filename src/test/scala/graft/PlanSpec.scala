@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PipelineOps, RelationalOps, SimilarityOps, TextOps}
+
+/** Physical-plan shape guards — the scale contract as assertions.
+  *
+  * CORRECTNESS is gated by the DuckDB oracle; these tests gate the plan
+  * PROPERTIES that make the same queries viable at 100 TB (broadcast
+  * stays broadcast, map-only stays shuffle-free, windows stay
+  * partitioned, aggregation stays partial). A regression here wouldn't
+  * flip a single output row — it would flip the cost model, which no
+  * row-level check can see. Plans are inspected pre-execution
+  * (`executedPlan` under AQE still exposes exchanges and join modes).
+  */
+class PlanSpec extends AnyFunSuite with SparkTest {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def exchanges(p: String): Int = "(?m)^.*\\bExchange\\b".r.findAllIn(p).size
+
+  test("join_broadcast builds a broadcast relation, never a shuffle join") {
+    val p = plan(RelationalOps.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sample_stratified is map-only: the only exchange is the presentation sort") {
+    val p = plan(PipelineOps.sampleStratified(spark, sf))
+    assert(exchanges(p) == 1, s"expected 1 exchange, plan:\n$p")
+    assert(p.contains("rangepartitioning"))
+  }
+
+  test("sequence_pack windows are partitioned by shard, never one global partition") {
+    val p = plan(PipelineOps.sequencePack(spark, sf))
+    // the running-sum window must carry a PARTITION BY (shard) — a global
+    // window shows windowspecdefinition(doc_id ASC ...) with no partition
+    // and collapses all rows into a single task at scale
+    assert("windowspecdefinition\\(shard#\\d+L, doc_id".r.findFirstIn(p).isDefined,
+      s"window not partitioned by shard:\n$p")
+  }
+
+  test("q1_agg aggregates map-side before the shuffle (partial_sum)") {
+    val p = plan(RelationalOps.q1Agg(spark, sf))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("the dedup/similarity family never degenerates to a cartesian product") {
+    Seq[DataFrame](
+      TextOps.dedupMinhashPairs(spark, sf),
+      TextOps.ngramJaccard(spark, sf),
+      SimilarityOps.embeddingNeardup(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"),
+          s"cartesian product in:\n${p.linesIterator.take(5).mkString("\n")}")
+      }
+  }
+
+  test("topk_similarity scans without any pre-aggregation shuffle of the corpus") {
+    val p = plan(SimilarityOps.topkSimilarity(spark, sf))
+    // scan → project(dot) → top-k: the only exchanges are the final
+    // ordering/limit, never a hash repartition of the embeddings table
+    assert(!p.contains("hashpartitioning"), s"unexpected hash shuffle:\n$p")
+  }
+}
