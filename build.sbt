@@ -4,6 +4,11 @@ ThisBuild / version := "0.1.0"
 // JSON; sbt's "[success] Total time..." trailer printed after main
 // returns broke that parse three rounds running ("parsed": null).
 Global / showSuccess := false
+// Forked `run` output normally passes through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is what kept the
+// bench JSON unparsable even after showSuccess was disabled. Route the
+// forked process's stdout/stderr straight to the terminal instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "exhiventspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -25,7 +25,7 @@ object Bench {
       val d = new java.io.File(sib, "sf0.001")
       if (d.isDirectory) d.toString else sfDir
     }
-    Seq("limit_offset", "sessionize", "ngram_jaccard",
+    Seq("limit_offset", "sessionize", "ngram_jaccard", "dedup_canonical",
         "doc_embed_similarity", "embedding_neardup", "ann_lsh")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
