@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives shared by the dedup pipelines.
+  *
+  * A near-dup pipeline's last step is graph-shaped: candidate PAIRS from
+  * LSH banding (text shingles or embedding hyperplanes) must collapse
+  * into GROUPS before a keep-list can be cut. Both `dedup_groups` (text)
+  * and `embed_dedup_groups` (vectors) funnel into this one component
+  * finder.
+  */
+object GraphOps {
+
+  /** Connected components over an undirected pair list: every node that
+    * appears in `pairs` labeled with the MINIMUM node id reachable from
+    * it. Returns (node_id, group_id); nodes absent from `pairs` are the
+    * caller's to label (they are singletons — joining the full corpus
+    * through here would shuffle it for nothing).
+    *
+    * Min-label propagation with pointer doubling to fixpoint: each round
+    * (a) joins the edge list with the current labels and takes the
+    * per-node min, then (b) path-halves — relabels every node through
+    * its label's own label (`label(d) := label(label(d))`, always ≤ the
+    * current label because labels start as self and only decrease, and
+    * always inside the component because labels only travel along
+    * edges). (a) alone converges in O(component diameter) rounds at a
+    * FIXED per-round shuffle + job-launch cost, which is exactly what a
+    * long dup chain turns into a crawl; (b) compresses paths
+    * geometrically, so the loop converges in O(log diameter) rounds on
+    * any graph shape. The only driver actions are one metadata-sized
+    * convergence count per round — labels only ever DECREASE, so
+    * `new < old` counts exactly the changed rows.
+    *
+    * Each round's labels are `localCheckpoint(eager=true)`d, NOT merely
+    * persisted: an iterative DataFrame loop otherwise nests every prior
+    * round's logical plan inside the next (twice here, via the
+    * self-join), so the ANALYZED tree grows exponentially and Catalyst's
+    * analyze/optimize/cache-match time — not the tiny shuffles —
+    * dominates (round-6 bench: 56.7 s for a 3-round loop over ~900 label
+    * rows). Checkpointing truncates the lineage to a leaf LogicalRDD,
+    * making per-round plan size constant; on a real cluster with
+    * lineage-reliability requirements the same call site takes
+    * `checkpoint()` to HDFS instead. Superseded checkpoint blocks are
+    * metadata-sized; the harness's per-query cache sweep
+    * (graft.api.Caches.release) reclaims them.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Both directions AND self-loops in ONE scan of the (possibly
+    // expensive, likely unpersisted) pair pipeline — a union of selects
+    // would run it per branch. Self-loops make the per-node min include
+    // the node's OWN current label, so each round is one join+aggregate
+    // with no union of the label set into itself (a `unionByName` whose
+    // branches share attribute ids — one side checkpointed, the other
+    // derived from the same labels frame — trips Catalyst's Union
+    // constraint rewrite).
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")),
+        struct(col(aCol).cast("long").as("src"), col(aCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .persist()
+    edges.count()
+    // self-loops put every endpoint in both `src` and `dst`
+    var labels = edges.select(col("src").as("node_id")).distinct()
+      .withColumn("group_id", col("node_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 100) {
+      val hop = edges.join(labels, edges("src") === labels("node_id"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(min(col("group_id")).as("group_id"))
+      // pointer doubling: jump through the label's own label (pg ≤ the
+      // current label because labels start as self and only decrease);
+      // left_outer because a component-min label labels itself. The two
+      // `hop` branches share one shuffle via ReuseExchange.
+      val next = hop.as("l")
+        .join(hop.select(col("node_id").as("pid"), col("group_id").as("pg")).as("p"),
+          col("l.group_id") === col("pid"), "left_outer")
+        .select(col("l.node_id").as("node_id"),
+          coalesce(col("pg"), col("l.group_id")).as("group_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("group_id", "old_group"), Seq("node_id"))
+        .filter(col("group_id") < col("old_group")).count()
+      labels = next
+      rounds += 1
+    }
+    // labels is a checkpointed leaf — it no longer references edges
+    edges.unpersist(blocking = true)
+    labels
+  }
+}

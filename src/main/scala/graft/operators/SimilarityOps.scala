@@ -98,7 +98,13 @@ object SimilarityOps {
     * recalled. The DuckDB oracle states the identical grid, bit rule and
     * ladder, so the result is deterministic and hash-checked.
     */
-  def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    neardupPairsUnsorted(spark, sfDir).orderBy("vec_a", "vec_b")
+
+  /** The near-dup pair pipeline behind [[embeddingNeardup]] (unsorted —
+    * public queries add their own orderBy), also the edge list for
+    * [[embedDedupGroups]]. */
+  private def neardupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val bits = adaptiveBits(e.count())
     // sig feeds BOTH sides of the band self-join and unit is joined twice:
@@ -130,7 +136,24 @@ object SimilarityOps {
       .join(unit.as("ub"), col("ub.vec_id") === col("vec_b"))
       .select(col("vec_a"), col("vec_b"), round(dot("ua.u", "ub.u"), 6).as("cos"))
       .filter(col("cos") >= 0.4)
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding-side dedup groups: connected components over the near-dup
+    * pair graph ([[embeddingNeardup]]'s pairs as edges), every vector
+    * labeled with the min vec_id reachable through cosine-≥0.4 links —
+    * the grouping step a training pipeline runs before cutting a
+    * keep-list from an embedding index. The component finder
+    * ([[GraphOps.connectedComponents]], shared with the text-side
+    * `dedup_groups`) iterates only over edge-touched vectors; the
+    * untouched majority join back as singletons here. */
+  def embedDedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = neardupPairsUnsorted(spark, sfDir).select("vec_a", "vec_b")
+    val labels = GraphOps.connectedComponents(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("node_id", "vec_id")
+    vecs(spark, sfDir).select(col("vec_id"))
+      .join(labels.withColumnRenamed("group_id", "g"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("g"), col("vec_id")).as("group_id"))
+      .orderBy("vec_id")
   }
 
   /** Deterministic pseudo-random ±1 hyperplane components: md5-seeded by
@@ -209,15 +232,53 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_norms"       -> (embedNorms _),
-    "topk_similarity"   -> (topkSimilarity _),
-    "embedding_neardup" -> (embeddingNeardup _),
-    "ann_lsh"           -> (annLsh _),
-    "ann_ivf"           -> (annIvf _))
+    "embed_norms"        -> (embedNorms _),
+    "topk_similarity"    -> (topkSimilarity _),
+    "embedding_neardup"  -> (embeddingNeardup _),
+    "embed_dedup_groups" -> (embedDedupGroups _),
+    "ann_lsh"            -> (annLsh _),
+    "ann_ivf"            -> (annIvf _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Shared oracle CTE stack for the near-dup grid, ending at `pairs` —
+    * states the IDENTICAL LSH grid as the Scala side: 16 bands ×
+    * adaptiveBits(n) md5-seeded ±1 hyperplane bits (plane index =
+    * band*bits+bit), candidates from the band-bucket self-join, exact
+    * re-score on unit vectors. MATERIALIZED because DuckDB re-inlines
+    * multiply-referenced CTEs (sig is referenced twice, pairs twice in
+    * the components oracle). Consumed by `embedding_neardup` and the
+    * recursive-CTE `embed_dedup_groups`. */
+  private val neardupCtesSql: String =
+    s"""v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+      |n AS (SELECT count(*) AS n FROM v),
+      |r AS (SELECT coalesce(min(rr) FILTER (WHERE 16 * CAST(pow(2, rr) AS BIGINT) >= n.n), 24) AS bits
+      |      FROM (SELECT unnest(generate_series(1, 24)) AS rr) s, n),
+      |pl AS MATERIALIZED (
+      | SELECT b.band_no, t.bit, dd.d,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(b.band_no * r.bits + t.bit AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 1
+      |   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+      | FROM (SELECT unnest(generate_series(0, 15)) AS band_no) b, r,
+      |      (SELECT unnest(generate_series(0, 23)) AS bit) t,
+      |      (SELECT unnest(generate_series(0, 63)) AS d) dd
+      | WHERE t.bit < r.bits),
+      |planevecs AS MATERIALIZED (
+      | SELECT band_no, bit, list(s ORDER BY d) AS pvec FROM pl GROUP BY band_no, bit),
+      |sig AS MATERIALIZED (
+      | SELECT vec_id, band_no,
+      |  CAST(sum(CASE WHEN list_dot_product(v, pvec) > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS bh
+      | FROM v, planevecs GROUP BY vec_id, band_no),
+      |cand AS MATERIALIZED (
+      | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      | FROM sig a JOIN sig b ON a.band_no = b.band_no AND a.bh = b.bh AND a.vec_id < b.vec_id),
+      |u AS MATERIALIZED (
+      | SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM v),
+      |pairs AS MATERIALIZED (
+      | SELECT c.vec_a, c.vec_b, round(list_dot_product(a.u, b.u), 6) AS cos
+      | FROM cand c JOIN u a ON a.vec_id = c.vec_a JOIN u b ON b.vec_id = c.vec_b
+      | WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "embed_norms" ->
@@ -231,39 +292,19 @@ object SimilarityOps {
         |SELECT vec_id, round(${cosSql("v", "pv")}, 6) AS cos
         |FROM v, p WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    // States the IDENTICAL LSH grid as the Scala side: 16 bands ×
-    // adaptiveBits(n) md5-seeded ±1 hyperplane bits (plane index =
-    // band*bits+bit), candidates from the band-bucket self-join, exact
-    // re-score on unit vectors. MATERIALIZED because DuckDB re-inlines
-    // multiply-referenced CTEs (sig is referenced twice).
     "embedding_neardup" ->
-      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
-        |n AS (SELECT count(*) AS n FROM v),
-        |r AS (SELECT coalesce(min(rr) FILTER (WHERE 16 * CAST(pow(2, rr) AS BIGINT) >= n.n), 24) AS bits
-        |      FROM (SELECT unnest(generate_series(1, 24)) AS rr) s, n),
-        |pl AS MATERIALIZED (
-        | SELECT b.band_no, t.bit, dd.d,
-        |  CASE WHEN CAST('0x' || substr(md5(CAST(b.band_no * r.bits + t.bit AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 1
-        |   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
-        | FROM (SELECT unnest(generate_series(0, 15)) AS band_no) b, r,
-        |      (SELECT unnest(generate_series(0, 23)) AS bit) t,
-        |      (SELECT unnest(generate_series(0, 63)) AS d) dd
-        | WHERE t.bit < r.bits),
-        |planevecs AS MATERIALIZED (
-        | SELECT band_no, bit, list(s ORDER BY d) AS pvec FROM pl GROUP BY band_no, bit),
-        |sig AS MATERIALIZED (
-        | SELECT vec_id, band_no,
-        |  CAST(sum(CASE WHEN list_dot_product(v, pvec) > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS bh
-        | FROM v, planevecs GROUP BY vec_id, band_no),
-        |cand AS MATERIALIZED (
-        | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        | FROM sig a JOIN sig b ON a.band_no = b.band_no AND a.bh = b.bh AND a.vec_id < b.vec_id),
-        |u AS MATERIALIZED (
-        | SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM v)
-        |SELECT c.vec_a, c.vec_b, round(list_dot_product(a.u, b.u), 6) AS cos
-        |FROM cand c JOIN u a ON a.vec_id = c.vec_a JOIN u b ON b.vec_id = c.vec_b
-        |WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH $neardupCtesSql
+        |SELECT vec_a, vec_b, cos FROM pairs ORDER BY vec_a, vec_b""".stripMargin,
+    "embed_dedup_groups" ->
+      s"""WITH RECURSIVE $neardupCtesSql,
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        | UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(vec_id, rt) AS (
+        | SELECT vec_id, vec_id FROM embeddings
+        | UNION
+        | SELECT t.vec_id, e.dst FROM reach t JOIN edges e ON e.src = t.rt)
+        |SELECT vec_id, min(rt) AS group_id FROM reach
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |pl AS (

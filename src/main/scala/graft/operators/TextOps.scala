@@ -214,73 +214,16 @@ object TextOps {
     * labeled with the MINIMUM doc_id reachable through near-dup pairs
     * (singletons label themselves). This is the step an actual
     * training-data dedup runs after pair generation — groups, not pairs,
-    * decide what is kept.
-    *
-    * Min-label propagation with pointer doubling to fixpoint: each round
-    * (a) joins the edge list with the current labels and takes the
-    * per-doc min, then (b) path-halves — relabels every doc through its
-    * label's own label (`label(d) := label(label(d))`, always ≤ the
-    * current label because labels start as self and only decrease, and
-    * always inside the component because labels only travel along
-    * edges). (a) alone converges in O(component diameter) rounds at a
-    * FIXED per-round shuffle + job-launch cost, which is exactly what a
-    * long dup chain turns into a 50-round crawl (round-6 bench:
-    * dedup_canonical 56.7 s); (b) compresses paths geometrically, so the
-    * loop converges in O(log diameter) rounds on any graph shape. The
-    * only driver actions are one metadata-sized convergence count per
-    * round — labels only ever DECREASE, so `new < old` counts exactly
-    * the changed rows.
-    *
-    * Each round's labels are `localCheckpoint(eager=true)`d, NOT merely
-    * persisted: an iterative DataFrame loop otherwise nests every prior
-    * round's logical plan inside the next (twice here, via the
-    * self-join), so the ANALYZED tree grows exponentially and
-    * Catalyst's analyze/optimize/cache-match time — not the tiny
-    * shuffles — dominates (round-6 bench: 56.7 s for a 3-round loop over
-    * ~900 label rows). Checkpointing truncates the lineage to a leaf
-    * LogicalRDD, making per-round plan size constant; on a real cluster
-    * with lineage-reliability requirements the same call site takes
-    * `checkpoint()` to HDFS instead. */
+    * decide what is kept. The fixpoint loop itself lives in
+    * [[GraphOps.connectedComponents]] (shared with the embedding-side
+    * `embed_dedup_groups`): it runs ONLY over docs that touch an edge —
+    * singletons can never change label, and in a deduplicated corpus
+    * they are the vast majority — and the untouched docs join back as
+    * themselves here. */
   private def dedupGroupsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = candidatePairsFrom(shingles(spark, sfDir, 3)).persist()
-    cand.count()
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    edges.count()
-    // Iterate ONLY over docs that touch an edge: singletons can never
-    // change label, and in a deduplicated corpus they are the vast
-    // majority — the fixpoint loop runs on the (small) pair subgraph,
-    // not the whole corpus, and the untouched docs join back as
-    // themselves at the end. `edges` holds both directions, so `src`
-    // alone covers every endpoint.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 100) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("group_id"))
-      val hop = labels.unionByName(prop)
-        .groupBy(col("doc_id")).agg(min(col("group_id")).as("group_id"))
-      // pointer doubling: jump through the label's own label (pg ≤ the
-      // current label because labels start as self and only decrease);
-      // left_outer because a component-min label labels itself. The two
-      // `hop` branches share one shuffle via ReuseExchange.
-      val next = hop.as("l")
-        .join(hop.select(col("doc_id").as("pid"), col("group_id").as("pg")).as("p"),
-          col("l.group_id") === col("pid"), "left_outer")
-        .select(col("l.doc_id").as("doc_id"),
-          coalesce(col("pg"), col("l.group_id")).as("group_id"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("group_id", "old_group"), Seq("doc_id"))
-        .filter(col("group_id") < col("old_group")).count()
-      // superseded checkpoint blocks are metadata-sized; the harness's
-      // per-query cache sweep (Caches.release) reclaims them
-      labels = next
-      rounds += 1
-    }
+    val cand = candidatePairsFrom(shingles(spark, sfDir, 3))
+    val labels = GraphOps.connectedComponents(cand, "doc_a", "doc_b")
+      .withColumnRenamed("node_id", "doc_id")
     docs(spark, sfDir).select(col("doc_id"))
       .join(labels.withColumnRenamed("group_id", "g"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("g"), col("doc_id")).as("group_id"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Component-finder semantics on constructed graphs — shapes the
+  * LSH-candidate data can't be relied on to produce (deep chains, many
+  * disjoint components), exercising the pointer-doubling fixpoint beyond
+  * what the oracle-checked dedup queries cover. */
+class GraphOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 200-deep chain collapses to one min-labeled component") {
+    // path 0-1-2-...-200: diameter 200 — linear propagation would need
+    // 200 rounds; the doubling loop must still land every node on 0
+    // within its 100-round cap
+    val labels = cc((0L until 200L).map(i => (i, i + 1)))
+    assert(labels.size == 201)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("disjoint components each take their own min label") {
+    val labels = cc(Seq((10L, 11L), (11L, 12L), (30L, 31L), (50L, 51L), (51L, 50L)))
+    assert(labels == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      30L -> 30L, 31L -> 30L,
+      50L -> 50L, 51L -> 50L))
+  }
+
+  test("star and cycle shapes: label = component min regardless of edge direction") {
+    // star centered at 99 with lower-id leaves, plus a 4-cycle
+    val star = Seq((99L, 5L), (99L, 7L), (99L, 3L))
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    val labels = cc(star ++ cycle)
+    assert(Seq(99L, 5L, 7L, 3L).forall(labels(_) == 3L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(labels(_) == 20L))
+  }
+
+  test("empty pair list yields empty labels (degenerate input)") {
+    import spark.implicits._
+    val labels = GraphOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(labels.count() == 0)
+  }
+
+  test("text and embedding dedup groups agree with a direct per-row check") {
+    // every group member must share its group with the min member, and
+    // the min member labels itself
+    val g = graft.operators.SimilarityOps.embedDedupGroups(spark, sf)
+    val byGroup = g.groupBy(col("group_id")).agg(min(col("vec_id")).as("mn"))
+    assert(byGroup.filter(col("group_id") =!= col("mn")).count() == 0)
+  }
+}
