@@ -261,7 +261,10 @@ object TextOps {
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)").as("hv"))
 
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashUnsorted(spark, sfDir).orderBy("doc_id")
+
+  private def simhashUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val hashed = tokenHashes(spark, sfDir)
     // one aggregation pass: 28 ±1-vote sums as separate aggregate
     // expressions (all codegen'd; single shuffle on doc_id) instead of a
@@ -277,7 +280,45 @@ object TextOps {
     hashed.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.cast("long").as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash bands: 4 bands × 7 bits over the 28-bit signature. */
+  private val SimhashBands = 4
+  private val SimhashBandBits = 7
+  /** Near-dup Hamming bound. With ≤ [[SimhashHammingMax]] differing bits
+    * and [[SimhashBands]] bands, pigeonhole leaves at least one band
+    * intact — so the band-bucket join is LOSSLESS for this bound: the
+    * banded plan returns exactly the pairs a quadratic scan would. */
+  private val SimhashHammingMax = SimhashBands - 1
+
+  /** SimHash near-duplicate pairs: Hamming distance ≤ 3 over the 28-bit
+    * signature. The scale path is the same candidate-generation shape as
+    * MinHash-LSH — a band-bucket equi-join (4 bands × 7 bits), then an
+    * exact `bit_count(xor)` filter on only the candidates — but here the
+    * banding loses NOTHING (see [[SimhashHammingMax]]), so the oracle
+    * can state the identical banded plan and the result is still the
+    * exact Hamming ball. One signature pass, one self-join on band
+    * buckets, never an all-pairs comparison. */
+  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    // sig feeds both sides of the band self-join: persist EAGERLY
+    // (mirroring candidatePairsFrom) so the token pipeline runs once
+    val sig = simhashUnsorted(spark, sfDir).persist()
+    sig.count()
+    val bandCols = (0 until SimhashBands).map { b =>
+      expr(s"(simhash div ${1L << (SimhashBandBits * b)}L) % ${1 << SimhashBandBits}")
+    }
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band_no"), col("col").as("bh"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashHammingMax)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------- featurization
@@ -440,6 +481,7 @@ object TextOps {
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
     "simhash"             -> (simhash _),
+    "simhash_neardup"     -> (simhashNeardup _),
     "tf_embedding"        -> (tfEmbedding _),
     "doc_embed_similarity" -> (docEmbedSimilarity _),
     "text_stats"          -> (textStats _),
@@ -501,6 +543,22 @@ object TextOps {
       |  CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
       |  count(*) AS tf FROM tok GROUP BY doc_id, dim)""".stripMargin
 
+  /** Shared oracle CTE stack for the 28-bit SimHash signature (mirrors
+    * [[simhashUnsorted]]); ends at `shsig` (doc_id, simhash). Declared
+    * before [[oracles]] — object-init order. */
+  private val simhashCtesSql: String =
+    """tok AS (
+      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+      |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) AS hv FROM tok),
+      |bitdefs AS (SELECT unnest(generate_series(0, 27)) AS b),
+      |bits AS (
+      | SELECT doc_id, b, CAST(pow(2, b) AS BIGINT) AS p,
+      |  sum(CASE WHEN (hv // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      | FROM h, bitdefs GROUP BY doc_id, b),
+      |shsig AS MATERIALIZED (
+      | SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+      | FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, content_hash, lang, n_chars FROM (
@@ -557,16 +615,24 @@ object TextOps {
         | JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
     "simhash" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
-        |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) AS hv FROM tok),
-        |bitdefs AS (SELECT unnest(generate_series(0, 27)) AS b),
-        |bits AS (
-        | SELECT doc_id, b, CAST(pow(2, b) AS BIGINT) AS p,
-        |  sum(CASE WHEN (hv // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        | FROM h, bitdefs GROUP BY doc_id, b)
-        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCtesSql
+        |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,
+    // The IDENTICAL banded plan as the Scala side (4 bands × 7 bits;
+    // lossless for Hamming ≤ 3, see simhashNeardup) — banded here too so
+    // the oracle stays feasible at big SFs, not a quadratic self-join.
+    "simhash_neardup" ->
+      s"""WITH $simhashCtesSql,
+        |shbands AS MATERIALIZED (
+        | SELECT doc_id, simhash, bb.band_no,
+        |  (simhash // CAST(pow(2, 7 * bb.band_no) AS BIGINT)) % 128 AS bh
+        | FROM shsig, (SELECT unnest(generate_series(0, 3)) AS band_no) bb),
+        |shcand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        | FROM shbands a JOIN shbands b
+        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM shcand
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "tf_embedding" ->
       s"""WITH $tfCtesSql
         |SELECT doc_id, dim, tf FROM tf ORDER BY doc_id, dim""".stripMargin,

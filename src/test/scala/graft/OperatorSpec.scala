@@ -143,6 +143,21 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("simhash_neardup banding is lossless: equals the brute-force Hamming ball") {
+    // 4 bands × 7 bits with a ≤3 bound: pigeonhole guarantees a shared
+    // band, so the banded plan must return EXACTLY the quadratic scan's
+    // pairs — compare against brute force on the small corpus
+    val banded = TextOps.simhashNeardup(spark, sf)
+    val sig = TextOps.simhash(spark, sf)
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(banded.count() > 0) // corpus has clone pairs at hamming 0
+    assert(banded.except(brute).count() == 0)
+    assert(brute.except(banded).count() == 0)
+  }
+
   test("simhash values fit the 28-bit space") {
     val s = TextOps.simhash(spark, sf)
     assert(s.filter(col("simhash") < 0 || col("simhash") >= (1L << 28)).count() == 0)
