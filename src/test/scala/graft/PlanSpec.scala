@@ -50,12 +50,30 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     Seq[DataFrame](
       TextOps.dedupMinhashPairs(spark, sf),
       TextOps.ngramJaccard(spark, sf),
+      TextOps.simhashNeardup(spark, sf),
       SimilarityOps.embeddingNeardup(spark, sf))
       .foreach { df =>
         val p = plan(df)
         assert(!p.contains("CartesianProduct"),
           s"cartesian product in:\n${p.linesIterator.take(5).mkString("\n")}")
       }
+  }
+
+  test("dedup group labeling ends as a broadcast of the labels at runtime") {
+    // the corpus side of the final left_outer join is the 100 TB side;
+    // the labels side is the edge-touched subgraph, whose size is
+    // data-dependent (worst case corpus-sized), so the size decision is
+    // deliberately left to AQE rather than a static broadcast hint — the
+    // checkpointed labels arrive as a stats-less LogicalRDD and the
+    // static plan is a SortMergeJoin. Assert the FINAL adaptive plan:
+    // AQE must see the small labels exchange and demote the join to a
+    // broadcast, leaving the corpus un-shuffled
+    val df = SimilarityOps.embedDedupGroups(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("BroadcastHashJoin"), s"labels join not broadcast at runtime:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("topk_similarity scans without any pre-aggregation shuffle of the corpus") {
