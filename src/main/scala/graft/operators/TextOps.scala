@@ -131,15 +131,22 @@ object TextOps {
   /** Band-bucket candidate pairs from a (pre-persisted) signature
     * DataFrame — the band self-join consumes the signature twice in one
     * job, so callers persist it first. */
-  private def candidatePairsFromSig(sig: DataFrame): DataFrame = {
+  /** Banded signature rows (doc_id, band_no, bh) from a signature frame
+    * — the LSH index layout both the self-join (all-pairs candidates)
+    * and the new-vs-old join ([[dedupIncremental]]) consume. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { b =>
       val bh = md5(concat((0 until MinhashRows).map(r =>
         col(s"mh${b * MinhashRows + r + 1}")): _*))
       struct(lit(b + 1).as("band_no"), bh.as("bh"))
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_no"), col("band.bh"))
+  }
+
+  private def candidatePairsFromSig(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
@@ -165,6 +172,35 @@ object TextOps {
     * keys, never a cross join. */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3)).orderBy("doc_a", "doc_b")
+
+  /** Incremental dedup — the continuous-ingestion shape: dedup a NEW
+    * batch (doc_id % 10 = 9 stands in for the arriving delta) against
+    * the EXISTING corpus without ever re-pairing the corpus with itself.
+    * New signatures band-join against old signatures only; each new doc
+    * reports the min-id corpus doc it collides with (NULL → kept).
+    *
+    * At 100 TB the old side's banded signature table is a PRECOMPUTED
+    * index — MinHash is an associative min, so the index maintains
+    * incrementally as batches land — and per-batch cost tracks the DELTA
+    * size times bucket occupancy, never the corpus pair space. Here both
+    * sides derive from one signature pass over the same table (persisted
+    * eagerly: the band join consumes it twice in one job). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 9
+    val sig = signatureFrom(shingles(spark, sfDir, 3)).persist()
+    sig.count()
+    val bands = bandsOf(sig)
+    val matches = bands.filter(isNew).as("n")
+      .join(bands.filter(!isNew).as("o"),
+        col("n.band_no") === col("o.band_no") && col("n.bh") === col("o.bh"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("matched_old"))
+    docs(spark, sfDir).select(col("doc_id")).filter(isNew)
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("matched_old"),
+        col("matched_old").isNull.cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
 
   /** Exact n-gram Jaccard for the LSH candidate pairs: distinct 3-gram
     * sets, intersection via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.
@@ -477,6 +513,7 @@ object TextOps {
     "dedup_fuzzy"         -> (dedupFuzzy _),
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_incremental"   -> (dedupIncremental _),
     "dedup_groups"        -> (dedupGroups _),
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
@@ -519,20 +556,25 @@ object TextOps {
        | FROM hashed GROUP BY doc_id)""".stripMargin
   }
 
-  private def candCtesSql: String = {
+  /** sig + banded rows (mirrors [[bandsOf]]); MATERIALIZED because the
+    * incremental oracle references `bands` twice. */
+  private def bandsCtesSql: String = {
     val bandSelects = (0 until MinhashBands).map { b =>
       val cat = (0 until MinhashRows)
         .map(r => s"mh${b * MinhashRows + r + 1}").mkString(" || ")
       s"SELECT doc_id, ${b + 1} AS band_no, md5($cat) AS bh FROM sig"
     }.mkString("\n UNION ALL\n ")
     s"""$sigCtesSql,
-       |bands AS (
-       | $bandSelects),
+       |bands AS MATERIALIZED (
+       | $bandSelects)""".stripMargin
+  }
+
+  private def candCtesSql: String =
+    s"""$bandsCtesSql,
        |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** Shared oracle CTEs for the 28-bit token-hash TF featurizer
     * (mirrors [[tokenHashes]]). */
@@ -577,6 +619,16 @@ object TextOps {
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $bandsCtesSql,
+        |m AS (SELECT n.doc_id, min(o.doc_id) AS matched_old
+        | FROM bands n JOIN bands o
+        |  ON n.band_no = o.band_no AND n.bh = o.bh AND o.doc_id % 10 <> 9
+        | WHERE n.doc_id % 10 = 9 GROUP BY n.doc_id)
+        |SELECT d.doc_id, m.matched_old,
+        | CAST(m.matched_old IS NULL AS INT) AS kept
+        |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 = 9 ORDER BY d.doc_id""".stripMargin,
     "dedup_groups" ->
       s"""WITH RECURSIVE $candCtesSql,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand

@@ -143,6 +143,25 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("dedup_incremental agrees with the all-pairs path on new-vs-old matches") {
+    // every new doc the incremental path flags must have exactly the
+    // min-id old-side witness the full candidate-pair join produces
+    val inc = TextOps.dedupIncremental(spark, sf).cache()
+    val pairs = TextOps.dedupMinhashPairs(spark, sf)
+    val crossNew = pairs.select(
+        when(col("doc_a") % 10 === 9, col("doc_a")).otherwise(col("doc_b")).as("nid"),
+        when(col("doc_a") % 10 === 9, col("doc_b")).otherwise(col("doc_a")).as("oid"))
+      .filter(col("nid") % 10 === 9 && col("oid") % 10 =!= 9)
+    val expected = crossNew.groupBy(col("nid")).agg(min(col("oid")).as("mo"))
+    val flagged = inc.filter(col("kept") === 0)
+    val joined = flagged.join(expected, flagged("doc_id") === expected("nid"))
+    assert(joined.filter(col("matched_old") =!= col("mo")).count() == 0)
+    assert(flagged.count() == joined.count()) // no flagged doc without a witness
+    assert(inc.count() ==
+      graft.model.Tables.documents(spark, sf).filter(col("doc_id") % 10 === 9).count())
+    inc.unpersist()
+  }
+
   test("simhash_neardup banding is lossless: equals the brute-force Hamming ball") {
     // 4 bands × 7 bits with a ≤3 bound: pigeonhole guarantees a shared
     // band, so the banded plan must return EXACTLY the quadratic scan's
