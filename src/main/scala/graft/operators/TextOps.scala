@@ -480,18 +480,42 @@ object TextOps {
 
   /** Quality score: length, punctuation ratio, stopword signal — the
     * standard cheap pre-training filters, one deterministic double. */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoredUnsorted(spark, sfDir)
+      .select("doc_id", "n_words", "n_punct", "n_stop", "quality")
+      .orderBy("doc_id")
+
+  private def qualityScoredUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val padded = concat(lit(" "), normCol, lit(" "))
     val nWords = size(split(trim(col("text")), "\\s+"))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
     val stop = Seq("the", "a", "and", "of", "to").map(w => hits(padded, s" $w ")).reduce(_ + _)
     docs(spark, sfDir).select(
-      col("doc_id"), nWords.as("n_words"), punct.as("n_punct"), stop.as("n_stop"),
+      col("doc_id"), col("lang"),
+      nWords.as("n_words"), punct.as("n_punct"), stop.as("n_stop"),
       round(
         least(lit(1.0), nWords.cast("double") / 200.0) * 0.5 +
         (lit(1.0) - punct.cast("double") / greatest(length(col("text")), lit(1)).cast("double")) * 0.3 +
         least(lit(1.0), stop.cast("double") * 10.0 / greatest(nWords, lit(1)).cast("double")) * 0.2,
         6).as("quality"))
+  }
+
+  /** Quality-percentile corpus curation: keep the top half of each
+    * language's docs ranked by quality score — the filtering step that
+    * follows scoring in a training-data pipeline. RANK-based (row_number
+    * against the integer ceiling of n/2, tie-broken on doc_id), not a
+    * `score >= median` float comparison, so the cut is deterministic and
+    * engine-portable at any scale. The windows partition by language —
+    * never one global partition — and the integer bound uses `div`
+    * (float division misbuckets past 2^53). */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    qualityScoredUnsorted(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") <= expr("(n + 1) div 2"))
+      .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy("doc_id")
   }
 
@@ -526,6 +550,7 @@ object TextOps {
     "lang_id"             -> (langId _),
     "token_count"         -> (tokenCount _),
     "quality_score"       -> (qualityScore _),
+    "quality_filter"      -> (qualityFilter _),
     "fingerprint"         -> (fingerprint _))
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -584,6 +609,24 @@ object TextOps {
       |tf AS MATERIALIZED (SELECT doc_id,
       |  CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) % 64 AS dim,
       |  count(*) AS tf FROM tok GROUP BY doc_id, dim)""".stripMargin
+
+  /** Shared oracle CTE stack for the quality score (mirrors
+    * [[qualityScoredUnsorted]]); ends at `q`
+    * (doc_id, lang, n_words, n_punct, n_stop, quality). */
+  private def qualityCtesSql: String =
+    s"""p AS (SELECT doc_id, lang, text, ' ' || $normSql || ' ' AS padded FROM documents),
+      |m AS (SELECT doc_id, lang, text,
+      |  array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+      |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+      |  ${hitsSql(" the ")} + ${hitsSql(" a ")} + ${hitsSql(" and ")} + ${hitsSql(" of ")} + ${hitsSql(" to ")} AS n_stop
+      | FROM p),
+      |q AS (SELECT doc_id, lang, n_words, n_punct, n_stop,
+      | round(
+      |  least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 +
+      |  (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3 +
+      |  least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / CAST(greatest(n_words, 1) AS DOUBLE)) * 0.2,
+      |  6) AS quality
+      | FROM m)""".stripMargin
 
   /** Shared oracle CTE stack for the 28-bit SimHash signature (mirrors
     * [[simhashUnsorted]]); ends at `shsig` (doc_id, simhash). Declared
@@ -740,19 +783,17 @@ object TextOps {
         |   CAST(greatest(length(text), 1) AS DOUBLE), 6) AS tokens_per_100_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "quality_score" ->
-      s"""WITH p AS (SELECT doc_id, text, ' ' || $normSql || ' ' AS padded FROM documents),
-        |m AS (SELECT doc_id, text,
-        |  array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
-        |  ${hitsSql(" the ")} + ${hitsSql(" a ")} + ${hitsSql(" and ")} + ${hitsSql(" of ")} + ${hitsSql(" to ")} AS n_stop
-        | FROM p)
-        |SELECT doc_id, n_words, n_punct, n_stop,
-        | round(
-        |  least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 +
-        |  (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3 +
-        |  least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / CAST(greatest(n_words, 1) AS DOUBLE)) * 0.2,
-        |  6) AS quality
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCtesSql
+        |SELECT doc_id, n_words, n_punct, n_stop, quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      s"""WITH $qualityCtesSql
+        |SELECT doc_id, lang, quality FROM (
+        | SELECT q.*,
+        |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM q) t
+        |WHERE rn <= (n + 1) // 2 ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
         |SELECT doc_id,
