@@ -65,9 +65,14 @@ object GraphOps {
       .distinct()
       .persist()
     edges.count()
-    // self-loops put every endpoint in both `src` and `dst`
-    var labels = edges.select(col("src").as("node_id")).distinct()
-      .withColumn("group_id", col("node_id")).localCheckpoint(true)
+    // Initial labels ARE the first propagation hop (min direct neighbor,
+    // self included via the self-loops) — same one-job cost as a
+    // label=self seed, one full round cheaper. Self-loops put every
+    // endpoint in both `src` and `dst`.
+    var labels = edges
+      .groupBy(col("dst").as("node_id"))
+      .agg(min(col("src")).as("group_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 100) {
@@ -77,20 +82,23 @@ object GraphOps {
       // pointer doubling: jump through the label's own label (pg ≤ the
       // current label because labels start as self and only decrease);
       // left_outer because a component-min label labels itself. The two
-      // `hop` branches share one shuffle via ReuseExchange.
+      // `hop` branches share one shuffle via ReuseExchange. `old_group`
+      // rides along into the checkpoint so the convergence check below
+      // is a scan-count of the checkpointed leaf, not another join job.
       val next = hop.as("l")
         .join(hop.select(col("node_id").as("pid"), col("group_id").as("pg")).as("p"),
           col("l.group_id") === col("pid"), "left_outer")
         .select(col("l.node_id").as("node_id"),
           coalesce(col("pg"), col("l.group_id")).as("group_id"))
+        .join(labels.select(col("node_id"), col("group_id").as("old_group")),
+          Seq("node_id"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("group_id", "old_group"), Seq("node_id"))
-        .filter(col("group_id") < col("old_group")).count()
-      labels = next
+      changed = next.filter(col("group_id") < col("old_group")).count()
+      labels = next.select(col("node_id"), col("group_id"))
       rounds += 1
     }
-    // labels is a checkpointed leaf — it no longer references edges
+    // labels is a projection over a checkpointed leaf — it no longer
+    // references edges
     edges.unpersist(blocking = true)
     labels
   }
