@@ -173,6 +173,30 @@ object TextOps {
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3)).orderBy("doc_a", "doc_b")
 
+  /** Banded MinHash signature index (doc_id, band_no, bh) of an
+    * arbitrary document frame (doc_id, text, …) — the PRECOMPUTED corpus
+    * side of incremental/streaming dedup. MinHash is an associative min,
+    * so the index maintains incrementally as batches land. */
+  def signatureIndex(docsDf: DataFrame): DataFrame =
+    bandsOf(signatureFrom(shinglesOf(
+      docsDf.select(col("doc_id"), normCol.as("norm")), 3)))
+
+  /** New-batch dedup verdicts against a precomputed corpus index — the
+    * batch kernel [[graft.streaming.StreamingDedup]] runs per
+    * micro-batch: band the batch, equi-join it against the index (only),
+    * report each new doc's min-id corpus match or a kept verdict. */
+  def matchVerdicts(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val nb = signatureIndex(newDocs)
+    val matches = nb.as("n").join(corpusBands.as("o"),
+        col("n.band_no") === col("o.band_no") && col("n.bh") === col("o.bh"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("matched_old"))
+    newDocs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("matched_old"),
+        col("matched_old").isNull.cast("int").as("kept"))
+  }
+
   /** Incremental dedup — the continuous-ingestion shape: dedup a NEW
     * batch (doc_id % 10 = 9 stands in for the arriving delta) against
     * the EXISTING corpus without ever re-pairing the corpus with itself.

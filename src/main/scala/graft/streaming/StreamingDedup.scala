@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextOps
+
+/** Streaming continuous-ingestion dedup: documents ARRIVE as a stream,
+  * and each micro-batch is deduplicated against a precomputed banded
+  * signature index of the existing corpus (TextOps.signatureIndex).
+  *
+  * The per-batch kernel is the same band-join-against-the-index shape as
+  * the batch `dedup_incremental` query — per-batch cost tracks the DELTA
+  * size times bucket occupancy, never the corpus pair space. The index
+  * side is static inside the join (stream-static), so no streaming
+  * aggregation state is needed; foreachBatch is only at-least-once, so
+  * writes are made idempotent by keying each batch's output directory on
+  * the batchId and OVERWRITING it (same contract as
+  * ConsumerPipeline.start — a replayed batch rewrites its own directory
+  * instead of appending duplicates).
+  */
+object StreamingDedup {
+
+  /** Start the dedup stream: verdicts (doc_id, matched_old, kept) land
+    * under `outPath/batch=<id>/`. `corpusBands` should be persisted by
+    * the caller — it is consumed once per micro-batch. */
+  def start(newDocs: DataFrame, corpusBands: DataFrame,
+      checkpointDir: String, outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .queryName("graft-streaming-dedup")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextOps.matchVerdicts(batch, corpusBands)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+}

@@ -343,4 +343,36 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.count() == 2)
     assert(out.agg(sum("n_events")).head().getLong(0) == 3)
   }
+
+  test("streaming dedup: arriving micro-batches against the corpus index match the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 9)
+    val corpusBands = graft.operators.TextOps.signatureIndex(corpus).persist()
+    corpusBands.count()
+    val newDocs = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val out = tempDir("sdedup_out")
+    val q = graft.streaming.StreamingDedup.start(
+      stream.toDF().toDF("doc_id", "text"), corpusBands, tempDir("sdedup_ckpt"), out)
+    try {
+      // two arrival waves — verdicts must not depend on batch boundaries
+      val (wave1, wave2) = newDocs.splitAt(newDocs.length / 2)
+      stream.addData(wave1: _*)
+      q.processAllAvailable()
+      stream.addData(wave2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "matched_old", "kept")
+      .orderBy("doc_id").collect().toSeq
+    val expected = graft.operators.TextOps.dedupIncremental(spark, sf)
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    corpusBands.unpersist()
+  }
 }
