@@ -52,4 +52,34 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       assert(uuids.distinct.length == distinctIds.length)
     }
   }
+
+  test("connected components equal a reference union-find on random graphs") {
+    import spark.implicits._
+    // random pair lists over a small id space (to force collisions and
+    // multi-edge components); the distributed fixpoint must agree with a
+    // driver-side union-find exactly
+    val pairGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (pairs <- samples(pairGen, 6) if pairs.nonEmpty) {
+      val labels = graft.operators.GraphOps
+        .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // reference union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // min-id canonical label per component
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val mn = members.min; members.map(_ -> mn)
+      }
+      assert(labels == expected, s"pairs=$pairs")
+    }
+  }
 }
