@@ -156,6 +156,27 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding table — the
+    * 4×-storage-cut step a 100 TB embedding pipeline runs before
+    * indexing. Per-vector scale = max|x| (so codes span the full ±127
+    * range); codes are `floor(x·127/m + 0.5)` — an explicit
+    * half-up-spelled-as-floor so Spark and the SQL oracle can never
+    * disagree on rounding mode. Pure projection + posexplode: no
+    * shuffle before the presentation sort, scales with scan. Long
+    * format (vec_id, dim, qval, scale) — the layout a downstream
+    * dequantizing join consumes. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .select(col("vec_id"),
+        expr("array_max(transform(v, x -> abs(x)))").as("m"),
+        posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        when(col("m") === 0.0, lit(0L))
+          .otherwise(expr("cast(floor(col * 127 / m + 0.5) as bigint)"))
+          .as("qval"),
+        col("m").as("scale"))
+      .orderBy("vec_id", "dim")
+
   /** Deterministic pseudo-random ±1 hyperplane components: md5-seeded by
     * (plane, dim) — reproducible on any cluster AND in the SQL oracle
     * (same md5-parity rule stated in both). */
@@ -236,6 +257,7 @@ object SimilarityOps {
     "topk_similarity"    -> (topkSimilarity _),
     "embedding_neardup"  -> (embeddingNeardup _),
     "embed_dedup_groups" -> (embedDedupGroups _),
+    "embed_quantize"     -> (embedQuantize _),
     "ann_lsh"            -> (annLsh _),
     "ann_ivf"            -> (annIvf _))
 
@@ -305,6 +327,16 @@ object SimilarityOps {
         | SELECT t.vec_id, e.dst FROM reach t JOIN edges e ON e.src = t.rt)
         |SELECT vec_id, min(rt) AS group_id FROM reach
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |mv AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v)
+        |SELECT vec_id, i - 1 AS dim,
+        | CASE WHEN m = 0.0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(floor(v[i] * 127 / m + 0.5) AS BIGINT) END AS qval,
+        | m AS scale
+        |FROM mv, (SELECT unnest(generate_series(1, 64)) AS i) s
+        |WHERE i <= array_length(v)
+        |ORDER BY vec_id, dim""".stripMargin,
     "ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |pl AS (

@@ -182,6 +182,17 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(s.filter(col("simhash") < 0 || col("simhash") >= (1L << 28)).count() == 0)
   }
 
+  test("embed_quantize spans the full int8 range and never exceeds it") {
+    val q = SimilarityOps.embedQuantize(spark, sf).cache()
+    assert(q.filter(col("qval") > 127 || col("qval") < -127).count() == 0)
+    // the max-|x| element of every non-zero vector maps to exactly ±127 —
+    // a symmetric-scale quantizer that undershoots wastes code range
+    val mx = q.filter(col("scale") > 0)
+      .groupBy(col("vec_id")).agg(max(abs(col("qval"))).as("mx"))
+    assert(mx.filter(col("mx") =!= 127).count() == 0)
+    q.unpersist()
+  }
+
   test("topk_similarity returns k rows of valid cosines, descending") {
     val top = SimilarityOps.topkSimilarity(spark, sf).collect()
     assert(top.length == 10)
