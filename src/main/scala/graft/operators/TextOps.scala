@@ -128,9 +128,6 @@ object TextOps {
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band-bucket candidate pairs from a (pre-persisted) signature
-    * DataFrame — the band self-join consumes the signature twice in one
-    * job, so callers persist it first. */
   /** Banded signature rows (doc_id, band_no, bh) from a signature frame
     * — the LSH index layout both the self-join (all-pairs candidates)
     * and the new-vs-old join ([[dedupIncremental]]) consume. */
@@ -145,6 +142,9 @@ object TextOps {
       .select(col("doc_id"), col("band.band_no"), col("band.bh"))
   }
 
+  /** Band-bucket candidate pairs from a (pre-persisted) signature
+    * DataFrame — the band self-join consumes the signature twice in one
+    * job, so callers persist it first. */
   private def candidatePairsFromSig(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
     val a = bands.as("a")
@@ -181,21 +181,30 @@ object TextOps {
     bandsOf(signatureFrom(shinglesOf(
       docsDf.select(col("doc_id"), normCol.as("norm")), 3)))
 
-  /** New-batch dedup verdicts against a precomputed corpus index — the
-    * batch kernel [[graft.streaming.StreamingDedup]] runs per
-    * micro-batch: band the batch, equi-join it against the index (only),
-    * report each new doc's min-id corpus match or a kept verdict. */
-  def matchVerdicts(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
-    val nb = signatureIndex(newDocs)
-    val matches = nb.as("n").join(corpusBands.as("o"),
+  /** The shared verdict kernel: new-side bands equi-join old-side bands
+    * (only), each new doc reports its min-id old match or a kept
+    * verdict. Both [[matchVerdicts]] (streaming micro-batches) and
+    * [[dedupIncremental]] (one-table batch split) route through here so
+    * the two paths can never diverge semantically. */
+  private def verdictsFromBands(newIds: DataFrame, newBands: DataFrame,
+      oldBands: DataFrame): DataFrame = {
+    val matches = newBands.as("n").join(oldBands.as("o"),
         col("n.band_no") === col("o.band_no") && col("n.bh") === col("o.bh"))
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("o.doc_id")).as("matched_old"))
-    newDocs.select(col("doc_id"))
+    newIds
       .join(matches, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("matched_old"),
         col("matched_old").isNull.cast("int").as("kept"))
   }
+
+  /** New-batch dedup verdicts against a precomputed corpus index — the
+    * batch kernel [[graft.streaming.StreamingDedup]] runs per
+    * micro-batch: band the batch, equi-join it against the index (only),
+    * report each new doc's min-id corpus match or a kept verdict. */
+  def matchVerdicts(newDocs: DataFrame, corpusBands: DataFrame): DataFrame =
+    verdictsFromBands(newDocs.select(col("doc_id")),
+      signatureIndex(newDocs), corpusBands)
 
   /** Incremental dedup — the continuous-ingestion shape: dedup a NEW
     * batch (doc_id % 10 = 9 stands in for the arriving delta) against
@@ -214,15 +223,9 @@ object TextOps {
     val sig = signatureFrom(shingles(spark, sfDir, 3)).persist()
     sig.count()
     val bands = bandsOf(sig)
-    val matches = bands.filter(isNew).as("n")
-      .join(bands.filter(!isNew).as("o"),
-        col("n.band_no") === col("o.band_no") && col("n.bh") === col("o.bh"))
-      .groupBy(col("n.doc_id").as("doc_id"))
-      .agg(min(col("o.doc_id")).as("matched_old"))
-    docs(spark, sfDir).select(col("doc_id")).filter(isNew)
-      .join(matches, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("matched_old"),
-        col("matched_old").isNull.cast("int").as("kept"))
+    verdictsFromBands(
+      docs(spark, sfDir).select(col("doc_id")).filter(isNew),
+      bands.filter(isNew), bands.filter(!isNew))
       .orderBy("doc_id")
   }
 
@@ -376,8 +379,11 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct shuffle: hamming is functionally
+      // determined by the pair, so the result is identical and only the
+      // true near-dup pairs get shuffled, not every bucket collision
       .filter(col("hamming") <= SimhashHammingMax)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

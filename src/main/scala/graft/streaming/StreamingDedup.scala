@@ -30,8 +30,13 @@ object StreamingDedup {
       .queryName("graft-streaming-dedup")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TextOps.matchVerdicts(batch, corpusBands)
+        // the kernel reads the batch twice (signature pipeline + the
+        // verdict left-join's id list) — persist so a non-trivial source
+        // is decoded once per micro-batch, not per consuming branch
+        val b = batch.persist()
+        try TextOps.matchVerdicts(b, corpusBands)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally b.unpersist()
       }
       .start()
 }

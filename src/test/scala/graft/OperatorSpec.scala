@@ -157,6 +157,10 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     val joined = flagged.join(expected, flagged("doc_id") === expected("nid"))
     assert(joined.filter(col("matched_old") =!= col("mo")).count() == 0)
     assert(flagged.count() == joined.count()) // no flagged doc without a witness
+    // and the reverse direction: every cross match IS flagged — an
+    // under-flagging kernel (kept=1 despite a corpus collision) would
+    // otherwise pass all of the above
+    assert(flagged.count() == expected.count())
     assert(inc.count() ==
       graft.model.Tables.documents(spark, sf).filter(col("doc_id") % 10 === 9).count())
     inc.unpersist()
