@@ -43,6 +43,16 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
     assert(Seq(20L, 21L, 22L, 23L).forall(labels(_) == 20L))
   }
 
+  test("reliable-checkpoint path: identical labels when a checkpoint dir is set") {
+    // with a checkpoint dir configured the loop truncates lineage via
+    // reliable checkpoint() (the cluster deployment path) instead of
+    // executor-local blocks — semantics must not change
+    spark.sparkContext.setCheckpointDir(tempDir("cc_ckpt"))
+    val labels = cc((0L until 40L).map(i => (i, i + 1)))
+    assert(labels.size == 41)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("empty pair list yields empty labels (degenerate input)") {
     import spark.implicits._
     val labels = GraphOps.connectedComponents(
