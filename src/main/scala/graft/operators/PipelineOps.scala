@@ -26,10 +26,10 @@ object PipelineOps {
   /** First 7 md5 hex digits of `seed:doc_id` as a bigint in [0, 2^28) —
     * the same 28-bit construction as TextOps token hashes (fits i32 in
     * both engines). */
-  private def keyHash(seed: String): Column =
+  private[operators] def keyHash(seed: String): Column =
     expr(s"cast(conv(substring(md5(concat('$seed:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)")
 
-  private def keyHashSql(seed: String): String =
+  private[operators] def keyHashSql(seed: String): String =
     s"CAST(CAST('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 7) AS INTEGER) AS BIGINT)"
 
   // ------------------------------------------------------------- sampling

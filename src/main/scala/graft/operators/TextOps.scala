@@ -229,6 +229,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Minimum distinct shared 3-gram shingles for a contamination hit,
+    * and the shingle document-frequency cap. Both sides of the oracle
+    * are generated from these constants. */
+  private[operators] val DecontamMinOverlap = 5
+  private[operators] val DecontamMaxDf = 50
+
+  /** Decontamination: flag EVAL docs whose distinct 3-gram shingles
+    * overlap some TRAIN doc in ≥ [[DecontamMinOverlap]] shingles — the
+    * benchmark-containment check run before training. Split membership
+    * reuses `dataset_split`'s deterministic hash buckets (train < 900,
+    * eval = the test split ≥ 950), so the check audits exactly the split
+    * the pipeline would ship.
+    *
+    * Shingles with document frequency > [[DecontamMaxDf]] are dropped
+    * BEFORE the equi-join — the standard guard that keeps the join from
+    * exploding at 100 TB: a boilerplate n-gram present in half the
+    * corpus contributes |train|×|eval| join rows while carrying no
+    * contamination signal. The join itself is eval-side-bounded (the
+    * eval split is a few percent of the corpus), grouped into per-pair
+    * overlap counts — never an all-pairs comparison. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = PipelineOps.keyHash("spl") % 1000
+    // distinct (doc, shingle) base feeds the df filter AND both join
+    // sides — persist so the shingle pipeline runs once
+    val sh = shinglesOf(normed(spark, sfDir), 3).distinct().persist()
+    sh.count()
+    val rareSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DecontamMaxDf).select(col("sh"))
+    val rare = sh.join(rareSh, Seq("sh"), "left_semi")
+      .withColumn("bucket", bucket)
+    val overlaps = rare.filter(col("bucket") >= 950).as("e")
+      .join(rare.filter(col("bucket") < 900).as("t"), col("e.sh") === col("t.sh"))
+      .groupBy(col("e.doc_id").as("doc_id"), col("t.doc_id").as("train_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= DecontamMinOverlap)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("train_id"))
+    val best = overlaps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("train_id").as("contaminated_by"), col("overlap"))
+    docs(spark, sfDir).select(col("doc_id")).filter(bucket >= 950)
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("contaminated_by"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("contaminated_by").isNull.cast("int").as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard for the LSH candidate pairs: distinct 3-gram
     * sets, intersection via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.
     * Join-based — no arrays collected to the driver.
@@ -568,6 +616,7 @@ object TextOps {
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "decontaminate"       -> (decontaminate _),
     "dedup_groups"        -> (dedupGroups _),
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
@@ -692,6 +741,31 @@ object TextOps {
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "decontaminate" ->
+      s"""WITH dn AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM dtk) tt),
+        |rare AS MATERIALIZED (
+        | SELECT * FROM dsh WHERE sh IN (
+        |  SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= ${DecontamMaxDf})),
+        |bk AS MATERIALIZED (SELECT doc_id, ${PipelineOps.keyHashSql("spl")} % 1000 AS bucket FROM documents),
+        |ov AS (
+        | SELECT e.doc_id, t.doc_id AS train_id, count(*) AS overlap
+        | FROM rare e JOIN bk be ON be.doc_id = e.doc_id AND be.bucket >= 950
+        |  JOIN rare t ON t.sh = e.sh
+        |  JOIN bk bt ON bt.doc_id = t.doc_id AND bt.bucket < 900
+        | GROUP BY e.doc_id, t.doc_id HAVING count(*) >= ${DecontamMinOverlap}),
+        |best AS (SELECT doc_id, train_id AS contaminated_by, overlap FROM (
+        | SELECT ov.*, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, train_id) AS rn
+        | FROM ov) t WHERE rn = 1)
+        |SELECT d.doc_id, best.contaminated_by,
+        | CAST(coalesce(best.overlap, 0) AS BIGINT) AS overlap,
+        | CAST(best.contaminated_by IS NULL AS INT) AS clean
+        |FROM documents d
+        | JOIN bk ON bk.doc_id = d.doc_id AND bk.bucket >= 950
+        | LEFT JOIN best ON best.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $bandsCtesSql,
         |m AS (SELECT n.doc_id, min(o.doc_id) AS matched_old

@@ -143,6 +143,28 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("decontaminate witnesses live in the train split and meet the overlap bar") {
+    val dc = TextOps.decontaminate(spark, sf).cache()
+    val bucket = expr(
+      "cast(conv(substring(md5(concat('spl:', cast(doc_id as string))), 1, 7), 16, 10) as bigint) % 1000")
+    val evalIds = graft.model.Tables.documents(spark, sf)
+      .filter(bucket >= 950).select("doc_id")
+    // one row per eval doc, no others
+    assert(dc.count() == evalIds.count())
+    assert(dc.join(evalIds, Seq("doc_id"), "left_anti").count() == 0)
+    // flagged rows carry a positive overlap >= the bar; clean rows carry 0
+    assert(dc.filter(col("clean") === 0 && col("overlap") < 5).count() == 0)
+    assert(dc.filter(col("clean") === 1 &&
+      (col("overlap") =!= 0 || col("contaminated_by").isNotNull)).count() == 0)
+    // every witness is a train-split doc
+    val witnesses = dc.filter(col("clean") === 0)
+      .select(col("contaminated_by").as("doc_id"))
+    val trainIds = graft.model.Tables.documents(spark, sf)
+      .filter(bucket < 900).select("doc_id")
+    assert(witnesses.join(trainIds, Seq("doc_id"), "left_anti").count() == 0)
+    dc.unpersist()
+  }
+
   test("dedup_incremental agrees with the all-pairs path on new-vs-old matches") {
     // every new doc the incremental path flags must have exactly the
     // min-id old-side witness the full candidate-pair join produces
