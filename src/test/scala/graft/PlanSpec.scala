@@ -51,6 +51,7 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       TextOps.dedupMinhashPairs(spark, sf),
       TextOps.ngramJaccard(spark, sf),
       TextOps.simhashNeardup(spark, sf),
+      TextOps.decontaminate(spark, sf),
       SimilarityOps.embeddingNeardup(spark, sf))
       .foreach { df =>
         val p = plan(df)
