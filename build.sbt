@@ -4,11 +4,19 @@ ThisBuild / version := "0.1.0"
 // JSON; sbt's "[success] Total time..." trailer printed after main
 // returns broke that parse three rounds running ("parsed": null).
 Global / showSuccess := false
-// Forked `run` output normally passes through sbt's logger, which
-// prefixes every line with "[info] " — that prefix is what kept the
-// bench JSON unparsable even after showSuccess was disabled. Route the
-// forked process's stdout/stderr straight to the terminal instead.
+// Forked `run`/`runMain` output normally passes through sbt's logger,
+// which prefixes every line with "[info] " — that prefix is what kept
+// the bench JSON unparsable even after showSuccess was disabled. The
+// round-6 fix scoped this to `run / outputStrategy` only, but the
+// driver invokes `runMain graft.Bench`, and in sbt's scope delegation
+// the `runMain` task does NOT fall back to `run`-task-scoped keys — so
+// the JSON still went through the logger ("parsed": null six rounds
+// running). Set it at project level (no task axis), which every task
+// delegates to, and pin the task-scoped keys too for belt and braces.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "exhiventspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -247,6 +247,18 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ann_recall equals the recomputed exact∩lsh top-5 overlap") {
+    val row = SimilarityOps.annRecall(spark, sf).collect().head
+    assert(row.getAs[Int]("k") == 5)
+    val exact5 = SimilarityOps.topkSimilarity(spark, sf).collect()
+      .take(5).map(_.getAs[Long]("vec_id")).toSet
+    val lsh5 = SimilarityOps.annLsh(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val hits = (exact5 & lsh5).size.toLong
+    assert(row.getAs[Long]("hits") == hits)
+    assert(math.abs(row.getAs[Double]("recall") - hits / 5.0) < 1e-9)
+  }
+
   test("multimodal decode plumbing: bytes flow through mapPartitions batches") {
     val meta = MultimodalOps.decodeAll(spark, sf).cache()
     val docs = graft.model.Tables.documents(spark, sf).count()
@@ -268,7 +280,11 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, dst).count() // must not throw
-      assert(n == 0 || name == "cache_empty" || name == "include_match",
+      // cache_empty/include_match report a boolean, ann_recall a global
+      // aggregate — all three are one-row-always by design, and their
+      // DuckDB oracles return one row on empty input too
+      assert(n == 0 || name == "cache_empty" || name == "include_match" ||
+          name == "ann_recall",
         s"$name returned $n rows on empty input")
     }
   }
