@@ -113,12 +113,37 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Shard count for the deterministic corpus shuffle. Sized like
+    * [[PackShards]]: at 100 TB this would be O(cluster parallelism) so
+    * each shard's window sorts executor-memory-sized data. */
+  private[operators] val ShuffleShards = 8
+
+  /** Deterministic corpus shuffle: the training-order randomization step.
+    * Every doc gets a shard and an intra-shard position, both pure
+    * functions of `md5(seed:doc_id)` — never `rand()`, so the order is
+    * identical under task retries, re-runs, and repartitioning, and a
+    * training job can resume mid-epoch by (shard, pos). One shuffle on
+    * the shard key; the position window sorts PER SHARD (each a
+    * 1/[[ShuffleShards]] slice), never one global partition — a global
+    * `ORDER BY random()` is the thing this op exists to replace at
+    * 100 TB. Hash ties (28-bit space) break on doc_id so `pos` is total. */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), keyHash("shf").as("hk"))
+      .withColumn("shard", pmod(col("hk"), lit(ShuffleShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "dataset_split"     -> (datasetSplit _),
     "tfidf_embedding"   -> (tfidfEmbedding _),
-    "sequence_pack"     -> (sequencePack _))
+    "sequence_pack"     -> (sequencePack _),
+    "corpus_shuffle"    -> (corpusShuffle _))
 
   /** Shared TF CTE text lives in TextOps (tfCtesSql); the sampling CASE
     * and packing constants are generated from the Scala values above. */
@@ -155,6 +180,13 @@ object PipelineOps {
           |   OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tokens
           | FROM documents) t
+          |ORDER BY doc_id""".stripMargin,
+      "corpus_shuffle" ->
+        s"""SELECT doc_id, shard,
+          | CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos
+          |FROM (SELECT doc_id, ${keyHashSql("shf")} AS hk,
+          |       ${keyHashSql("shf")} % $ShuffleShards AS shard
+          |      FROM documents) t
           |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -609,9 +609,40 @@ object TextOps {
         expr("substring(norm, greatest(length(norm) - 63, 1), 64)"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Repetition filters (the Gopher-style quality cut dedup can't make:
+    * a document that repeats ITSELF): per-doc duplicate-3-gram ratio
+    * (1 − distinct/total) and word type-token ratio. Two explode →
+    * groupBy(doc_id) pipelines over ONE persisted normalized base (the
+    * `documents` scan runs once), joined on doc_id — every stage
+    * partitions by doc_id and map-side-combines, so cost is linear in
+    * corpus size and no window or aggregate is ever global. Denominators
+    * are ≥ 1 by construction ([[shinglesOf]]'s `greatest(…, 1)` floor;
+    * `split` of an empty norm yields one empty token). */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = normed(spark, sfDir).persist()
+    base.count()
+    val g3 = shinglesOf(base, 3).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_3grams"),
+      countDistinct(col("sh")).as("n_uniq_3grams"))
+    val w1 = base
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("t"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("t")).as("n_uniq_words"))
+    g3.join(w1, Seq("doc_id"))
+      .select(col("doc_id"), col("n_3grams"), col("n_uniq_3grams"),
+        round(lit(1.0) - col("n_uniq_3grams").cast("double") /
+          col("n_3grams").cast("double"), 6).as("rep3_ratio"),
+        col("n_words"), col("n_uniq_words"),
+        round(col("n_uniq_words").cast("double") /
+          col("n_words").cast("double"), 6).as("ttr"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "repetition_stats"    -> (repetitionStats _),
     "dedup_fuzzy"         -> (dedupFuzzy _),
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
@@ -645,16 +676,23 @@ object TextOps {
     * the two sides of the oracle can never drift (round-4 regression:
     * the Scala grid moved to 8/4×2 while a hand-written oracle stayed on
     * the old 4/2×2). */
+  /** norm → tokens → word-3-gram shingles, the base every shingle-family
+    * oracle shares (mirrors [[shinglesOf]] with n=3, including the
+    * `greatest(…, 1)` floor that gives sub-3-token docs one whole-text
+    * shingle). */
+  private def shingleCtesSql: String =
+    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+       |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+       | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt)""".stripMargin
+
   private def sigCtesSql: String = {
     val hashedCols = (0 until MinhashHashes)
       .map(i => s"md5('$i:' || sh) AS h$i").mkString(", ")
     val sigCols = (0 until MinhashPieces).map { k =>
       s"min(substr(h${k / 4}, ${(k % 4) * 8 + 1}, 8)) AS mh${k + 1}"
     }.mkString(", ")
-    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
-       |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-       |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
-       | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt),
+    s"""$shingleCtesSql,
        |hashed AS (SELECT doc_id, $hashedCols FROM sh),
        |sig AS MATERIALIZED (SELECT doc_id, $sigCols
        | FROM hashed GROUP BY doc_id)""".stripMargin
@@ -903,5 +941,17 @@ object TextOps {
         |SELECT doc_id,
         | md5(CAST(length(norm) AS VARCHAR) || ':' || substr(norm, 1, 64) || ':' ||
         |     substr(norm, greatest(length(norm) - 63, 1), 64)) AS fp
-        |FROM n ORDER BY doc_id""".stripMargin)
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      s"""WITH $shingleCtesSql,
+        |g3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_3grams,
+        |  CAST(count(DISTINCT sh) AS BIGINT) AS n_uniq_3grams FROM sh GROUP BY doc_id),
+        |w1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_uniq_words
+        | FROM (SELECT doc_id, unnest(tokens) AS t FROM tk) u GROUP BY doc_id)
+        |SELECT doc_id, n_3grams, n_uniq_3grams,
+        | round(1.0 - CAST(n_uniq_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE), 6) AS rep3_ratio,
+        | n_words, n_uniq_words,
+        | round(CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS ttr
+        |FROM g3 JOIN w1 USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

@@ -259,6 +259,42 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(row.getAs[Double]("recall") - hits / 5.0) < 1e-9)
   }
 
+  test("repetition_stats ratios are sane and match a per-doc recomputation") {
+    val r = TextOps.repetitionStats(spark, sf).cache()
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(r.count() == docs.count())
+    assert(r.filter(col("rep3_ratio") < 0 || col("rep3_ratio") >= 1).count() == 0)
+    assert(r.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
+    assert(r.filter(col("n_uniq_3grams") > col("n_3grams") ||
+      col("n_uniq_words") > col("n_words")).count() == 0)
+    // spot-check one doc against a driver-side recomputation
+    val row = r.filter(col("doc_id") === 1).collect().head
+    val text = docs.filter(col("doc_id") === 1).collect().head.getAs[String]("text")
+    val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    val grams = if (toks.length < 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    assert(row.getAs[Long]("n_3grams") == grams.length)
+    assert(row.getAs[Long]("n_uniq_3grams") == grams.distinct.length)
+    assert(row.getAs[Long]("n_words") == toks.length)
+    assert(row.getAs[Long]("n_uniq_words") == toks.distinct.length)
+    r.unpersist()
+  }
+
+  test("corpus_shuffle is a deterministic permutation: dense per-shard positions") {
+    val s = PipelineOps.corpusShuffle(spark, sf).cache()
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(s.count() == docs.count()) // every doc exactly once
+    assert(s.select("doc_id").distinct().count() == docs.count())
+    // positions are 1..n within each shard (dense, no gaps or dups)
+    val perShard = s.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        countDistinct(col("pos")).as("d"))
+    assert(perShard.filter(col("mx") =!= col("n") || col("d") =!= col("n")).count() == 0)
+    // hash-deterministic: a second invocation yields the identical assignment
+    assert(PipelineOps.corpusShuffle(spark, sf).exceptAll(s).count() == 0)
+    s.unpersist()
+  }
+
   test("multimodal decode plumbing: bytes flow through mapPartitions batches") {
     val meta = MultimodalOps.decodeAll(spark, sf).cache()
     val docs = graft.model.Tables.documents(spark, sf).count()

@@ -41,6 +41,12 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"window not partitioned by shard:\n$p")
   }
 
+  test("corpus_shuffle position window is partitioned by shard, never global") {
+    val p = plan(PipelineOps.corpusShuffle(spark, sf))
+    assert("windowspecdefinition\\(shard#\\d+L, hk#\\d+L".r.findFirstIn(p).isDefined,
+      s"window not partitioned by shard:\n$p")
+  }
+
   test("q1_agg aggregates map-side before the shuffle (partial_sum)") {
     val p = plan(RelationalOps.q1Agg(spark, sf))
     assert(p.contains("partial_sum"))
