@@ -179,9 +179,92 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- real audio decode
+  /** One decoded audio row: real metadata parsed from real WAV bytes. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Int, duration_ms: Int, n_bytes: Int)
+
+  case class AudioBytes(doc_id: Long, payload: Array[Byte])
+
+  /** Minimal VALID 16-bit PCM WAV: RIFF header + fmt chunk + data chunk
+    * with deterministic sample bytes. Any RIFF-walking reader (this one,
+    * javax.sound.sampled, `file`) sees a well-formed wave file. */
+  private[graft] def synthWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                        // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)  // byte rate
+      .putShort((channels * 2).toShort)   // block align
+      .putShort(16)                       // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until dataLen).foreach(i => buf.put((i % 251).toByte))
+    buf.array()
+  }
+
+  /** REAL RIFF chunk walk (what javax.sound.sampled does for metadata):
+    * verify RIFF/WAVE magic, then scan word-aligned chunks for `fmt ` and
+    * `data`. Returns (sampleRate, channels, bits, dataLen); throws on
+    * malformed bytes — quarantine, not pass. */
+  private[graft] def decodeWavMeta(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE stream")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var (i, rate, channels, bits, dataLen) = (12, -1, -1, -1, -1)
+    while (i + 8 <= payload.length) {
+      val id = new String(payload, i, 4, "US-ASCII")
+      val sz = buf.getInt(i + 4)
+      if (id == "fmt ") {
+        require(buf.getShort(i + 8) == 1, "not PCM")
+        channels = buf.getShort(i + 10)
+        rate = buf.getInt(i + 12)
+        bits = buf.getShort(i + 22)
+      } else if (id == "data") dataLen = sz
+      i += 8 + sz + (sz % 2) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && channels > 0 && bits > 0 && dataLen >= 0,
+      "WAV without fmt/data chunks")
+    (rate, channels, bits, dataLen)
+  }
+
+  private[graft] val WavRates = Seq(8000, 16000, 22050, 44100)
+
+  /** Synthesized-audio table: real WAV bytes with data-derived
+    * parameters — rate/channels/length are pure functions of doc_id so
+    * the oracle can independently derive what the parser must recover. */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioBytes] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        AudioBytes(id, synthWav(WavRates((id % 4).toInt),
+          (id % 2).toInt + 1, (id % 100).toInt + 1))
+      })
+  }
+
+  /** Batched REAL decode over WAV payloads: mapPartitions walks each
+    * RIFF stream (decoder init amortized per partition). n_samples and
+    * duration are DERIVED from the parsed chunks — an offset, endianness,
+    * or alignment bug in the walker fails the hash check. */
+  def audioMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir).mapPartitions(_.map { row =>
+      val (rate, channels, bits, dataLen) = decodeWavMeta(row.payload)
+      val nSamples = dataLen / (channels * bits / 8)
+      AudioMeta(row.doc_id, rate, channels, bits, nSamples,
+        nSamples * 1000 / rate, row.payload.length)
+    }).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "image_meta"      -> (imageMeta _))
+    "image_meta"      -> (imageMeta _),
+    "audio_meta"      -> (audioMeta _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -205,5 +288,20 @@ object MultimodalOps {
         | CAST(doc_id % 640 + 1 AS INTEGER) AS width,
         | CAST(doc_id % 480 + 1 AS INTEGER) AS height,
         | CAST(45 AS INTEGER) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // independently derives what the Spark side must RECOVER BY WALKING
+    // real RIFF chunks: all parameters are functions of doc_id; n_bytes
+    // = 44-byte canonical PCM header + samples×channels×2 data bytes
+    "audio_meta" ->
+      """SELECT doc_id, sample_rate, channels, bits, n_samples,
+        | CAST(n_samples * 1000 // sample_rate AS INTEGER) AS duration_ms,
+        | CAST(44 + n_samples * channels * 2 AS INTEGER) AS n_bytes
+        |FROM (SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(doc_id % 100 + 1 AS INTEGER) AS n_samples
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -306,6 +306,27 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     meta.unpersist()
   }
 
+  test("wav codec round-trips and rejects malformed payloads") {
+    // synth → parse recovers exactly the parameters that built the bytes
+    val (rate, ch, n) = (22050, 2, 37)
+    val wav = MultimodalOps.synthWav(rate, ch, n)
+    assert(wav.length == 44 + n * ch * 2)
+    assert(MultimodalOps.decodeWavMeta(wav) == ((rate, ch, 16, n * ch * 2)))
+    // malformed bytes must throw (quarantine path), not parse
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWavMeta("RIFFxxxxJUNK".getBytes ++ Array.fill(40)(0.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWavMeta(MultimodalOps.synthPng(4, 4))
+    }
+    // distributed path: one decoded row per doc, duration consistent
+    val meta = MultimodalOps.audioMeta(spark, sf).cache()
+    assert(meta.count() == graft.model.Tables.documents(spark, sf).count())
+    assert(meta.filter(col("duration_ms") =!=
+      expr("cast(n_samples * 1000 div sample_rate as int)")).count() == 0)
+    meta.unpersist()
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
