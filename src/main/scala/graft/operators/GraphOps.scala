@@ -56,6 +56,18 @@ object GraphOps {
     * are metadata-sized; the harness's per-query cache sweep
     * (graft.api.Caches.release) reclaims them.
     */
+  /** Edge-count ceiling for the driver-local union-find fast path
+    * (overridable via `spark.graft.cc.localMaxEdges`; set ≤ -1 to force
+    * the distributed loop). 1M edges ≈ 16 MB collected — trivially
+    * driver-sized, and a path-compressed union-find labels it in
+    * milliseconds, where the distributed fixpoint pays several
+    * fixed-latency Spark jobs per round no matter how small the data.
+    * This is the same adaptivity argument as AQE's local-shuffle-reader:
+    * pick the physical strategy AFTER the size is known. At 100 TB the
+    * candidate-pair graph of a near-dup corpus exceeds the ceiling and
+    * takes the checkpointed fixpoint loop below. */
+  private val LocalMaxEdgesDefault = 1000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // Both directions AND self-loops in ONE scan of the (possibly
     // expensive, likely unpersisted) pair pipeline — a union of selects
@@ -74,7 +86,17 @@ object GraphOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
-    edges.count()
+    val edgeCount = edges.count()
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localMaxEdges")
+      .map(_.toLong).getOrElse(LocalMaxEdgesDefault)
+    if (edgeCount <= localMax) {
+      val labels = localUnionFind(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      edges.unpersist(blocking = true)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toSeq.toDF("node_id", "group_id")
+    }
     // Initial labels ARE the first propagation hop (min direct neighbor,
     // self included via the self-loops) — same one-job cost as a
     // label=self seed, one full round cheaper. Self-loops put every
@@ -111,5 +133,27 @@ object GraphOps {
     // references edges
     edges.unpersist(blocking = true)
     labels
+  }
+
+  /** Driver-side min-label union-find (iterative find + full path
+    * compression — a 10^6-node chain must not blow the stack). Attaching
+    * the larger root under the smaller means every component's final
+    * root IS its min member, matching the distributed loop's labels
+    * exactly. Self-loop edges (present by construction above) guarantee
+    * every node appears as a `src`. */
+  private def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.map(_._1).distinct.map(n => n -> find(n)).toMap
   }
 }

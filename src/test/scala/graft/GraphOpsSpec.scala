@@ -11,10 +11,23 @@ import graft.operators.GraphOps
   * what the oracle-checked dedup queries cover. */
 class GraphOpsSpec extends AnyFunSuite with SparkTest {
 
+  /** Runs BOTH physical paths — the driver-local union-find fast path
+    * (default at these sizes) and the distributed fixpoint loop (forced
+    * via the localMaxEdges override) — and asserts they agree before
+    * returning the labels. */
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    GraphOps.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+    val df = pairs.toDF("a", "b")
+    val local = GraphOps.connectedComponents(df, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localMaxEdges", "-1")
+    try {
+      val distributed = GraphOps.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(distributed == local,
+        "local union-find and distributed fixpoint disagree")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    local
   }
 
   test("a 200-deep chain collapses to one min-labeled component") {

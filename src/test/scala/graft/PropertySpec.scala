@@ -60,7 +60,10 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     // driver-side union-find exactly
     val pairGen = Gen.listOfN(40,
       Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
-    for (pairs <- samples(pairGen, 6) if pairs.nonEmpty) {
+    // force the DISTRIBUTED fixpoint: the local fast path is itself a
+    // union-find, so leaving it on would make this test self-referential
+    spark.conf.set("spark.graft.cc.localMaxEdges", "-1")
+    try for (pairs <- samples(pairGen, 6) if pairs.nonEmpty) {
       val labels = graft.operators.GraphOps
         .connectedComponents(pairs.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
@@ -80,6 +83,6 @@ class PropertySpec extends AnyFunSuite with SparkTest {
         val mn = members.min; members.map(_ -> mn)
       }
       assert(labels == expected, s"pairs=$pairs")
-    }
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 }
