@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-wide Janino cache defaults to 100 generated classes; ~90
+      // queries × several codegen stages each evict every entry before a
+      // warmed query runs again, so mid-run queries pay full recompilation
+      // (~5.5 s of the old 8.8 s ngram_jaccard was codegen, not data).
+      // Static conf — must be set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Untimed warm-up: the first queries otherwise pay one-time JVM costs

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus-statistics and mixture operators a large-scale training-data
+  * pipeline needs beyond per-document scoring (SURVEY.md §2.3): corpus
+  * vocabulary, n-gram frequency tables, passage-level exact dedup, and
+  * token-budgeted source mixing. All are explode + groupBy / window
+  * pipelines over built-in functions — one shuffle on the natural key,
+  * map-side partial aggregation everywhere, no driver-side data loops.
+  *
+  * Scale notes (100 TB):
+  *  - vocabulary/n-gram tables shuffle (token, partial-count) pairs, not
+  *    documents; the reduce side is vocabulary-sized, and the global
+  *    top-k is a TakeOrderedAndProject (per-partition heaps + driver
+  *    merge of k rows), never a global sort.
+  *  - passage dedup shuffles a 128-bit passage hash, never passage text.
+  *  - source mixing windows partition by source — per-source streams,
+  *    no global order.
+  */
+object CorpusOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  // ------------------------------------------------------------ vocabulary
+  /** Top-[[VocabTopK]] corpus vocabulary: occurrence count + document
+    * frequency per token. count + count(distinct doc) in one aggregate —
+    * Catalyst plans the distinct via expand + two-phase agg, still a
+    * single shuffle on the token key. Deterministic tiebreak on the
+    * token itself so the cut is stable across runs and engines. */
+  private[operators] val VocabTopK = 100
+
+  def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(VocabTopK)
+
+  // ---------------------------------------------------------- n-gram table
+  /** Bigram frequency table with a count cutoff — the language-model /
+    * tokenizer-training building block. Reuses the shingle pipeline at
+    * n=2 (same construction the oracle replicates token-for-token). */
+  private[operators] val BigramMinCount = 10
+  private[operators] val BigramTopK = 200
+
+  def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.shinglesOf(TextOps.normed(spark, sfDir), 2)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= BigramMinCount)
+      .select(col("sh").as("bigram"), col("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(BigramTopK)
+
+  // -------------------------------------------------------- passage dedup
+  /** Passage-level exact dedup (C4-style, over fixed windows instead of
+    * newlines — the corpus is single-line): chop each document into
+    * consecutive [[PassageTokens]]-token windows, hash each window, and
+    * report per-document how many of its passages also occur in some
+    * OTHER document. The passage md5 — never the passage text — is what
+    * shuffles, so the exchange rows are fixed-width regardless of
+    * document length. */
+  private[operators] val PassageTokens = 10
+
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = PassageTokens
+    val pass = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(cast(ceil(size(tokens) / $p.0) as int), 1)), " +
+          s"i -> md5(array_join(slice(tokens, (i - 1) * $p + 1, $p), ' ')))")).as("ph"))
+    val pdf = pass.groupBy(col("ph"))
+      .agg(count_distinct(col("doc_id")).as("pdf"))
+    pass.join(pdf, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pass"),
+        sum(when(col("pdf") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", round(col("n_dup") / col("n_pass"), 4))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- source mixing
+  /** Token-budgeted source mixing: deterministically (hash-ordered)
+    * admit documents per source until the source's token budget is
+    * exhausted — the domain-weighting step of training-set assembly.
+    * The running sum is a per-source window (partitionBy source), so at
+    * 100 TB each source streams independently; there is no global
+    * order anywhere. */
+  private[operators] val MixTokenBudget = 2500L
+
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        PipelineOps.keyHash("mix").as("hk"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("before") < MixTokenBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  // ----------------------------------------------------------------- wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_topk"    -> (vocabTopk _),
+    "bigram_counts" -> (bigramCounts _),
+    "passage_dedup" -> (passageDedup _),
+    "source_mix"    -> (sourceMix _))
+
+  val oracles: Map[String, String] = Map(
+    "vocab_topk" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn)
+        |SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        |FROM tk GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT $VocabTopK""".stripMargin,
+    "bigram_counts" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |bg AS (SELECT array_to_string(tokens[i:i+1], ' ') AS bigram FROM (
+        | SELECT tokens, unnest(generate_series(1, greatest(array_length(tokens) - 1, 1))) AS i
+        | FROM dtk) t)
+        |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        |HAVING count(*) >= $BigramMinCount
+        |ORDER BY cnt DESC, bigram LIMIT $BigramTopK""".stripMargin,
+    "passage_dedup" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |p AS MATERIALIZED (SELECT doc_id,
+        |  md5(array_to_string(tokens[(i-1)*$PassageTokens+1:(i-1)*$PassageTokens+$PassageTokens], ' ')) AS ph
+        | FROM (SELECT doc_id, tokens,
+        |   unnest(generate_series(1, greatest(CAST(ceil(array_length(tokens) / $PassageTokens.0) AS INT), 1))) AS i
+        |  FROM dtk) t),
+        |pdf AS (SELECT ph, count(DISTINCT doc_id) AS pdf FROM p GROUP BY ph)
+        |SELECT p.doc_id, count(*) AS n_pass,
+        | CAST(sum(CASE WHEN pdf.pdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | round(CAST(sum(CASE WHEN pdf.pdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+        |FROM p JOIN pdf ON pdf.ph = p.ph
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "source_mix" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |  CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |  ${PipelineOps.keyHashSql("mix")} AS hk
+        | FROM documents),
+        |r AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        |   PARTITION BY source ORDER BY hk, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+        |FROM r WHERE before < $MixTokenBudget
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -28,10 +28,10 @@ object TextOps {
 
   /** Whitespace-collapsed lowercase normalization — shared by the fuzzy
     * dedup family. */
-  private val normCol: Column =
+  private[operators] val normCol: Column =
     trim(regexp_replace(lower(col("text")), "\\s+", " "))
 
-  private def normed(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def normed(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id"), normCol.as("norm"))
 
   /** Occurrence count of `sub` in space-padded normalized text (leftmost
@@ -77,7 +77,7 @@ object TextOps {
   /** Shingles from an (optionally pre-persisted) normalized base — lets
     * multi-stage queries share ONE scan of `documents` across the shingle
     * and token pipelines. */
-  private def shinglesOf(normDf: DataFrame, n: Int): DataFrame =
+  private[operators] def shinglesOf(normDf: DataFrame, n: Int): DataFrame =
     normDf
       .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
       .select(col("doc_id"),
@@ -116,7 +116,7 @@ object TextOps {
     * callers that need set sizes (ngramJaccard's |A|/|B|, fed distinct
     * shingles) get them from THIS shuffle instead of aggregating the
     * shingle base a second time; callers that don't, drop the column. */
-  private def signatureFrom(sh: DataFrame): DataFrame = {
+  private[operators] def signatureFrom(sh: DataFrame): DataFrame = {
     // each seeded hash is computed ONCE in the projection; the per-piece
     // mins slice its chunks
     val hashed = sh.select(col("doc_id") +:
@@ -145,7 +145,7 @@ object TextOps {
   /** Band-bucket candidate pairs from a (pre-persisted) signature
     * DataFrame — the band self-join consumes the signature twice in one
     * job, so callers persist it first. */
-  private def candidatePairsFromSig(sig: DataFrame): DataFrame = {
+  private[operators] def candidatePairsFromSig(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
     val a = bands.as("a")
     val b = bands.as("b")
@@ -249,7 +249,44 @@ object TextOps {
     * contamination signal. The join itself is eval-side-bounded (the
     * eval split is a few percent of the corpus), grouped into per-pair
     * overlap counts — never an all-pairs comparison. */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    decontamFrom(spark, sfDir)((_, train) => train)
+
+  /** [[decontaminate]] with a Bloom prefilter on the train side: build a
+    * Bloom filter over the EVAL split's rare shingles (a few percent of
+    * the corpus — the small side by construction) and pre-drop every
+    * train shingle the filter rejects BEFORE the equi-join. False
+    * positives only pass extra rows into the exact join, so the result
+    * is bit-identical to the exact path (same oracle SQL) — but at
+    * 100 TB the filter removes the overwhelming majority of the
+    * train-side (doc, shingle) volume before it ever shuffles: the
+    * classic bloom-join shape for a small⋈huge containment check.
+    * Built with the public `DataFrameStatFunctions.bloomFilter`
+    * aggregate over `xxhash64(sh)` (treeAggregate of a
+    * `util.sketch.BloomFilter` — ~1.2 MB at 1M eval shingles at 1%
+    * fpp), probed with Spark's codegen'd [[BloomFilterMightContain]]
+    * expression on a foldable binary literal — the same sketch format
+    * Spark's own runtime row-group filtering uses, so the probe stays
+    * inside whole-stage codegen (no UDF in the scan path). */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame =
+    decontamFrom(spark, sfDir) { (eval, train) =>
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val n = math.max(eval.count(), 1L)
+      val bf = eval.select(xxhash64(col("sh")).as("h")).stat.bloomFilter("h", n, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = GraftColumnBridge.column(BloomFilterMightContain(
+        GraftColumnBridge.expression(lit(bos.toByteArray)),
+        GraftColumnBridge.expression(xxhash64(col("sh")))))
+      train.filter(probe)
+    }
+
+  /** Shared decontamination core. `prefilter(evalShingles, trainShingles)`
+    * may thin the train side (e.g. the Bloom prefilter) — it must only
+    * ever DROP rows that cannot join, never add or mutate. */
+  private def decontamFrom(spark: SparkSession, sfDir: String)(
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val bucket = PipelineOps.keyHash("spl") % 1000
     // distinct (doc, shingle) base feeds the df filter AND both join
     // sides — persist so the shingle pipeline runs once
@@ -259,8 +296,10 @@ object TextOps {
       .filter(col("df") <= DecontamMaxDf).select(col("sh"))
     val rare = sh.join(rareSh, Seq("sh"), "left_semi")
       .withColumn("bucket", bucket)
-    val overlaps = rare.filter(col("bucket") >= 950).as("e")
-      .join(rare.filter(col("bucket") < 900).as("t"), col("e.sh") === col("t.sh"))
+    val evalSh = rare.filter(col("bucket") >= 950)
+    val trainSh = prefilter(evalSh, rare.filter(col("bucket") < 900))
+    val overlaps = evalSh.as("e")
+      .join(trainSh.as("t"), col("e.sh") === col("t.sh"))
       .groupBy(col("e.doc_id").as("doc_id"), col("t.doc_id").as("train_id"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= DecontamMinOverlap)
@@ -648,6 +687,7 @@ object TextOps {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_groups"        -> (dedupGroups _),
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
@@ -663,7 +703,7 @@ object TextOps {
     "quality_filter"      -> (qualityFilter _),
     "fingerprint"         -> (fingerprint _))
 
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private def hitsSql(sub: String): String = {
     val esc = sub.replace("'", "''")
     s"CAST((length(padded) - length(replace(padded, '$esc', ''))) / ${sub.length} AS INTEGER)"
@@ -761,6 +801,35 @@ object TextOps {
       | SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
       | FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Exact decontamination oracle — shared verbatim by `decontaminate`
+    * and `decontaminate_bloom` (the Bloom prefilter cannot change the
+    * result, only the plan). */
+  private def decontamOracleSql: String =
+    s"""WITH dn AS (SELECT doc_id, $normSql AS norm FROM documents),
+      |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+      |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
+      | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM dtk) tt),
+      |rare AS MATERIALIZED (
+      | SELECT * FROM dsh WHERE sh IN (
+      |  SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= ${DecontamMaxDf})),
+      |bk AS MATERIALIZED (SELECT doc_id, ${PipelineOps.keyHashSql("spl")} % 1000 AS bucket FROM documents),
+      |ov AS (
+      | SELECT e.doc_id, t.doc_id AS train_id, count(*) AS overlap
+      | FROM rare e JOIN bk be ON be.doc_id = e.doc_id AND be.bucket >= 950
+      |  JOIN rare t ON t.sh = e.sh
+      |  JOIN bk bt ON bt.doc_id = t.doc_id AND bt.bucket < 900
+      | GROUP BY e.doc_id, t.doc_id HAVING count(*) >= ${DecontamMinOverlap}),
+      |best AS (SELECT doc_id, train_id AS contaminated_by, overlap FROM (
+      | SELECT ov.*, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, train_id) AS rn
+      | FROM ov) t WHERE rn = 1)
+      |SELECT d.doc_id, best.contaminated_by,
+      | CAST(coalesce(best.overlap, 0) AS BIGINT) AS overlap,
+      | CAST(best.contaminated_by IS NULL AS INT) AS clean
+      |FROM documents d
+      | JOIN bk ON bk.doc_id = d.doc_id AND bk.bucket >= 950
+      | LEFT JOIN best ON best.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, content_hash, lang, n_chars FROM (
@@ -779,31 +848,10 @@ object TextOps {
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
-    "decontaminate" ->
-      s"""WITH dn AS (SELECT doc_id, $normSql AS norm FROM documents),
-        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
-        |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
-        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM dtk) tt),
-        |rare AS MATERIALIZED (
-        | SELECT * FROM dsh WHERE sh IN (
-        |  SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= ${DecontamMaxDf})),
-        |bk AS MATERIALIZED (SELECT doc_id, ${PipelineOps.keyHashSql("spl")} % 1000 AS bucket FROM documents),
-        |ov AS (
-        | SELECT e.doc_id, t.doc_id AS train_id, count(*) AS overlap
-        | FROM rare e JOIN bk be ON be.doc_id = e.doc_id AND be.bucket >= 950
-        |  JOIN rare t ON t.sh = e.sh
-        |  JOIN bk bt ON bt.doc_id = t.doc_id AND bt.bucket < 900
-        | GROUP BY e.doc_id, t.doc_id HAVING count(*) >= ${DecontamMinOverlap}),
-        |best AS (SELECT doc_id, train_id AS contaminated_by, overlap FROM (
-        | SELECT ov.*, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, train_id) AS rn
-        | FROM ov) t WHERE rn = 1)
-        |SELECT d.doc_id, best.contaminated_by,
-        | CAST(coalesce(best.overlap, 0) AS BIGINT) AS overlap,
-        | CAST(best.contaminated_by IS NULL AS INT) AS clean
-        |FROM documents d
-        | JOIN bk ON bk.doc_id = d.doc_id AND bk.bucket >= 950
-        | LEFT JOIN best ON best.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "decontaminate" -> decontamOracleSql,
+    // bit-identical by construction (the Bloom prefilter only drops
+    // non-joining train rows) — the oracle is the exact-path SQL
+    "decontaminate_bloom" -> decontamOracleSql,
     "dedup_incremental" ->
       s"""WITH $bandsCtesSql,
         |m AS (SELECT n.doc_id, min(o.doc_id) AS matched_old

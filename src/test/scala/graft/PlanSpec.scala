@@ -58,6 +58,8 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       TextOps.ngramJaccard(spark, sf),
       TextOps.simhashNeardup(spark, sf),
       TextOps.decontaminate(spark, sf),
+      TextOps.decontaminateBloom(spark, sf),
+      operators.CorpusOps.passageDedup(spark, sf),
       SimilarityOps.embeddingNeardup(spark, sf))
       .foreach { df =>
         val p = plan(df)
@@ -81,6 +83,27 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("isFinalPlan=true"))
     assert(p.contains("BroadcastHashJoin"), s"labels join not broadcast at runtime:\n$p")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decontaminate_bloom probes the sketch inside the scan stage") {
+    // the bloom probe must sit on the train side BEFORE the shingle
+    // equi-join — as a codegen'd might_contain on the literal sketch,
+    // not a UDF and not after the shuffle
+    val p = plan(TextOps.decontaminateBloom(spark, sf))
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "bloom probe left whole-stage codegen")
+  }
+
+  test("vocab_topk takes the global top-k with per-partition heaps, not a global sort") {
+    val p = plan(operators.CorpusOps.vocabTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+  }
+
+  test("source_mix windows are partitioned by source, never one global partition") {
+    val p = plan(operators.CorpusOps.sourceMix(spark, sf))
+    assert(p.contains("hashpartitioning(source"), s"window not partitioned by source:\n$p")
+    assert(!p.contains("SinglePartition"), s"global single-partition window:\n$p")
   }
 
   test("topk_similarity scans without any pre-aggregation shuffle of the corpus") {
