@@ -71,11 +71,17 @@ object CorpusOps {
 
   def passageDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val p = PassageTokens
+    // the passage set feeds BOTH the doc-frequency aggregate and the
+    // join-back — persist it so the corpus is scanned (and the windows
+    // hashed) once, not once per consumer. ~3 % of corpus bytes: one
+    // 32-byte md5 per 10-token window.
     val pass = TextOps.normed(spark, sfDir)
       .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(cast(ceil(size(tokens) / $p.0) as int), 1)), " +
           s"i -> md5(array_join(slice(tokens, (i - 1) * $p + 1, $p), ' ')))")).as("ph"))
+      .persist()
+    pass.count()
     val pdf = pass.groupBy(col("ph"))
       .agg(count_distinct(col("doc_id")).as("pdf"))
     pass.join(pdf, Seq("ph"))

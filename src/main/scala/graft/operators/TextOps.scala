@@ -272,14 +272,17 @@ object TextOps {
     decontamFrom(spark, sfDir) { (eval, train) =>
       import org.apache.spark.sql.GraftColumnBridge
       import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-      val n = math.max(eval.count(), 1L)
-      val bf = eval.select(xxhash64(col("sh")).as("h")).stat.bloomFilter("h", n, 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val probe = GraftColumnBridge.column(BloomFilterMightContain(
-        GraftColumnBridge.expression(lit(bos.toByteArray)),
-        GraftColumnBridge.expression(xxhash64(col("sh")))))
-      train.filter(probe)
+      val n = eval.count()
+      if (n == 0) train.filter(lit(false)) // empty eval split: nothing can match
+      else {
+        val bf = eval.select(xxhash64(col("sh")).as("h")).stat.bloomFilter("h", n, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val probe = GraftColumnBridge.column(BloomFilterMightContain(
+          GraftColumnBridge.expression(lit(bos.toByteArray)),
+          GraftColumnBridge.expression(xxhash64(col("sh")))))
+        train.filter(probe)
+      }
     }
 
   /** Shared decontamination core. `prefilter(evalShingles, trainShingles)`
@@ -294,8 +297,12 @@ object TextOps {
     sh.count()
     val rareSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DecontamMaxDf).select(col("sh"))
+    // rare is consumed by BOTH split branches (and the bloom variant
+    // reads the eval branch three times: count, sketch build, join) —
+    // persist it so the df aggregate + semi-join run once, not per branch
     val rare = sh.join(rareSh, Seq("sh"), "left_semi")
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", bucket).persist()
+    rare.count()
     val evalSh = rare.filter(col("bucket") >= 950)
     val trainSh = prefilter(evalSh, rare.filter(col("bucket") < 900))
     val overlaps = evalSh.as("e")
