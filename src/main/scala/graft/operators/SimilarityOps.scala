@@ -278,6 +278,65 @@ object SimilarityOps {
       .limit(5)
   }
 
+  /** K-means cluster count and the Lloyd-round budget (1 update +
+    * reassignment). Both sides of the oracle are generated from these. */
+  private[operators] val KmeansK = 8
+
+  /** K-means corpus clustering over integer-quantized embeddings: K
+    * centroids seeded from the first K vectors' codes, one exact Lloyd
+    * update, final reassignment with L2² distances.
+    *
+    * Quantization (the [[embedQuantize]] int8 formula, codes carried as
+    * whole-number doubles) is what makes a DISTRIBUTED centroid update
+    * reproducible: per-dim sums of whole numbers stay exact in double
+    * arithmetic regardless of partitioning/order, so `sum/count` is
+    * bit-identical on any cluster AND in the single-threaded oracle —
+    * floating-point means would differ by summation order. Distances are
+    * composed from three sequential-fold dot products (the codegen'd
+    * [[graft.functions.DotProduct]]; DuckDB `list_dot_product` folds the
+    * same way), never a re-associated expression.
+    *
+    * Scale shape: assignment is corpus ⨯ broadcast(K centroids) with a
+    * map-side-combined min-struct aggregate — the shuffle carries ONE
+    * row per vector, and the corpus is never range/hash-exchanged; the
+    * update is a posexplode → (cid, dim) aggregate whose output is
+    * K×dims rows. Exactly the aggregateByKey k-means loop, one round. */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = vecs(spark, sfDir)
+      .select(col("vec_id"),
+        expr("array_max(transform(v, x -> abs(x)))").as("m"), col("v"))
+      .select(col("vec_id"),
+        expr("CASE WHEN m = 0D THEN transform(v, x -> 0D) " +
+          "ELSE transform(v, x -> cast(floor(x * 127 / m + 0.5) as double)) END")
+          .as("q"))
+      .persist()
+    q.count()
+    val c0 = q.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    // nearest centroid per vector: lexicographic min of (dist, cid[, q])
+    // — an associative aggregate (map-side combine collapses the K
+    // centroid rows before the exchange), not a window over a shuffle
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cid"),
+          round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+            .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("q"))).as("s"))
+        .select(col("vec_id"), col("s.q").as("q"),
+          col("s.cid").as("cid"), col("s.dist").as("dist"))
+    val c1 = assign(c0)
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).as("cd"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)")
+        .as("c"))
+    assign(c1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_norms"        -> (embedNorms _),
     "topk_similarity"    -> (topkSimilarity _),
@@ -286,7 +345,8 @@ object SimilarityOps {
     "embed_quantize"     -> (embedQuantize _),
     "ann_recall"         -> (annRecall _),
     "ann_lsh"            -> (annLsh _),
-    "ann_ivf"            -> (annIvf _))
+    "ann_ivf"            -> (annIvf _),
+    "kmeans_assign"      -> (kmeansAssign _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -451,5 +511,29 @@ object SimilarityOps {
         |SELECT a.vec_id, a.cid, round(${cosSql("a.v", "pv.p")}, 6) AS cos
         |FROM assigned a JOIN probe_lists ON a.cid = probe_cid, pv
         |WHERE a.vec_id <> 0
-        |ORDER BY cos DESC, a.vec_id LIMIT 5""".stripMargin)
+        |ORDER BY cos DESC, a.vec_id LIMIT 5""".stripMargin,
+    "kmeans_assign" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |qq AS MATERIALIZED (SELECT vec_id,
+        |  CASE WHEN m = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |   ELSE list_transform(v, x -> CAST(floor(x * 127 / m + 0.5) AS DOUBLE)) END AS qv
+        | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v) t),
+        |c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
+        |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
+        | SELECT qq.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+        | FROM qq, c0 c) t WHERE rn = 1),
+        |upd AS (SELECT cid, i - 1 AS dim, sum(qv[i]) / count(*) AS cd
+        | FROM a1 JOIN qq USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) s
+        | WHERE i <= array_length(qv)
+        | GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM upd GROUP BY cid)
+        |SELECT vec_id, cid AS cluster, dist FROM (
+        | SELECT qq.vec_id, c.cid,
+        |  round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6) AS dist,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+        | FROM qq, c1 c) t WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)
 }

@@ -74,4 +74,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     val bloom = TextOps.decontaminateBloom(spark, sf).collect().toSeq
     assert(bloom == exact)
   }
+
+  test("kmeans_assign matches a single-threaded reference Lloyd round exactly") {
+    // independent reimplementation in plain Scala (same sequential fold
+    // order as the codegen'd DotProduct): quantize → seed K centroids →
+    // assign → exact mean update → reassign. The distributed aggregate
+    // must land on the SAME labels and distances — whole-number sums are
+    // order-independent, so any partitioning gives the reference answer.
+    import graft.operators.SimilarityOps
+    val raw = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val q = raw.map { case (id, v) =>
+      val m = v.map(math.abs).max
+      id -> (if (m == 0.0) v.map(_ => 0.0)
+             else v.map(x => math.floor(x * 127 / m + 0.5)))
+    }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      q.map { case (id, vq) =>
+        id -> cents.map { case (cid, c) =>
+          (round6(dot(vq, vq) - 2 * dot(vq, c) + dot(c, c)), cid)
+        }.min.swap
+      }.toMap
+    val c0 = q.filter(_._1 < 8).map { case (id, vq) => (id, vq) }.toSeq
+    val a1 = assign(c0)
+    val c1 = a1.toSeq.groupBy(_._2._1).map { case (cid, members) =>
+      val vs = members.map(m => q.find(_._1 == m._1).get._2)
+      cid -> vs.transpose.map(ds => ds.sum / ds.length).toArray
+    }.toSeq
+    val expected = assign(c1)
+    val got = SimilarityOps.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (cl, dist)) =>
+      assert((cl, dist) == expected(id),
+        s"vec $id: got ($cl, $dist), reference ${expected(id)}")
+    }
+  }
 }

@@ -106,6 +106,16 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("SinglePartition"), s"global single-partition window:\n$p")
   }
 
+  test("kmeans_assign combines map-side: centroids broadcast, one row per vector shuffles") {
+    val p = plan(operators.SimilarityOps.kmeansAssign(spark, sf))
+    // both assignment rounds: corpus ⨯ broadcast(K centroids), nearest
+    // centroid folded by a partial min BEFORE the vec_id exchange — the
+    // shuffle carries one row per vector, never K
+    assert("partial_min".r.findAllIn(p).size == 2, s"missing map-side min:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join appeared:\n$p")
+  }
+
   test("topk_similarity scans without any pre-aggregation shuffle of the corpus") {
     val p = plan(SimilarityOps.topkSimilarity(spark, sf))
     // scan → project(dot) → top-k: the only exchanges are the final
