@@ -59,6 +59,31 @@ object EventSource {
       .csv(path)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** Columnar ORC round-trip — the second columnar at-rest format (ORC
+    * ships with Spark; same predicate-pushdown and column-pruning
+    * properties as parquet, so every operator runs unchanged on either
+    * layout). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Bucketed table layout: pre-shuffle the data ONCE at write time so
+    * every later equi-join/aggregation on the bucket key is
+    * exchange-free — the canonical way to amortize the dominant shuffle
+    * across the many queries of a 100 TB pipeline. The table is
+    * registered external at `path` (bucket metadata lives in the
+    * session catalog; `sortBy` additionally pre-sorts each bucket file
+    * so sort-merge joins skip their sort). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, key: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Streaming file source over the canonical schema — the engine's
     * stand-in for the reference's socket subscription when replaying
     * at-rest data (used by tests and backfills; the live topic source

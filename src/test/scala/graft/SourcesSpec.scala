@@ -44,23 +44,29 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(back.count() == events.count())
   }
 
-  test("bucketed tables co-locate joins: no shuffle exchange on the join key") {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+  test("ORC round-trip preserves rows and microsecond timestamps") {
     val events = EventSource.parquet(spark, sf)
+    val out = tempDir("orc")
+    EventSource.writeOrc(events, out)
+    val back = EventSource.readOrc(spark, out)
+    assert(back.schema.fieldNames.sameElements(events.schema.fieldNames))
+    assert(back.count() == events.count())
+    assert(back.agg(sum(unix_micros(col("ts")))).head().getLong(0) ==
+      events.agg(sum(unix_micros(col("ts")))).head().getLong(0))
+    // columnar pushdown works on ORC like parquet
+    val plan = back.filter(col("event_id") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,42)"), plan)
+  }
+
+  test("bucketed tables co-locate joins: no shuffle exchange on the join key") {
+    val events = EventSource.parquet(spark, sf)
+    // external table at a fresh path: the in-memory catalog dies with
+    // the JVM but a warehouse-relative location would survive and block
+    // the next CREATE — an explicit temp path sidesteps both
     spark.sql("DROP TABLE IF EXISTS events_bucketed")
-    // a fresh metastore doesn't know about last JVM's table, but its
-    // directory survives and blocks CREATE — clear the location too
-    val loc = new java.io.File(new java.net.URI(warehouse).getPath, "events_bucketed")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
-    events.write.mode("overwrite")
-      .bucketBy(8, "user_id").sortBy("user_id")
-      .saveAsTable("events_bucketed")
+    EventSource.writeBucketed(events, "events_bucketed", tempDir("bucketed"),
+      buckets = 8, key = "user_id")
     val t = spark.table("events_bucketed")
     val joined = t.as("a").join(t.as("b"), "user_id")
       .groupBy("user_id").count()
@@ -70,7 +76,6 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 0, s"expected bucket-co-located join, got:\n$plan")
     assert(joined.count() > 0)
-    assert(warehouse != null)
   }
 
   test("streaming file source replays at-rest data through the consumer") {
