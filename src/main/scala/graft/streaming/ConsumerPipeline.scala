@@ -25,6 +25,34 @@ object ConsumerPipeline {
   case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** Stream-stream correlation join: pair each `leftTopic` event with
+    * the `rightTopic` events of the same user that arrive within
+    * `within` after it — the reference's request/reply correlation
+    * (`channel_client.ex:196-224` matches replies to requests by ref
+    * within a timeout) re-expressed as a watermarked interval join.
+    *
+    * Scale contract: BOTH sides carry a watermark and the join condition
+    * bounds event time in BOTH directions, so Spark's state store evicts
+    * every row older than watermark − interval — state is
+    * O(rate × (watermark + within)), never unbounded. The join itself
+    * shuffles on user_id like any equi-join; the time-range predicate
+    * filters inside the matched key group. */
+  def correlate(events: DataFrame, leftTopic: String, rightTopic: String,
+      watermark: String = "10 minutes", within: String = "5 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftTopic)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightTopic)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Metadata enrichment, streaming form — same derivations and schema as
     * the batch `EventOps.emitEnrich` (deterministic uuid/cid; created_at
     * from event time, never the wall clock; partition from the shared

@@ -51,6 +51,34 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .head().getString(0) == "event:error")
   }
 
+  test("stream-stream correlate joins within the interval and matches the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      RawEvent(1L, ts(0), 7L, "request", 1.0, "{}"),
+      RawEvent(2L, ts(2), 7L, "reply", 1.0, "{}"),   // +2 min: inside 5-min window
+      RawEvent(3L, ts(10), 7L, "reply", 1.0, "{}"),  // +10 min: outside
+      RawEvent(4L, ts(1), 8L, "request", 1.0, "{}"),
+      RawEvent(5L, ts(3), 9L, "reply", 1.0, "{}"),   // no request for user 9
+      RawEvent(6L, ts(20), 7L, "view", 1.0, "{}"))   // watermark driver
+    val stream = MemoryStream[RawEvent]
+    val joined = ConsumerPipeline.correlate(stream.toDF(), "request", "reply")
+    val q = joined.writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("corr_out").select("l_id", "r_id")
+      .as[(Long, Long)].collect().toSet
+    // only (request 1, reply 2) pairs: same user, within 5 minutes
+    assert(got == Set((1L, 2L)))
+    // identical semantics to the batch interval join over the same rows
+    val batch = ConsumerPipeline.correlate(data.toDF(), "request", "reply")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("sink is idempotent under micro-batch replay (crash between commit and checkpoint)") {
     val events = graft.model.Tables.events(spark, sf)
     val stage = tempDir("stage")
