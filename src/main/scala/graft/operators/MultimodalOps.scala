@@ -261,10 +261,59 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Locate the `data` chunk's payload offset with the same RIFF walk
+    * as [[decodeWavMeta]] — frame sampling must find the bytes by
+    * parsing, never by assuming the canonical 44-byte layout. */
+  private[graft] def wavDataOffset(payload: Array[Byte]): Int = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    while (i + 8 <= payload.length) {
+      val id = new String(payload, i, 4, "US-ASCII")
+      val sz = buf.getInt(i + 4)
+      if (id == "data") return i + 8
+      i += 8 + sz + (sz % 2)
+    }
+    throw new IllegalArgumentException("WAV without data chunk")
+  }
+
+  case class AudioFrames(doc_id: Long, n_frames: Long, n_sampled: Long,
+      sum_amp: Long)
+
+  private[graft] val FrameStride = 10
+
+  /** Frame sampling over REAL decoded PCM: walk to the data chunk, read
+    * every [[FrameStride]]-th frame's channel-0 16-bit LE sample, and
+    * aggregate count + exact amplitude sum — the media tier's
+    * feature-extraction shape (strided decode inside mapPartitions, a
+    * local byte scan per document; nothing shuffles until the
+    * presentation sort). The oracle re-derives the sampled amplitudes
+    * arithmetically from the synthesis formula, so an offset, stride,
+    * or endianness bug in the sampler breaks the hash match. */
+  def audioFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir).mapPartitions(_.map { row =>
+      val (rate, channels, bits, dataLen) = decodeWavMeta(row.payload)
+      val off = wavDataOffset(row.payload)
+      val block = channels * bits / 8
+      val nFrames = dataLen / block
+      val buf = java.nio.ByteBuffer.wrap(row.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var f = 0; var sampled = 0L; var sum = 0L
+      while (f < nFrames) {
+        sum += buf.getShort(off + f * block).toLong
+        sampled += 1
+        f += FrameStride
+      }
+      AudioFrames(row.doc_id, nFrames.toLong, sampled, sum)
+    }).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "image_meta"      -> (imageMeta _),
-    "audio_meta"      -> (audioMeta _))
+    "audio_meta"      -> (audioMeta _),
+    "audio_frame_sample" -> (audioFrameSample _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -303,5 +352,21 @@ object MultimodalOps {
         |  CAST(16 AS INTEGER) AS bits,
         |  CAST(doc_id % 100 + 1 AS INTEGER) AS n_samples
         | FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // re-derives every SAMPLED 16-bit LE amplitude from the synthesis
+    // formula (data byte j = j % 251): lo + 256*hi reinterpreted signed
+    "audio_frame_sample" ->
+      s"""WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames,
+        |  (doc_id % 2 + 1) * 2 AS block
+        | FROM documents),
+        |s AS (SELECT doc_id, n_frames, fr,
+        |  (fr * block) % 251 AS lo, (fr * block + 1) % 251 AS hi
+        | FROM (SELECT doc_id, n_frames, block,
+        |   unnest(generate_series(0, 99)) AS fr FROM p) t
+        | WHERE fr < n_frames AND fr % $FrameStride = 0)
+        |SELECT doc_id, n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(sum(CASE WHEN lo + 256 * hi >= 32768
+        |  THEN lo + 256 * hi - 65536 ELSE lo + 256 * hi END) AS BIGINT) AS sum_amp
+        |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)
 }

@@ -327,6 +327,29 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     meta.unpersist()
   }
 
+  test("audio frame sampling reads the strided PCM amplitudes exactly") {
+    // reference recompute straight from the synthesized bytes
+    val (rate, ch, n) = (16000, 2, 43)
+    val wav = MultimodalOps.synthWav(rate, ch, n)
+    val off = MultimodalOps.wavDataOffset(wav)
+    assert(off == 44) // canonical layout, found by walking, not assumed
+    val buf = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val expected = (0 until n by MultimodalOps.FrameStride)
+      .map(f => buf.getShort(off + f * ch * 2).toLong).sum
+    // distributed op agrees doc-by-doc with its own formula
+    val out = MultimodalOps.audioFrameSample(spark, sf).cache()
+    assert(out.count() == graft.model.Tables.documents(spark, sf).count())
+    assert(out.filter(col("n_sampled") =!=
+      expr(s"cast(ceil(n_frames / ${MultimodalOps.FrameStride}.0) as bigint)"))
+      .count() == 0)
+    out.unpersist()
+    assert(expected == (0 until n by MultimodalOps.FrameStride)
+      .map(f => (f * ch * 2 % 251) + 256 * ((f * ch * 2 + 1) % 251))
+      .map(v => if (v >= 32768) v - 65536L else v.toLong).sum,
+      "oracle formula diverges from the real bytes")
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
