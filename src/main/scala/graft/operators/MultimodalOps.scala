@@ -179,6 +179,86 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  // ------------------------------------------------- real pixel pipeline
+  /** Fully decodable PNG: IHDR + IDAT carrying real deflated truecolor
+    * scanlines (filter None) + IEND. Pixel (x, y) channels follow a
+    * deterministic formula — (x+y, 2x+y, x+2y) mod 251 — so downstream
+    * pixel arithmetic is independently derivable by the oracle. Any
+    * conformant reader (javax.imageio included) decodes these bytes. */
+  private[graft] def synthPngPixels(w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte]((w * 3 + 1) * h)
+    var idx = 0
+    (0 until h).foreach { y =>
+      raw(idx) = 0; idx += 1 // per-scanline filter byte: None
+      (0 until w).foreach { x =>
+        raw(idx) = ((x + y) % 251).toByte
+        raw(idx + 1) = ((2 * x + y) % 251).toByte
+        raw(idx + 2) = ((x + 2 * y) % 251).toByte
+        idx += 3
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, pix_sum: Long)
+
+  /** REAL image decode + nearest-neighbor 2× downsample: javax.imageio
+    * inflates and unfilters the PNG, then the resize picks pixel
+    * (2i, 2j) for output (i, j) — explicit NN, not getScaledInstance,
+    * because the oracle must reproduce every kept pixel. `pix_sum` is
+    * the exact channel sum over the RESIZED image: a wrong inflate,
+    * unfilter, stride, or channel order changes it. Dimensions are kept
+    * small (≤33×25) so the oracle's per-pixel arithmetic stays cheap at
+    * every SF; the Spark-side shape (binary column → mapPartitions
+    * decode, decoder init amortized per partition, map-only until the
+    * presentation sort) is the one a real 100 TB media pipeline runs. */
+  def imageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(synthPngPixels(w, h)))
+        require(img != null && img.getWidth == w && img.getHeight == h,
+          s"decode failed for doc $id")
+        val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+        var sum = 0L
+        var j = 0
+        while (j < oh) {
+          var i = 0
+          while (i < ow) {
+            val rgb = img.getRGB(2 * i, 2 * j)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            i += 1
+          }
+          j += 1
+        }
+        ResizedImage(id, w, h, ow, oh, sum)
+      }).toDF().orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- real audio decode
   /** One decoded audio row: real metadata parsed from real WAV bytes. */
   case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
@@ -313,7 +393,8 @@ object MultimodalOps {
     "multimodal_meta" -> (multimodalMeta _),
     "image_meta"      -> (imageMeta _),
     "audio_meta"      -> (audioMeta _),
-    "audio_frame_sample" -> (audioFrameSample _))
+    "audio_frame_sample" -> (audioFrameSample _),
+    "image_resize"    -> (imageResize _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -368,5 +449,24 @@ object MultimodalOps {
         |SELECT doc_id, n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
         | CAST(sum(CASE WHEN lo + 256 * hi >= 32768
         |  THEN lo + 256 * hi - 65536 ELSE lo + 256 * hi END) AS BIGINT) AS sum_amp
-        |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)
+        |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
+    // re-derives every RESIZED pixel from the synthesis pattern: output
+    // (i,j) keeps input (2i,2j), whose channels are
+    // (x+y, 2x+y, x+2y) mod 251 — a wrong inflate/unfilter/stride/
+    // channel order on the Spark side breaks the sum
+    "image_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 32 + 2 AS INTEGER) AS in_w,
+        |  CAST(doc_id % 24 + 2 AS INTEGER) AS in_h FROM documents),
+        |d AS (SELECT doc_id, in_w, in_h,
+        |  CAST((in_w + 1) // 2 AS INTEGER) AS out_w,
+        |  CAST((in_h + 1) // 2 AS INTEGER) AS out_h FROM p),
+        |px AS (SELECT doc_id, in_w, in_h, out_w, out_h, i, j
+        | FROM d, (SELECT unnest(generate_series(0, 16)) AS i) si,
+        |      (SELECT unnest(generate_series(0, 12)) AS j) sj
+        | WHERE i < out_w AND j < out_h)
+        |SELECT doc_id, in_w, in_h, out_w, out_h,
+        | CAST(sum((2*i + 2*j) % 251 + (4*i + 2*j) % 251 + (2*i + 4*j) % 251) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY doc_id, in_w, in_h, out_w, out_h
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -327,6 +327,25 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     meta.unpersist()
   }
 
+  test("pixel-bearing PNG decodes with javax.imageio and resizes to the exact pattern") {
+    val (w, h) = (7, 5)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.synthPngPixels(w, h)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    // every pixel round-trips the synthesis formula through deflate +
+    // filter + sRGB — not just the summary statistic
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == (x + y) % 251, s"r at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == (2 * x + y) % 251, s"g at ($x,$y)")
+      assert((rgb & 0xff) == (x + 2 * y) % 251, s"b at ($x,$y)")
+    }
+    val out = MultimodalOps.imageResize(spark, sf)
+    assert(out.count() == graft.model.Tables.documents(spark, sf).count())
+    assert(out.filter(col("out_w") =!= expr("cast((in_w + 1) / 2 as int)") ||
+      col("out_h") =!= expr("cast((in_h + 1) / 2 as int)")).count() == 0)
+  }
+
   test("audio frame sampling reads the strided PCM amplitudes exactly") {
     // reference recompute straight from the synthesized bytes
     val (rate, ch, n) = (16000, 2, 43)
