@@ -63,6 +63,18 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE desugar to:
+    * per-flag totals, per-status totals, and the grand total in one
+    * pass (Catalyst expands once and aggregates map-side, same as
+    * rollup — never three scans). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** CUBE over event type × day. */
   def aggCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -301,6 +313,7 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (q1Agg _),
     "agg_rollup"       -> (aggRollup _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube"         -> (aggCube _),
     "distinct_count"   -> (distinctCount _),
     "approx_distinct"  -> (approxDistinct _),
@@ -338,6 +351,12 @@ object RelationalOps {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,

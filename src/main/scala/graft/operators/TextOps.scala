@@ -332,6 +332,31 @@ object TextOps {
     * the shingle pipeline runs exactly once per query instead of once per
     * consumer (round-2 verdict: the per-stage rebuild made this query
     * 49% of the whole bench). */
+  /** Prefix window for the character-level verify tier: full-document
+    * Levenshtein is O(len²) per pair — unbounded at 100 TB — so the
+    * standard practice is a fixed window (or banded DP); 64 chars keeps
+    * per-pair work constant while still separating near-dups from
+    * band-collision noise. */
+  private[graft] val EditPrefix = 64
+
+  /** Character-level verify tier over the LSH candidate pairs: exact
+    * Levenshtein distance between the documents' normalized-text
+    * prefixes. Complements the set-based `ngram_jaccard` verify (order-
+    * insensitive) with an order-SENSITIVE signal; cost is candidate-
+    * bounded like every verify stage — never an all-pairs scan, and the
+    * DP window caps per-pair work at [[EditPrefix]]². */
+  def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = normed(spark, sfDir)
+      .select(col("doc_id"), substring(col("norm"), 1, EditPrefix).as("prefix"))
+    val cand = candidatePairsFrom(shingles(spark, sfDir, 3))
+    cand
+      .join(nb.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(nb.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na.prefix"), col("nb.prefix")).as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val s3 = shingles(spark, sfDir, 3).distinct().persist()
     s3.count()
@@ -698,6 +723,7 @@ object TextOps {
     "dedup_groups"        -> (dedupGroups _),
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
+    "edit_distance_pairs" -> (editDistancePairs _),
     "simhash"             -> (simhash _),
     "simhash_neardup"     -> (simhashNeardup _),
     "tf_embedding"        -> (tfEmbedding _),
@@ -890,6 +916,15 @@ object TextOps {
         |groups AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id)
         |SELECT group_id AS doc_id, CAST(count(*) AS BIGINT) AS group_sz
         |FROM groups GROUP BY group_id ORDER BY doc_id""".stripMargin,
+    "edit_distance_pairs" ->
+      s"""WITH $candCtesSql,
+        |pre AS (SELECT doc_id, substr($normSql, 1, $EditPrefix) AS prefix FROM documents)
+        |SELECT c.doc_a, c.doc_b,
+        | CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+        |FROM cand c
+        | JOIN pre a ON a.doc_id = c.doc_a
+        | JOIN pre b ON b.doc_id = c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $candCtesSql,
         |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),

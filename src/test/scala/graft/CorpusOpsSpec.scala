@@ -75,6 +75,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     assert(bloom == exact)
   }
 
+  test("edit_distance_pairs: zero for exact clones, symmetric-bounded for all") {
+    val out = TextOps.editDistancePairs(spark, sf).cache()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val withTexts = out
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+    // identical text ⇒ distance 0; and distance never exceeds the window
+    assert(withTexts.filter(col("ta") === col("tb") && col("edit_dist") =!= 0)
+      .count() == 0)
+    assert(out.filter(col("edit_dist") < 0 ||
+      col("edit_dist") > graft.operators.TextOps.EditPrefix).count() == 0)
+    out.unpersist()
+  }
+
   test("kmeans_assign matches a single-threaded reference Lloyd round exactly") {
     // independent reimplementation in plain Scala (same sequential fold
     // order as the codegen'd DotProduct): quantize → seed K centroids →

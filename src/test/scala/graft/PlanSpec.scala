@@ -59,6 +59,7 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       TextOps.simhashNeardup(spark, sf),
       TextOps.decontaminate(spark, sf),
       TextOps.decontaminateBloom(spark, sf),
+      TextOps.editDistancePairs(spark, sf),
       operators.CorpusOps.passageDedup(spark, sf),
       SimilarityOps.embeddingNeardup(spark, sf))
       .foreach { df =>
