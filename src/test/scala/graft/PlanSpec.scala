@@ -107,6 +107,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("SinglePartition"), s"global single-partition window:\n$p")
   }
 
+  test("agg_grouping_sets is one scan + Expand, never one scan per set") {
+    val p = plan(RelationalOps.aggGroupingSets(spark, sf))
+    assert(p.contains("Expand"), s"no Expand in plan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected a single scan:\n$p")
+    assert(p.contains("partial_count"), "aggregation lost its map-side phase")
+  }
+
   test("kmeans_assign combines map-side: centroids broadcast, one row per vector shuffles") {
     val p = plan(operators.SimilarityOps.kmeansAssign(spark, sf))
     // both assignment rounds: corpus ⨯ broadcast(K centroids), nearest
