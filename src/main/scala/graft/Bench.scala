@@ -32,7 +32,9 @@ object Bench {
       if (d.isDirectory) d.toString else sfDir
     }
     Seq("limit_offset", "sessionize", "ngram_jaccard", "dedup_canonical",
-        "doc_embed_similarity", "embedding_neardup", "ann_lsh")
+        "doc_embed_similarity", "embedding_neardup", "ann_lsh",
+        "decontaminate", "decontaminate_bloom", "edit_distance_pairs",
+        "image_resize", "kmeans_assign", "passage_dedup")
       .foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try { fn(spark, warmSf).count() } catch { case _: Throwable => () }
