@@ -203,6 +203,36 @@ object AnalyticOps {
       .filter(col("n") >= 250)
       .orderBy("user_id")
 
+  /** JSON-path extraction over the schemaless `props` payload — the
+    * reference's events carry arbitrary JSON (`lib/hivent/event.ex`
+    * payload), and payload-predicate queries are the first thing a
+    * consumer writes. `get_json_object` is codegen'd; a missing path
+    * yields NULL, never an error. */
+  def jsonPathPack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"),
+      get_json_object(col("props"), "$.missing").as("absent"))
+      .orderBy("event_id")
+
+  /** Value-window pack: first/last/nth/cumulative-distribution over a
+    * deterministic per-type order — completes the window-function
+    * family next to the ranking pack (`rank_quartiles`) and the frame
+    * pack (`trailing_window`). */
+  def windowPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir).select(
+      col("event_type"), col("event_id"),
+      first(col("event_id")).over(w).as("first_id"),
+      last(col("event_id")).over(wAll).as("last_id"),
+      nth_value(col("event_id"), 2).over(w).as("second_id"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
@@ -210,6 +240,8 @@ object AnalyticOps {
     "rank_quartiles"   -> (rankQuartiles _),
     "string_collect"   -> (stringCollect _),
     "scalar_pack"      -> (scalarPack _),
+    "json_path_pack"   -> (jsonPathPack _),
+    "window_pack"      -> (windowPack _),
     "range_join"       -> (rangeJoin _),
     "above_avg_filter" -> (aboveAvgFilter _),
     "salted_agg"       -> (saltedAgg _),
@@ -251,6 +283,23 @@ object AnalyticOps {
     "string_collect" ->
       """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "json_path_pack" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        | json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_pack" ->
+      """SELECT event_type, event_id,
+        | first_value(event_id) OVER w AS first_id,
+        | last_value(event_id) OVER
+        |  (PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id,
+        | nth_value(event_id, 2) OVER w AS second_id,
+        | round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "scalar_pack" ->
       """SELECT event_id,
         | upper(event_type) AS type_upper,
