@@ -237,7 +237,14 @@ object MultimodalOps {
   def imageResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it =>
+        // ImageIO's default stream cache backs every read with a temp
+        // FILE (create/write/delete per image) — per-row filesystem I/O
+        // that would be charged to "decode", and a hard failure on a
+        // host with an unwritable tmpdir. Decode from memory (the
+        // per-partition init this mapPartitions exists to amortize).
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
         val (w, h) = (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(synthPngPixels(w, h)))
@@ -256,7 +263,8 @@ object MultimodalOps {
           j += 1
         }
         ResizedImage(id, w, h, ow, oh, sum)
-      }).toDF().orderBy("doc_id")
+      }
+    }.toDF().orderBy("doc_id")
   }
 
   // ---------------------------------------------------- real audio decode
@@ -291,26 +299,35 @@ object MultimodalOps {
     * `data`. Returns (sampleRate, channels, bits, dataLen); throws on
     * malformed bytes — quarantine, not pass. */
   private[graft] def decodeWavMeta(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val (rate, channels, bits, dataLen, _) = decodeWav(payload)
+    (rate, channels, bits, dataLen)
+  }
+
+  /** The single RIFF walk behind both the metadata and frame-sampling
+    * paths: (sampleRate, channels, bits, dataLen, dataOffset). One walk
+    * per payload — callers needing several fields destructure once. */
+  private def decodeWav(payload: Array[Byte]): (Int, Int, Int, Int, Int) = {
     require(payload.length >= 44 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
       new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE stream")
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var (i, rate, channels, bits, dataLen) = (12, -1, -1, -1, -1)
+    var (i, rate, channels, bits, dataLen, dataOff) = (12, -1, -1, -1, -1, -1)
     while (i + 8 <= payload.length) {
       val id = new String(payload, i, 4, "US-ASCII")
       val sz = buf.getInt(i + 4)
+      require(sz >= 0, "negative RIFF chunk size") // malformed: no spin
       if (id == "fmt ") {
         require(buf.getShort(i + 8) == 1, "not PCM")
         channels = buf.getShort(i + 10)
         rate = buf.getInt(i + 12)
         bits = buf.getShort(i + 22)
-      } else if (id == "data") dataLen = sz
+      } else if (id == "data") { dataLen = sz; dataOff = i + 8 }
       i += 8 + sz + (sz % 2) // RIFF chunks are word-aligned
     }
     require(rate > 0 && channels > 0 && bits > 0 && dataLen >= 0,
       "WAV without fmt/data chunks")
-    (rate, channels, bits, dataLen)
+    (rate, channels, bits, dataLen, dataOff)
   }
 
   private[graft] val WavRates = Seq(8000, 16000, 22050, 44100)
@@ -341,21 +358,11 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
-  /** Locate the `data` chunk's payload offset with the same RIFF walk
-    * as [[decodeWavMeta]] — frame sampling must find the bytes by
-    * parsing, never by assuming the canonical 44-byte layout. */
-  private[graft] def wavDataOffset(payload: Array[Byte]): Int = {
-    val buf = java.nio.ByteBuffer.wrap(payload)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var i = 12
-    while (i + 8 <= payload.length) {
-      val id = new String(payload, i, 4, "US-ASCII")
-      val sz = buf.getInt(i + 4)
-      if (id == "data") return i + 8
-      i += 8 + sz + (sz % 2)
-    }
-    throw new IllegalArgumentException("WAV without data chunk")
-  }
+  /** The `data` chunk's payload offset, found by the shared RIFF walk —
+    * frame sampling must find the bytes by parsing, never by assuming
+    * the canonical 44-byte layout. */
+  private[graft] def wavDataOffset(payload: Array[Byte]): Int =
+    decodeWav(payload)._5
 
   case class AudioFrames(doc_id: Long, n_frames: Long, n_sampled: Long,
       sum_amp: Long)
@@ -373,8 +380,7 @@ object MultimodalOps {
   def audioFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     audioTable(spark, sfDir).mapPartitions(_.map { row =>
-      val (rate, channels, bits, dataLen) = decodeWavMeta(row.payload)
-      val off = wavDataOffset(row.payload)
+      val (rate, channels, bits, dataLen, off) = decodeWav(row.payload)
       val block = channels * bits / 8
       val nFrames = dataLen / block
       val buf = java.nio.ByteBuffer.wrap(row.payload)

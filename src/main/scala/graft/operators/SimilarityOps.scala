@@ -315,24 +315,34 @@ object SimilarityOps {
       .select(col("vec_id").as("cid"), col("q").as("c"))
     // nearest centroid per vector: lexicographic min of (dist, cid[, q])
     // — an associative aggregate (map-side combine collapses the K
-    // centroid rows before the exchange), not a window over a shuffle
-    def assign(cents: DataFrame): DataFrame =
-      q.crossJoin(broadcast(cents))
+    // centroid rows before the exchange), not a window over a shuffle.
+    // Only the update round needs the vector back out of the aggregate;
+    // the final round shuffles just (dist, cid) per vector, not the
+    // ~512-byte code array it would immediately drop.
+    def assign(cents: DataFrame, keepQ: Boolean): DataFrame = {
+      val scored = q.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("q"), col("cid"),
           round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
             .as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"), col("q"))).as("s"))
-        .select(col("vec_id"), col("s.q").as("q"),
+      val key =
+        if (keepQ) struct(col("dist"), col("cid"), col("q"))
+        else struct(col("dist"), col("cid"))
+      val agged = scored.groupBy(col("vec_id")).agg(min(key).as("s"))
+      if (keepQ)
+        agged.select(col("vec_id"), col("s.q").as("q"),
           col("s.cid").as("cid"), col("s.dist").as("dist"))
-    val c1 = assign(c0)
+      else
+        agged.select(col("vec_id"), col("s.cid").as("cid"),
+          col("s.dist").as("dist"))
+    }
+    val c1 = assign(c0, keepQ = true)
       .select(col("cid"), posexplode(col("q")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(col("col")) / count(lit(1))).as("cd"))
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)")
         .as("c"))
-    assign(c1)
+    assign(c1, keepQ = false)
       .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
       .orderBy("vec_id")
   }
@@ -462,7 +472,7 @@ object SimilarityOps {
         | CASE WHEN m = 0.0 THEN CAST(0 AS BIGINT)
         |  ELSE CAST(floor(v[i] * 127 / m + 0.5) AS BIGINT) END AS qval,
         | m AS scale
-        |FROM mv, (SELECT unnest(generate_series(1, 64)) AS i) s
+        |FROM mv, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM mv))) AS i) s
         |WHERE i <= array_length(v)
         |ORDER BY vec_id, dim""".stripMargin,
     "ann_lsh" ->
@@ -525,7 +535,8 @@ object SimilarityOps {
         |   round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6), c.cid) AS rn
         | FROM qq, c0 c) t WHERE rn = 1),
         |upd AS (SELECT cid, i - 1 AS dim, sum(qv[i]) / count(*) AS cd
-        | FROM a1 JOIN qq USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) s
+        | FROM a1 JOIN qq USING (vec_id),
+        |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
         | WHERE i <= array_length(qv)
         | GROUP BY cid, i),
         |c1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM upd GROUP BY cid)

@@ -346,9 +346,13 @@ object TextOps {
     * bounded like every verify stage — never an all-pairs scan, and the
     * DP window caps per-pair work at [[EditPrefix]]². */
   def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val nb = normed(spark, sfDir)
-      .select(col("doc_id"), substring(col("norm"), 1, EditPrefix).as("prefix"))
-    val cand = candidatePairsFrom(shingles(spark, sfDir, 3))
+    // ONE persisted normalized base feeds the shingle pipeline AND both
+    // prefix join sides — without it the documents scan+normalization
+    // runs three times per query (this file's one-base-per-query rule)
+    val base = normed(spark, sfDir).persist()
+    base.count()
+    val nb = base.select(col("doc_id"), substring(col("norm"), 1, EditPrefix).as("prefix"))
+    val cand = candidatePairsFrom(shinglesOf(base, 3))
     cand
       .join(nb.as("na"), col("na.doc_id") === col("doc_a"))
       .join(nb.as("nb"), col("nb.doc_id") === col("doc_b"))
