@@ -310,6 +310,38 @@ object RelationalOps {
       .orderBy("user_id")
   }
 
+  /** INTERSECT ALL — multiset semantics: a user appearing m times as a
+    * clicker and n times as a purchaser survives min(m, n) times.
+    * Catalyst plans both ALL variants as a count-and-replicate
+    * aggregate, not a distinct — one shuffle either way. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersectAll(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** EXCEPT ALL — multiset semantics: m views minus n signups leaves
+    * max(m − n, 0) rows per user. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .exceptAll(ev.filter(col("event_type") === "signup").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Log₂ document-length histogram — the corpus-analysis first look.
+    * The bucket is `length(bin(n_chars))` = ⌊log₂⌋+1: integer-exact on
+    * both engines, so no float boundary can disagree (a float log2
+    * would put exact powers of two on different sides per libm). */
+  def docLengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(length(bin(col("n_chars"))).as("log2_bucket"), col("n_chars"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy("log2_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (q1Agg _),
     "agg_rollup"       -> (aggRollup _),
@@ -335,7 +367,10 @@ object RelationalOps {
     "sliding_counts"   -> (slidingCounts _),
     "sessionize"       -> (sessionize _),
     "set_intersect"    -> (setIntersect _),
-    "set_except"       -> (setExcept _))
+    "set_except"       -> (setExcept _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all"   -> (setExceptAll _),
+    "doc_length_histogram" -> (docLengthHistogram _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -485,5 +520,20 @@ object RelationalOps {
       """SELECT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'signup'
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+    "doc_length_histogram" ->
+      """SELECT CAST(length(bin(n_chars)) AS INTEGER) AS log2_bucket,
+        | count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY log2_bucket
+        |ORDER BY log2_bucket""".stripMargin)
 }
