@@ -45,7 +45,7 @@ object Bench {
     // round-over-round (Map iteration order is arbitrary).
     // Optional comma-separated allowlist for local iteration on a few
     // queries (the driver never sets it → full run).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -55,22 +55,34 @@ object Bench {
       cleanup(spark)
       name -> elapsed
     }
-    // Millisecond precision keeps the whole line under the driver's
-    // 2000-char stdout tail capture (full-precision doubles pushed it to
-    // ~2.1k chars → unparsable five rounds running).
-    def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the driver parses stdout, but sbt appends its own "[success]"
-    // trailer after main returns — so ALSO persist the line to a file the
-    // driver (or a human) can always recover, then print it last.
-    Files.writeString(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")), json + "\n")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // Full per-query map goes to a FILE only: at 105 queries the map is
+    // ~2.4k chars, and the driver captures a 2,000-char stdout tail — a
+    // per-query stdout line is unparsable no matter the float precision
+    // (that truncation broke the bench artifact seven rounds running).
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
-    println(json)
+    // The LAST stdout line is a compact summary (~120 chars) that can
+    // never outgrow the tail capture; it names the file holding the
+    // per-query map so an auditor can recover it. summaryLine is
+    // unit-tested to stay < 1900 chars even with pathological inputs.
+    println(summaryLine(total, results.size, sfDir, outPath))
   }
+
+  // Millisecond precision: box-level variance is ±30%, finer digits are noise.
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The single stdout line the driver parses. Kept total-only (no
+    * per-query map) so query-count growth can never push it past the
+    * driver's 2,000-char stdout tail capture; BenchSpec asserts the
+    * bound. `detail` points at the file carrying the per-query map.
+    */
+  def summaryLine(total: Double, n: Int, sfDir: String, outPath: String): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"sf":"$sfDir","detail":"$outPath"}"""
 
   /** Runs OUTSIDE the timed window — it is harness overhead, not query
     * cost. clearCache() alone unpersists ASYNCHRONOUSLY: over 70+ queries

@@ -20,7 +20,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for local iteration on a few
     // queries (the driver never sets it → full dump).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
