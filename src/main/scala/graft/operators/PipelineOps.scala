@@ -75,7 +75,14 @@ object PipelineOps {
     * is the TF groupBy itself; N arrives via a broadcast single-row
     * aggregate, never a driver-side action. */
   def tfidfEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = TextOps.tfUnsorted(spark, sfDir)
+    // Eager persist: tf feeds BOTH the df aggregate and the final join,
+    // and Catalyst does NOT reuse the exchange across the two branches
+    // (verified: the unpersisted plan carries two full scan+explode+agg
+    // pipelines, zero ReusedExchange). One token explode over the corpus,
+    // not two — the file-family's one-base-per-query rule; released by
+    // Caches.release like its siblings.
+    val tf = TextOps.tfUnsorted(spark, sfDir).persist()
+    tf.count()
     val df = tf.groupBy(col("dim")).agg(count(lit(1)).as("df"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), Seq("dim"))

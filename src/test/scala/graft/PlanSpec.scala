@@ -130,4 +130,21 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // ordering/limit, never a hash repartition of the embeddings table
     assert(!p.contains("hashpartitioning"), s"unexpected hash shuffle:\n$p")
   }
+
+  test("tfidf_embedding runs ONE token explode, not one per consuming branch") {
+    // tf feeds both the df aggregate and the final join; without the
+    // eager persist Catalyst plans two full scan+explode+agg pipelines
+    // (no exchange reuse across the branches) — at 100 TB that doubles
+    // the dominant corpus scan. Walk the plan TREE, not its string: the
+    // InMemoryRelation pretty-print embeds its cached plan (which holds
+    // the one legitimate explode), but InMemoryTableScanExec is a leaf,
+    // so any GenerateExec reachable by collect() is a real re-explode.
+    val exec = PipelineOps.tfidfEmbedding(spark, sf).queryExecution.executedPlan
+    val generates = exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.isEmpty,
+      s"token explode planned outside the cached tf:\n$exec")
+    assert(exec.toString.contains("InMemoryTableScan"), "tf cache not used")
+  }
 }
