@@ -166,6 +166,34 @@ object EventOps {
     clicks.unionByName(bigPurchases).orderBy("sub", "event_id")
   }
 
+  // ----------------------------------------------------------------- #21
+  /** Request/reply pairing, batch form (reference `lib/hivent/phoenix/
+    * channel_client.ex:196-224` — `push_and_receive` matches each reply
+    * to its request by ref within a timeout). The batch rendition of
+    * [[graft.streaming.ConsumerPipeline.correlate]]: every `click` pairs
+    * with the same user's `purchase`s that land within 5 minutes AFTER
+    * it — an interval join. Catalyst plans the equi-key (user_id) as an
+    * ordinary shuffle join and evaluates the time-range predicate inside
+    * each matched key group, so at 100 TB this costs exactly one
+    * user-keyed shuffle; the streaming twin additionally bounds state by
+    * the same interval via watermarks.
+    */
+  def requestReplyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val req = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("req_id"), col("ts").as("req_ts"))
+    val rep = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("event_id").as("reply_id"),
+        col("ts").as("reply_ts"))
+    req.join(rep,
+        col("user_id") === col("r_user") &&
+          col("reply_ts") >= col("req_ts") &&
+          col("reply_ts") <= col("req_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("req_id"), col("req_ts"),
+        col("reply_id"), col("reply_ts"))
+      .orderBy("req_id", "reply_id")
+  }
+
   // ----------------------------------------------------------------- #22
   /** Monotonic ref counter (reference `lib/hivent/phoenix/channel_client
     * .ex:341-345`): a global dense sequence over the insertion order —
@@ -275,6 +303,7 @@ object EventOps {
     "cache_empty"         -> (cacheEmpty _),
     "include_match"       -> (includeMatch _),
     "dispatch_filter_map" -> (dispatchFilterMap _),
+    "request_reply_pairs" -> (requestReplyPairs _),
     "ref_sequence"        -> (refSequence _),
     "version_route"       -> (versionRoute _),
     "json_roundtrip"      -> (jsonRoundtrip _),
@@ -326,6 +355,14 @@ object EventOps {
         |SELECT 'big_purchase_sub' AS sub, event_id, user_id FROM events
         | WHERE event_type = 'purchase' AND value > 50
         |ORDER BY sub, event_id""".stripMargin,
+    "request_reply_pairs" ->
+      """SELECT l.user_id, l.event_id AS req_id, l.ts AS req_ts,
+        | r.event_id AS reply_id, r.ts AS reply_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+        |ORDER BY req_id, reply_id""".stripMargin,
     "ref_sequence" ->
       """SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS INTEGER) AS ref
         |FROM events ORDER BY event_id""".stripMargin,

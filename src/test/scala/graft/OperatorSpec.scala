@@ -57,6 +57,23 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(!absent.head().getBoolean(0))
   }
 
+  test("request_reply_pairs bounds every reply inside the request's window") {
+    val pairs = EventOps.requestReplyPairs(spark, sf).cache()
+    assert(pairs.count() > 0)
+    // the interval-join contract (channel_client push_and_receive: a
+    // reply counts only within the timeout after its request)
+    assert(pairs.filter(unix_micros(col("reply_ts")) < unix_micros(col("req_ts"))).count() == 0)
+    assert(pairs.filter(
+      unix_micros(col("reply_ts")) > unix_micros(col("req_ts")) + 300L * 1000000L).count() == 0)
+    // pairing never crosses users, and ids are real click/purchase events
+    val ev = graft.model.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("req_id"), col("user_id").as("cu"))
+    val bad = pairs.join(clicks, Seq("req_id")).filter(col("cu") =!= col("user_id"))
+    assert(bad.count() == 0)
+    pairs.unpersist()
+  }
+
   test("dedup_exact keeps exactly the lowest doc_id per content hash") {
     val once = TextOps.dedupExact(spark, sf).cache()
     val hashes = once.select("content_hash").distinct().count()
