@@ -7,16 +7,19 @@ import graft.model.Tables
 
 /** Multimodal column plumbing (north-star extension — SURVEY.md §2.3):
   * image/audio/video travel as opaque `binary` columns with typed
-  * metadata alongside. Two tiers:
+  * metadata alongside. Every tier decodes REAL bytes:
   *
-  *  - `image_meta`: REAL decode — synthesized valid PNG/JPEG bytes
-  *    ([[synthPng]]/[[synthJpeg]]) parsed back by a pure-JVM header
-  *    parser ([[decodeImageMeta]]: PNG IHDR, JPEG SOF marker walk),
-  *    oracle-checked against independently derived metadata.
-  *  - `multimodal_meta`: the audio/video pipeline shape, where the codec
-  *    call is STUBBED (no ffmpeg-class libraries in this environment)
-  *    behind [[MultimodalOps.decodeStub]], which any real decoder with
-  *    the same signature can replace.
+  *  - `image_meta` / `image_resize`: synthesized valid PNG/JPEG bytes
+  *    ([[synthPng]]/[[synthJpeg]]/[[synthPngPixels]]) parsed back by a
+  *    pure-JVM header parser or javax.imageio pixel decode.
+  *  - `audio_meta` / `audio_frame_sample`: valid PCM WAV bytes walked as
+  *    RIFF chunks ([[synthWav]]/[[decodeWavMeta]]).
+  *  - `video_meta`: a minimal valid AVI — RIFF(AVI ) with real `hdrl`
+  *    headers and uncompressed DIB frames in `movi` — parsed back by the
+  *    same RIFF discipline ([[synthAvi]]/[[decodeAvi]]).
+  *  - `multimodal_meta`: the unified dispatcher — payloads of all three
+  *    types in one binary column, the decoder SNIFFS the container magic
+  *    (never trusts a label) and routes to the matching real parser.
   *
   * Why mapPartitions: a decoder has per-call setup (codec init, model
   * load). Batching it per partition amortizes that setup exactly like a
@@ -28,44 +31,74 @@ object MultimodalOps {
   /** One media row: opaque payload + the metadata a real pipeline carries. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Decoder output: deterministic metadata extracted from the payload. */
+  /** Decoder output: deterministic metadata extracted from the payload.
+    * Unified across tiers: images have n_frames = 1, audio reports
+    * sample frames with no raster dims, video reports raster dims and
+    * its frame count. */
   case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — replace with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in production. Deterministic fake: metadata derived
-    * arithmetically from payload size so tests and oracles can check the
-    * plumbing end-to-end. */
-  def decodeStub(row: MediaRow): MediaMeta = {
-    val n = row.payload.length
-    MediaMeta(row.doc_id, row.media_type, n,
-      width = (n % 640) + 1, height = (n % 480) + 1, n_frames = (n % 30) + 1)
+  /** The media table, synthesized from `documents` (the driver data has
+    * no binary column): one REAL encoded payload per row, the container
+    * chosen by doc_id so the oracle can re-derive what the decoder must
+    * parse — PNG for the image tier, PCM WAV for audio, AVI for video. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 => MediaRow(id, "image",
+            synthPng(((id % 640) + 1).toInt, ((id % 480) + 1).toInt))
+          case 1 => MediaRow(id, "audio",
+            synthWav(WavRates((id % 4).toInt), (id % 2).toInt + 1,
+              (id % 100).toInt + 1))
+          case _ => MediaRow(id, "video",
+            synthAvi(((id % 16) + 2).toInt, ((id % 12) + 2).toInt,
+              ((id % 8) + 1).toInt))
+        }
+      })
   }
 
-  /** The media table, synthesized from `documents` (the driver data has
-    * no binary column): text bytes stand in for an encoded payload. */
-  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      when(col("doc_id") % 3 === 0, lit("image"))
-        .when(col("doc_id") % 3 === 1, lit("audio"))
-        .otherwise(lit("video")).as("media_type"),
-      col("text").cast("binary").as("payload"))
+  /** REAL dispatch decode: sniff the container magic — PNG signature,
+    * RIFF/WAVE, RIFF/AVI — and run the matching parser. The media_type
+    * column is re-DERIVED from the bytes, never copied from a label, so
+    * a mislabeled or corrupt payload is hash-visible. Throws on bytes no
+    * parser claims: quarantine, not pass. */
+  private[graft] def decodeMedia(row: MediaRow): MediaMeta = {
+    val p = row.payload
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) {
+      val (_, w, h) = decodeImageMeta(p)
+      MediaMeta(row.doc_id, "image", p.length, w, h, 1)
+    } else if (p.length >= 12 && new String(p, 0, 4, "US-ASCII") == "RIFF") {
+      new String(p, 8, 4, "US-ASCII") match {
+        case "WAVE" =>
+          val (rate, channels, bits, dataLen) = decodeWavMeta(p)
+          MediaMeta(row.doc_id, "audio", p.length, 0, 0,
+            dataLen / (channels * bits / 8))
+        case "AVI " =>
+          val (w, h, frames, _, _) = decodeAvi(p)
+          MediaMeta(row.doc_id, "video", p.length, w, h, frames)
+        case other =>
+          throw new IllegalArgumentException(s"unrecognized RIFF form $other")
+      }
+    } else throw new IllegalArgumentException("unrecognized media payload")
+  }
 
   /** Batched decode over partitions of binary payloads — the real
     * multimodal execution shape. Decoder setup happens once per
     * partition (iterator construction), then streams. */
   def decodeAll(spark: SparkSession, sfDir: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+    mediaTable(spark, sfDir).mapPartitions { rows =>
       // per-partition decoder init would go here (codec/model handles)
-      rows.map(decodeStub)
+      rows.map(decodeMedia)
     }
   }
 
-  /** Oracle-checkable rendition of the decode: the stub's arithmetic is
-    * restated in SQL over the same bytes, proving schema, batch shape and
-    * values line up. */
+  /** Oracle-checkable rendition of the dispatch decode: the oracle
+    * re-derives each tier's metadata arithmetically from doc_id, so the
+    * sniff, the parser routing, and every parsed field must all agree
+    * with independently computed values. */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     decodeAll(spark, sfDir).toDF()
@@ -316,7 +349,11 @@ object MultimodalOps {
     while (i + 8 <= payload.length) {
       val id = new String(payload, i, 4, "US-ASCII")
       val sz = buf.getInt(i + 4)
-      require(sz >= 0, "negative RIFF chunk size") // malformed: no spin
+      // malformed sizes must fail through require, not overflow the
+      // cursor: sz near Int.MaxValue would wrap `i + 8 + sz` negative
+      // and the next 4-byte read would throw a raw bounds exception
+      // instead of quarantining
+      require(sz >= 0 && sz <= payload.length - i - 8, "bad RIFF chunk size")
       if (id == "fmt ") {
         require(buf.getShort(i + 8) == 1, "not PCM")
         channels = buf.getShort(i + 10)
@@ -395,24 +432,174 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- real video decode
+  /** One decoded video row: real metadata parsed from real AVI bytes,
+    * plus a per-frame byte probe proving the movi payloads were read at
+    * the parsed offsets. */
+  case class VideoMeta(doc_id: Long, width: Int, height: Int, n_frames: Int,
+      n_bytes: Int, sum_probe: Long)
+
+  /** Minimal VALID AVI: RIFF(AVI ) ▸ LIST(hdrl){avih, LIST(strl){strh
+    * 'vids'/'DIB ', strf BITMAPINFOHEADER bi_compression=BI_RGB}} ▸
+    * LIST(movi){n × '00db' uncompressed DIB frames}. DIB rows pad to
+    * 4-byte boundaries (so frame chunks are word-aligned by
+    * construction); frame k's byte j is (k + j) % 251 — a pure function
+    * the oracle re-derives. Any RIFF-walking reader sees a well-formed
+    * uncompressed AVI. */
+  private[graft] def synthAvi(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val fb = rowBytes * h
+    val moviChildren = nFrames * (8 + fb)
+    val total = 224 + moviChildren // 12 RIFF + 200 hdrl + 12 movi header
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(192); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333).putInt(0).putInt(0).putInt(0) // µs/frame, bps, pad, flags
+      .putInt(nFrames).putInt(0).putInt(1).putInt(fb) // total, initial, streams, bufsize
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved
+    fourcc("LIST"); buf.putInt(116); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initial
+      .putInt(1).putInt(30).putInt(0).putInt(nFrames) // scale, rate, start, length
+      .putInt(fb).putInt(0).putInt(0) // bufsize, quality, samplesize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // BITMAPINFOHEADER, BI_RGB
+      .putInt(0).putInt(fb).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + moviChildren); fourcc("movi")
+    (0 until nFrames).foreach { k =>
+      fourcc("00db"); buf.putInt(fb)
+      (0 until fb).foreach(j => buf.put(((k + j) % 251).toByte))
+    }
+    buf.array()
+  }
+
+  /** REAL AVI parse — the same RIFF walk as [[decodeWavMeta]], with LIST
+    * recursion: verify RIFF/AVI magic, read dims + declared frame count
+    * from `avih`, count `00db` frame chunks in `movi` and probe each
+    * frame's first and last payload byte (so the walker must land on the
+    * true chunk offsets, not assume a fixed layout). Returns (width,
+    * height, nFrames, nBytes, sumProbe); throws on malformed bytes or a
+    * header/stream frame-count mismatch — quarantine, not pass. */
+  private[graft] def decodeAvi(payload: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    require(payload.length >= 12 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "AVI ", "not a RIFF/AVI stream")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var (w, h, declared, frames) = (-1, -1, -1, 0)
+    var probe = 0L
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = new String(payload, i, 4, "US-ASCII")
+        val sz = buf.getInt(i + 4)
+        require(sz >= 0 && sz <= end - i - 8, "bad RIFF chunk size")
+        id match {
+          case "LIST" =>
+            require(sz >= 4, "LIST without a form type")
+            walk(i + 12, i + 8 + sz)
+          case "avih" =>
+            require(sz >= 40, "truncated avih")
+            declared = buf.getInt(i + 8 + 16)
+            w = buf.getInt(i + 8 + 32)
+            h = buf.getInt(i + 8 + 36)
+          case "00db" =>
+            require(sz > 0, "empty frame chunk")
+            frames += 1
+            probe += (payload(i + 8) & 0xff).toLong +
+              (payload(i + 8 + sz - 1) & 0xff).toLong
+          case _ => () // strh/strf and friends: sized, skipped
+        }
+        i += 8 + sz + (sz % 2) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    require(w > 0 && h > 0, "AVI without avih dimensions")
+    require(declared == frames,
+      s"avih declares $declared frames, movi carries $frames")
+    (w, h, frames, payload.length, probe)
+  }
+
+  /** Synthesized-video table: real AVI bytes with data-derived
+    * parameters — dims and frame count are pure functions of doc_id so
+    * the oracle can independently derive what the parser must recover. */
+  def videoTable(spark: SparkSession, sfDir: String): Dataset[AudioBytes] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        AudioBytes(id, synthAvi(((id % 16) + 2).toInt, ((id % 12) + 2).toInt,
+          ((id % 8) + 1).toInt))
+      })
+  }
+
+  /** Batched REAL decode over AVI payloads: mapPartitions walks each
+    * RIFF tree (decoder init amortized per partition). Everything in the
+    * output — dims, frame count, container size, the per-frame
+    * first/last-byte probe — is re-derived arithmetically by the oracle,
+    * so an offset, alignment, or recursion bug in the walker fails the
+    * hash check. */
+  def videoMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, sfDir).mapPartitions(_.map { row =>
+      val (w, h, frames, nBytes, probe) = decodeAvi(row.payload)
+      VideoMeta(row.doc_id, w, h, frames, nBytes, probe)
+    }).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "image_meta"      -> (imageMeta _),
     "audio_meta"      -> (audioMeta _),
     "audio_frame_sample" -> (audioFrameSample _),
-    "image_resize"    -> (imageResize _))
+    "image_resize"    -> (imageResize _),
+    "video_meta"      -> (videoMeta _))
 
   val oracles: Map[String, String] = Map(
+    // independently re-derives what the SNIFF + dispatch decode must
+    // recover by parsing real container bytes: every branch's metadata
+    // is a pure function of doc_id (image: PNG header sizes; audio: the
+    // canonical 44-byte PCM header + data; video: the fixed 224-byte
+    // AVI header tree + framed DIB payloads)
     "multimodal_meta" ->
       """SELECT doc_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |      WHEN doc_id % 3 = 1 THEN 'audio'
-        |      ELSE 'video' END AS media_type,
-        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        | CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        | CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-        | CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS media_type,
+        | CAST(CASE doc_id % 3
+        |  WHEN 0 THEN 45
+        |  WHEN 1 THEN 44 + (doc_id % 100 + 1) * (doc_id % 2 + 1) * 2
+        |  ELSE 224 + (doc_id % 8 + 1) *
+        |   (8 + ((doc_id % 16 + 2) * 3 + 3) // 4 * 4 * (doc_id % 12 + 2))
+        |  END AS INTEGER) AS n_bytes,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 640 + 1 WHEN 1 THEN 0
+        |  ELSE doc_id % 16 + 2 END AS INTEGER) AS width,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 480 + 1 WHEN 1 THEN 0
+        |  ELSE doc_id % 12 + 2 END AS INTEGER) AS height,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN doc_id % 100 + 1
+        |  ELSE doc_id % 8 + 1 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // re-derives the AVI walk's every output: dims and frame count from
+    // doc_id, n_bytes from the fixed 224-byte header tree + n×(8+fb)
+    // framed DIB payloads (rows padded to 4 bytes), and the probe —
+    // frame k's first byte is k % 251, its last is (k + fb - 1) % 251
+    "video_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 16 + 2 AS INTEGER) AS width,
+        |  CAST(doc_id % 12 + 2 AS INTEGER) AS height,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS n_frames FROM documents),
+        |d AS (SELECT *, (width * 3 + 3) // 4 * 4 * height AS fb FROM p),
+        |f AS (SELECT doc_id, width, height, n_frames, fb, k
+        | FROM d, (SELECT unnest(generate_series(0, 7)) AS k) s
+        | WHERE k < n_frames)
+        |SELECT doc_id, width, height, n_frames,
+        | CAST(224 + n_frames * (8 + fb) AS INTEGER) AS n_bytes,
+        | CAST(sum(k % 251 + (k + fb - 1) % 251) AS BIGINT) AS sum_probe
+        |FROM f GROUP BY doc_id, width, height, n_frames, fb
+        |ORDER BY doc_id""".stripMargin,
     // independently derives what the Spark side must RECOVER BY PARSING
     // real PNG/JPEG bytes: dims from doc_id, n_bytes from the fixed
     // header sizes (PNG: 8 sig + 25 IHDR + 12 IEND = 45; JPEG: 2 SOI +

@@ -316,11 +316,46 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     val meta = MultimodalOps.decodeAll(spark, sf).cache()
     val docs = graft.model.Tables.documents(spark, sf).count()
     assert(meta.count() == docs)
-    // ASCII text: payload bytes == n_chars
-    val joined = meta.toDF().join(
-      graft.model.Tables.documents(spark, sf), "doc_id")
-    assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
+    // the dispatcher SNIFFS the container: the derived media_type must
+    // be the one the synthesizer chose by doc_id
+    val mism = meta.toDF().filter(col("media_type") =!=
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+    assert(mism.count() == 0)
+    // every tier decodes REAL bytes: no zero-size payloads, images are
+    // single-frame, audio carries sample frames, video raster dims
+    assert(meta.filter(col("n_bytes") <= 0).count() == 0)
+    assert(meta.filter(col("media_type") === "image" && col("n_frames") =!= 1).count() == 0)
+    assert(meta.filter(col("media_type") === "audio" && col("n_frames") < 1).count() == 0)
+    assert(meta.filter(col("media_type") === "video" &&
+      (col("width") < 2 || col("height") < 2 || col("n_frames") < 1)).count() == 0)
     meta.unpersist()
+  }
+
+  test("avi codec round-trips and rejects malformed payloads") {
+    // synth → parse recovers exactly the parameters that built the bytes
+    val (w, h, nf) = (7, 5, 3)
+    val avi = MultimodalOps.synthAvi(w, h, nf)
+    val fb = ((w * 3 + 3) / 4) * 4 * h
+    assert(avi.length == 224 + nf * (8 + fb))
+    val (dw, dh, dn, nb, probe) = MultimodalOps.decodeAvi(avi)
+    assert((dw, dh, dn, nb) == ((w, h, nf, avi.length)))
+    // probe = Σ_k frame k's first + last byte = k%251 + (k+fb-1)%251
+    val expected = (0 until nf).map(k => (k % 251) + ((k + fb - 1) % 251)).sum
+    assert(probe == expected)
+    // malformed bytes must throw (quarantine path), not parse
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeAvi(MultimodalOps.synthWav(8000, 1, 4))
+    }
+    intercept[IllegalArgumentException] {
+      // truncated mid-movi: chunk size now exceeds the remaining bytes
+      MultimodalOps.decodeAvi(avi.take(avi.length - fb / 2))
+    }
+    // header/stream consistency is enforced: declared ≠ counted throws
+    val lying = avi.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(32 + 16, nf + 1) // avih payload starts at 32; dwTotalFrames at +16
+    intercept[IllegalArgumentException] { MultimodalOps.decodeAvi(lying) }
   }
 
   test("wav codec round-trips and rejects malformed payloads") {
