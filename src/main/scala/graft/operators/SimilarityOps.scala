@@ -240,38 +240,40 @@ object SimilarityOps {
       .limit(5)
   }
 
-  /** IVF-style coarse quantization with deterministic centroids (the
-    * first 8 vectors): assign every vector to its nearest centroid
-    * (broadcast centroids — one scan, no shuffle of the big side), probe
-    * the 2 nearest lists, re-rank exactly. The deterministic seeding
-    * stands in for k-means; the partition/probe shape is the 100 TB one.
-    */
+  /** IVF with a REAL clustered coarse index: the inverted lists are the
+    * k-means clusters ([[lloydCentroids]] — seeded from the first K
+    * codes, one exact Lloyd update), so the index is the data's own
+    * geometry rather than 8 arbitrary vectors (round-7 stand-in,
+    * VERDICT #5). Assignment and probe-list selection run in quantized
+    * code space (deterministic — whole-number dots, fixed fold order,
+    * id tie-breaks); the final re-rank is exact cosine on the ORIGINAL
+    * float vectors.
+    *
+    * Scale shape unchanged: corpus ⨯ broadcast(K centroids) assignment
+    * with a map-side-combined min-struct (one row per vector shuffles),
+    * probe the 2 nearest lists, re-rank only the probed lists. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(cosine("v", "cv"), 6).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-    // probe-list selection needs only the probe vector vs the centroids —
-    // computing it from `assigned` would run the full-table assignment
-    // pass a second time
-    val probeLists = e.filter(col("vec_id") === 0)
-      .select(col("v").as("p"))
+    val q = quantCodes(spark, sfDir)
+    // K rows, consumed twice (assignment + probe-list selection);
+    // recomputing would re-run the Lloyd round's corpus pass
+    val cents = lloydCentroids(q).persist()
+    cents.count()
+    val assigned = assignNearest(q, cents, keepQ = false)
+      .select(col("vec_id"), col("cid"))
+    val probeLists = q.filter(col("vec_id") === 0)
       .crossJoin(broadcast(cents))
-      .select(col("cid"), round(cosine("p", "cv"), 6).as("pcos"))
-      .orderBy(col("pcos").desc, col("cid"))
+      .select(col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("pdist"))
+      .orderBy(col("pdist").asc, col("cid"))
       .limit(2)
       .select(col("cid").as("probe_cid"))
     val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
     assigned
       .join(broadcast(probeLists), col("cid") === col("probe_cid"))
       .filter(col("vec_id") =!= 0)
+      .join(e, Seq("vec_id"))
       .crossJoin(broadcast(probeVec))
       .select(col("vec_id"), col("cid"), round(cosine("v", "p"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -302,6 +304,18 @@ object SimilarityOps {
     * update is a posexplode → (cid, dim) aggregate whose output is
     * K×dims rows. Exactly the aggregateByKey k-means loop, one round. */
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantCodes(spark, sfDir)
+    assignNearest(q, lloydCentroids(q), keepQ = false)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** Integer-quantized codes (the [[embedQuantize]] formula, carried as
+    * whole-number doubles) — the shared deterministic base for the
+    * k-means loop and the IVF coarse index. Eager persist: the caller's
+    * assignment/update/probe rounds all consume it in one job. Released
+    * by [[graft.api.Caches.release]] like every query-internal cache. */
+  private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val q = vecs(spark, sfDir)
       .select(col("vec_id"),
         expr("array_max(transform(v, x -> abs(x)))").as("m"), col("v"))
@@ -311,40 +325,47 @@ object SimilarityOps {
           .as("q"))
       .persist()
     q.count()
+    q
+  }
+
+  /** Nearest centroid per vector: lexicographic min of (dist, cid[, q])
+    * — an associative aggregate (map-side combine collapses the K
+    * centroid rows before the exchange), not a window over a shuffle.
+    * Only the update round needs the vector back out of the aggregate;
+    * assignment-only rounds shuffle just (dist, cid) per vector, not
+    * the ~512-byte code array they would immediately drop. */
+  private def assignNearest(q: DataFrame, cents: DataFrame,
+      keepQ: Boolean): DataFrame = {
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("dist"))
+    val key =
+      if (keepQ) struct(col("dist"), col("cid"), col("q"))
+      else struct(col("dist"), col("cid"))
+    val agged = scored.groupBy(col("vec_id")).agg(min(key).as("s"))
+    if (keepQ)
+      agged.select(col("vec_id"), col("s.q").as("q"),
+        col("s.cid").as("cid"), col("s.dist").as("dist"))
+    else
+      agged.select(col("vec_id"), col("s.cid").as("cid"),
+        col("s.dist").as("dist"))
+  }
+
+  /** One exact Lloyd round over the codes: centroids seeded from the
+    * first [[KmeansK]] vectors' codes, per-dim mean as exact
+    * whole-number sum / count (bit-identical under any partitioning).
+    * Output: K rows of (cid, c). */
+  private def lloydCentroids(q: DataFrame): DataFrame = {
     val c0 = q.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("q").as("c"))
-    // nearest centroid per vector: lexicographic min of (dist, cid[, q])
-    // — an associative aggregate (map-side combine collapses the K
-    // centroid rows before the exchange), not a window over a shuffle.
-    // Only the update round needs the vector back out of the aggregate;
-    // the final round shuffles just (dist, cid) per vector, not the
-    // ~512-byte code array it would immediately drop.
-    def assign(cents: DataFrame, keepQ: Boolean): DataFrame = {
-      val scored = q.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("q"), col("cid"),
-          round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
-            .as("dist"))
-      val key =
-        if (keepQ) struct(col("dist"), col("cid"), col("q"))
-        else struct(col("dist"), col("cid"))
-      val agged = scored.groupBy(col("vec_id")).agg(min(key).as("s"))
-      if (keepQ)
-        agged.select(col("vec_id"), col("s.q").as("q"),
-          col("s.cid").as("cid"), col("s.dist").as("dist"))
-      else
-        agged.select(col("vec_id"), col("s.cid").as("cid"),
-          col("s.dist").as("dist"))
-    }
-    val c1 = assign(c0, keepQ = true)
+    assignNearest(q, c0, keepQ = true)
       .select(col("cid"), posexplode(col("q")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(col("col")) / count(lit(1))).as("cd"))
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)")
         .as("c"))
-    assign(c1, keepQ = false)
-      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
-      .orderBy("vec_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,6 +382,35 @@ object SimilarityOps {
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** L2² in code space, the exact expression both engines fold
+    * sequentially — (a·a − 2a·b + b·b), rounded like the Scala side. */
+  private def distSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b), 6)"
+
+  /** Shared oracle CTE stack for the k-means family, ending at `c1` (the
+    * once-updated centroids): states the IDENTICAL pipeline as
+    * [[quantCodes]] + [[lloydCentroids]]. MATERIALIZED because both
+    * consumers reference qq and c1 more than once and DuckDB re-inlines
+    * multiply-referenced CTEs. Consumed by `kmeans_assign` and the
+    * k-means-seeded `ann_ivf`. */
+  private val kmeansCtesSql: String =
+    s"""qq AS MATERIALIZED (SELECT vec_id,
+      |  CASE WHEN m = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+      |   ELSE list_transform(v, x -> CAST(floor(x * 127 / m + 0.5) AS DOUBLE)) END AS qv
+      | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v) t),
+      |c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
+      |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
+      | SELECT qq.vec_id, c.cid,
+      |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+      |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+      | FROM qq, c0 c) t WHERE rn = 1),
+      |upd AS (SELECT cid, i - 1 AS dim, sum(qv[i]) / count(*) AS cd
+      | FROM a1 JOIN qq USING (vec_id),
+      |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
+      | WHERE i <= array_length(qv)
+      | GROUP BY cid, i),
+      |c1 AS MATERIALIZED (SELECT cid, list(cd ORDER BY dim) AS c FROM upd GROUP BY cid)""".stripMargin
 
   /** Shared oracle CTE stack for the near-dup grid, ending at `pairs` —
     * states the IDENTICAL LSH grid as the Scala side: 16 bands ×
@@ -505,46 +555,31 @@ object SimilarityOps {
         |WHERE s.vec_id <> 0
         |ORDER BY cos DESC, s.vec_id LIMIT 5""".stripMargin,
     "ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
-        |assigned AS (
-        | SELECT vec_id, v, cid FROM (
-        |  SELECT v.vec_id, v.v, c.cid,
-        |   row_number() OVER (PARTITION BY v.vec_id
-        |     ORDER BY round(${cosSql("v.v", "c.cv")}, 6) DESC, c.cid) AS rn
-        |  FROM v, cents c) t WHERE rn = 1),
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$kmeansCtesSql,
+        |assigned AS (SELECT vec_id, cid FROM (
+        | SELECT qq.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c) t WHERE rn = 1),
         |probe_lists AS (
         | SELECT c.cid AS probe_cid
-        | FROM (SELECT v FROM assigned WHERE vec_id = 0) p, cents c
-        | ORDER BY round(${cosSql("p.v", "c.cv")}, 6) DESC, c.cid LIMIT 2),
+        | FROM (SELECT qv FROM qq WHERE vec_id = 0) p, c1 c
+        | ORDER BY ${distSql("p.qv", "c.c")}, c.cid LIMIT 2),
         |pv AS (SELECT v AS p FROM v WHERE vec_id = 0)
-        |SELECT a.vec_id, a.cid, round(${cosSql("a.v", "pv.p")}, 6) AS cos
-        |FROM assigned a JOIN probe_lists ON a.cid = probe_cid, pv
+        |SELECT a.vec_id, a.cid, round(${cosSql("vv.v", "pv.p")}, 6) AS cos
+        |FROM assigned a JOIN v vv USING (vec_id)
+        | JOIN probe_lists ON a.cid = probe_cid, pv
         |WHERE a.vec_id <> 0
         |ORDER BY cos DESC, a.vec_id LIMIT 5""".stripMargin,
     "kmeans_assign" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
-        |qq AS MATERIALIZED (SELECT vec_id,
-        |  CASE WHEN m = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
-        |   ELSE list_transform(v, x -> CAST(floor(x * 127 / m + 0.5) AS DOUBLE)) END AS qv
-        | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v) t),
-        |c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
-        |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
-        | SELECT qq.vec_id, c.cid,
-        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
-        |   round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6), c.cid) AS rn
-        | FROM qq, c0 c) t WHERE rn = 1),
-        |upd AS (SELECT cid, i - 1 AS dim, sum(qv[i]) / count(*) AS cd
-        | FROM a1 JOIN qq USING (vec_id),
-        |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
-        | WHERE i <= array_length(qv)
-        | GROUP BY cid, i),
-        |c1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM upd GROUP BY cid)
+        |$kmeansCtesSql
         |SELECT vec_id, cid AS cluster, dist FROM (
         | SELECT qq.vec_id, c.cid,
-        |  round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6) AS dist,
+        |  ${distSql("qq.qv", "c.c")} AS dist,
         |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
-        |   round(list_dot_product(qq.qv, qq.qv) - 2 * list_dot_product(qq.qv, c.c) + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
         | FROM qq, c1 c) t WHERE rn = 1
         |ORDER BY vec_id""".stripMargin)
 }
