@@ -216,6 +216,31 @@ object AnalyticOps {
       get_json_object(col("props"), "$.missing").as("absent"))
       .orderBy("event_id")
 
+  /** Typed-payload projection — the schemaless→typed upgrade path
+    * (SURVEY.md §1.3). Where [[jsonPathPack]] re-parses `props` once per
+    * extracted path (3 × get_json_object), this parses ONCE with
+    * `from_json` into a typed struct and derives every field from that
+    * single parse; Catalyst's OptimizeJsonExprs additionally prunes the
+    * parse schema to the referenced fields. This is the stepping stone
+    * toward Spark 4's VariantType: VARIANT would drop the fixed schema
+    * and parse to a binary encoding at WRITE time (shredding), but its
+    * binary form has no DuckDB-comparable rendition, so engine-parity
+    * testing would lose the hash gate — with a stable payload schema
+    * like `props`, the typed struct is strictly better: codegen'd field
+    * access, columnar pruning, and an oracle-checkable result. */
+  def typedPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), from_json(col("props"), payloadSchema).as("p"))
+      .select(col("event_id"),
+        col("p.k").as("k"),
+        (col("p.k") % 10).as("k_mod"),
+        (col("p.k") > 50).as("k_big"))
+      .orderBy("event_id")
+  }
+
   /** Value-window pack: first/last/nth/cumulative-distribution over a
     * deterministic per-type order — completes the window-function
     * family next to the ranking pack (`rank_quartiles`) and the frame
@@ -241,6 +266,7 @@ object AnalyticOps {
     "string_collect"   -> (stringCollect _),
     "scalar_pack"      -> (scalarPack _),
     "json_path_pack"   -> (jsonPathPack _),
+    "typed_payload"    -> (typedPayload _),
     "window_pack"      -> (windowPack _),
     "range_join"       -> (rangeJoin _),
     "above_avg_filter" -> (aboveAvgFilter _),
@@ -288,6 +314,12 @@ object AnalyticOps {
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         | json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+    "typed_payload" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 AS k_big
         |FROM events ORDER BY event_id""".stripMargin,
     "window_pack" ->
       """SELECT event_type, event_id,
