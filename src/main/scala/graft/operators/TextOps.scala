@@ -272,10 +272,23 @@ object TextOps {
     decontamFrom(spark, sfDir) { (eval, train) =>
       import org.apache.spark.sql.GraftColumnBridge
       import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-      val n = eval.count()
+      // size by (approximately) the DISTINCT hashed shingles — the items
+      // actually inserted — not the raw (doc, shingle) row count, which
+      // over-allocates whenever shingles repeat across eval docs. The
+      // estimate only sizes the sketch: an undercount raises fpp a
+      // little, and false positives merely pass extra rows to the exact
+      // join, so the result is bit-identical either way.
+      val n = eval.agg(approx_count_distinct(col("sh"))).head().getLong(0)
       if (n == 0) train.filter(lit(false)) // empty eval split: nothing can match
       else {
-        val bf = eval.select(xxhash64(col("sh")).as("h")).stat.bloomFilter("h", n, 0.01)
+        val bf = eval.select(xxhash64(col("sh")).as("h"))
+          .stat.bloomFilter("h", math.max(n, 1L), 0.01)
+        // the serialized sketch rides as a foldable binary literal —
+        // one copy in the generated code per task, ~1.2 MB at 1M eval
+        // shingles at 1% fpp. Intentional: BloomFilterMightContain
+        // requires a foldable probe side (Spark's own InjectRuntimeFilter
+        // feeds it a scalar subquery the same way), and at the eval
+        // split's few-percent share the literal stays plan-sized
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         val probe = GraftColumnBridge.column(BloomFilterMightContain(
