@@ -17,7 +17,15 @@ import graft.operators.{PipelineOps, RelationalOps, SimilarityOps, TextOps}
   */
 class PlanSpec extends AnyFunSuite with SparkTest {
 
-  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  /** Spark's CacheManager substitutes InMemoryTableScan for any plan
+    * fragment a PREVIOUS suite's query left persisted (e.g. ann_ivf's
+    * centroid cache), which changes these plans' shapes depending on
+    * suite order — release everything before building each plan so the
+    * assertions always see the cold-session shape. */
+  private def plan(df: DataFrame): String = {
+    graft.api.Caches.release(spark)
+    df.queryExecution.executedPlan.toString
+  }
   private def exchanges(p: String): Int = "(?m)^.*\\bExchange\\b".r.findAllIn(p).size
 
   test("join_broadcast builds a broadcast relation, never a shuffle join") {
@@ -139,6 +147,7 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // InMemoryRelation pretty-print embeds its cached plan (which holds
     // the one legitimate explode), but InMemoryTableScanExec is a leaf,
     // so any GenerateExec reachable by collect() is a real re-explode.
+    graft.api.Caches.release(spark) // cold-session shape (see plan())
     val exec = PipelineOps.tfidfEmbedding(spark, sf).queryExecution.executedPlan
     val generates = exec.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g
