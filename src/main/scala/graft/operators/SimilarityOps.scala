@@ -172,6 +172,21 @@ object SimilarityOps {
         round(col("hits").cast("double") / 5.0, 6).as("recall"))
   }
 
+  /** [[annRecall]]'s twin for the k-means IVF index: recall@5 of
+    * [[annIvf]] against the exact brute-force top-5. Reports the
+    * quality of the clustered coarse index the same way the LSH gate
+    * does — both are deterministic end-to-end (quantized assignment,
+    * pinned tie-breaks), so even this quality METRIC is
+    * oracle-checkable. */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact5 = topkSimilarity(spark, sfDir).limit(5).select(col("vec_id"))
+    val ivf5 = annIvf(spark, sfDir).select(col("vec_id"))
+    exact5.join(ivf5, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(5).as("k"), col("hits"),
+        round(col("hits").cast("double") / 5.0, 6).as("recall"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding table — the
     * 4×-storage-cut step a 100 TB embedding pipeline runs before
     * indexing. Per-vector scale = max|x| (so codes span the full ±127
@@ -375,6 +390,7 @@ object SimilarityOps {
     "embed_dedup_groups" -> (embedDedupGroups _),
     "embed_quantize"     -> (embedQuantize _),
     "ann_recall"         -> (annRecall _),
+    "ivf_recall"         -> (ivfRecall _),
     "ann_lsh"            -> (annLsh _),
     "ann_ivf"            -> (annIvf _),
     "kmeans_assign"      -> (kmeansAssign _))
@@ -572,6 +588,34 @@ object SimilarityOps {
         | JOIN probe_lists ON a.cid = probe_cid, pv
         |WHERE a.vec_id <> 0
         |ORDER BY cos DESC, a.vec_id LIMIT 5""".stripMargin,
+    "ivf_recall" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$kmeansCtesSql,
+        |pv AS (SELECT v AS p FROM v WHERE vec_id = 0),
+        |b5 AS (
+        | SELECT vec_id FROM (
+        |  SELECT vec_id, round(${cosSql("v.v", "pv.p")}, 6) AS cos
+        |  FROM v, pv WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 5) bb),
+        |assigned AS (SELECT vec_id, cid FROM (
+        | SELECT qq.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c) t WHERE rn = 1),
+        |probe_lists AS (
+        | SELECT c.cid AS probe_cid
+        | FROM (SELECT qv FROM qq WHERE vec_id = 0) p, c1 c
+        | ORDER BY ${distSql("p.qv", "c.c")}, c.cid LIMIT 2),
+        |i5 AS (
+        | SELECT vec_id FROM (
+        |  SELECT a.vec_id, round(${cosSql("vv.v", "pv.p")}, 6) AS cos
+        |  FROM assigned a JOIN v vv USING (vec_id)
+        |   JOIN probe_lists ON a.cid = probe_cid, pv
+        |  WHERE a.vec_id <> 0
+        |  ORDER BY cos DESC, a.vec_id LIMIT 5) ii)
+        |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
+        | round(count(*) / 5.0, 6) AS recall
+        |FROM b5 WHERE vec_id IN (SELECT vec_id FROM i5)""".stripMargin,
     "kmeans_assign" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |$kmeansCtesSql
