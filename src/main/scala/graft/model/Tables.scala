@@ -40,6 +40,12 @@ object Tables {
     val tsCol = raw.schema("ts").dataType match {
       // driver data: TIMESTAMP(NANOS) read as long via the legacy conf
       case LongType => org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      // DuckDB-written replicas: parquet µs with isAdjustedToUTC=false
+      // reads as TIMESTAMP_NTZ, which unix_micros/window ops reject —
+      // reinterpret the naive value as UTC (the session timezone every
+      // engine session pins), same instant DuckDB reads back
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
       // engine-written data: already microsecond timestamps
       case _ => org.apache.spark.sql.functions.col("ts")
     }
