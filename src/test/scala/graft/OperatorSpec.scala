@@ -431,11 +431,11 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, dst).count() // must not throw
-      // cache_empty/include_match report a boolean, ann_recall a global
-      // aggregate — all three are one-row-always by design, and their
-      // DuckDB oracles return one row on empty input too
+      // cache_empty/include_match report a boolean, the recall gates a
+      // global aggregate — all four are one-row-always by design, and
+      // their DuckDB oracles return one row on empty input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
-          name == "ann_recall",
+          name == "ann_recall" || name == "ivf_recall",
         s"$name returned $n rows on empty input")
     }
   }
