@@ -486,13 +486,27 @@ object MultimodalOps {
     * height, nFrames, nBytes, sumProbe); throws on malformed bytes or a
     * header/stream frame-count mismatch — quarantine, not pass. */
   private[graft] def decodeAvi(payload: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    var probe = 0L
+    val (w, h, frames) = walkAvi(payload) { (_, off, sz) =>
+      probe += (payload(off) & 0xff).toLong +
+        (payload(off + sz - 1) & 0xff).toLong
+    }
+    (w, h, frames, payload.length, probe)
+  }
+
+  /** The single RIFF-tree walk behind every AVI consumer: validates the
+    * container, reads `avih`, visits each `00db` frame chunk through
+    * `onFrame(frameIdx, payloadOffset, size)`, and enforces the
+    * declared-vs-counted frame invariant. Returns (width, height,
+    * nFrames). */
+  private def walkAvi(payload: Array[Byte])(
+      onFrame: (Int, Int, Int) => Unit): (Int, Int, Int) = {
     require(payload.length >= 12 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
       new String(payload, 8, 4, "US-ASCII") == "AVI ", "not a RIFF/AVI stream")
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var (w, h, declared, frames) = (-1, -1, -1, 0)
-    var probe = 0L
     def walk(start: Int, end: Int): Unit = {
       var i = start
       while (i + 8 <= end) {
@@ -510,9 +524,8 @@ object MultimodalOps {
             h = buf.getInt(i + 8 + 36)
           case "00db" =>
             require(sz > 0, "empty frame chunk")
+            onFrame(frames, i + 8, sz)
             frames += 1
-            probe += (payload(i + 8) & 0xff).toLong +
-              (payload(i + 8 + sz - 1) & 0xff).toLong
           case _ => () // strh/strf and friends: sized, skipped
         }
         i += 8 + sz + (sz % 2) // RIFF chunks are word-aligned
@@ -522,7 +535,7 @@ object MultimodalOps {
     require(w > 0 && h > 0, "AVI without avih dimensions")
     require(declared == frames,
       s"avih declares $declared frames, movi carries $frames")
-    (w, h, frames, payload.length, probe)
+    (w, h, frames)
   }
 
   /** Synthesized-video table: real AVI bytes with data-derived
@@ -551,13 +564,46 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  case class VideoFrames(doc_id: Long, n_frames: Long, n_sampled: Long,
+      sum_center: Long)
+
+  /** Stride for video frame sampling: every 2nd frame (frame counts are
+    * 1-8, so the audio tier's stride 10 would degenerate to frame 0). */
+  private[graft] val VideoFrameStride = 2
+
+  /** Frame sampling over REAL decoded AVI video — [[audioFrameSample]]'s
+    * twin for the frame-list tier: walk the RIFF tree to each `00db`
+    * chunk, keep every [[VideoFrameStride]]-th frame, and read its
+    * CENTER byte (offset fb/2 inside the frame payload — synthesis
+    * formula (k + fb/2) % 251), aggregating count + exact sum. The
+    * center-byte read proves the walker lands on true per-frame offsets
+    * (not just chunk boundaries); the oracle re-derives every sampled
+    * value arithmetically. Map-only until the presentation sort. */
+  def videoFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, sfDir).mapPartitions(_.map { row =>
+      var sampled = 0L
+      var sum = 0L
+      var n = 0
+      walkAvi(row.payload) { (k, off, sz) =>
+        n += 1
+        if (k % VideoFrameStride == 0) {
+          sampled += 1
+          sum += (row.payload(off + sz / 2) & 0xff).toLong
+        }
+      }
+      VideoFrames(row.doc_id, n.toLong, sampled, sum)
+    }).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "image_meta"      -> (imageMeta _),
     "audio_meta"      -> (audioMeta _),
     "audio_frame_sample" -> (audioFrameSample _),
     "image_resize"    -> (imageResize _),
-    "video_meta"      -> (videoMeta _))
+    "video_meta"      -> (videoMeta _),
+    "video_frame_sample" -> (videoFrameSample _))
 
   val oracles: Map[String, String] = Map(
     // independently re-derives what the SNIFF + dispatch decode must
@@ -627,6 +673,22 @@ object MultimodalOps {
         |  CAST(doc_id % 100 + 1 AS INTEGER) AS n_samples
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    // re-derives every sampled CENTER byte from the synthesis formula:
+    // frame k's byte j is (k + j) % 251, fb = padded-row bytes × height,
+    // sampled frames are k % stride = 0
+    "video_frame_sample" ->
+      s"""WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS n_frames,
+        |  (doc_id % 16 + 2) * 3 AS rowb, CAST(doc_id % 12 + 2 AS INTEGER) AS h
+        | FROM documents),
+        |d AS (SELECT doc_id, n_frames, (rowb + 3) // 4 * 4 * h AS fb FROM p),
+        |s AS (SELECT doc_id, n_frames, fb, k
+        | FROM (SELECT doc_id, n_frames, fb,
+        |   unnest(generate_series(0, 7)) AS k FROM d) t
+        | WHERE k < n_frames AND k % $VideoFrameStride = 0)
+        |SELECT doc_id, n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(sum((k + fb // 2) % 251) AS BIGINT) AS sum_center
+        |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     // re-derives every SAMPLED 16-bit LE amplitude from the synthesis
     // formula (data byte j = j % 251): lo + 256*hi reinterpreted signed
     "audio_frame_sample" ->
