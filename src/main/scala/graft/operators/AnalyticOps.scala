@@ -258,6 +258,72 @@ object AnalyticOps {
       .orderBy("event_type", "event_id")
   }
 
+  // ------------------------------------------------- statistical aggregates
+  /** Final-stage statistics expressions over the exact decimal moments
+    * (n, sx, sy, sxx, syy, sxy) — ONE string list feeds both engines'
+    * SQL, so the arithmetic (and therefore the IEEE rounding sequence)
+    * is identical on both sides. */
+  private val statsExprs: Seq[String] = {
+    val n = "CAST(n AS DOUBLE)"
+    val (sx, sy) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)")
+    val (sxx, syy, sxy) =
+      ("CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)")
+    val varX = s"($sxx - $sx * $sx / $n) / ($n - 1.0)"
+    Seq(
+      s"$sx / $n AS mean_value",
+      s"$varX AS var_value",
+      s"sqrt($varX) AS std_value",
+      s"($sxy - $sx * $sy / $n) / ($n - 1.0) AS covar_vu",
+      s"($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)) AS corr_vu")
+  }
+
+  /** Moment-based statistics pack: mean/variance/stddev of `value` and
+    * covariance/correlation with `user_id`, per event type.
+    *
+    * Deliberately NOT the built-in `stddev`/`corr` aggregates: those
+    * stream Welford-style updates whose float rounding depends on row
+    * order (nondeterministic under shuffle, and different again in
+    * DuckDB). Instead ONE aggregation collects exact decimal power sums
+    * — associative, order-independent, map-side combinable, the same
+    * single-shuffle shape at 100 TB — and the statistics are derived in
+    * double arithmetic afterwards ([[statsExprs]], 5 rows). The decimal
+    * unscaled sums stay below 2⁵³ through sf10 (value ≤ ~500, scale 4),
+    * so the decimal→double cast is a single correctly-rounded step in
+    * both engines and the hash gate holds bit-exactly. */
+  def statsPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("value").cast(Dec)
+    val u = col("user_id").cast(Dec)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("sx"), sum(u).as("sy"),
+        sum(v * v).as("sxx"), sum(u * u).as("syy"), sum(v * u).as("sxy"))
+      .selectExpr(Seq("event_type", "n") ++ statsExprs: _*)
+      .orderBy("event_type")
+  }
+
+  /** Higher-order array functions over the token list: transform /
+    * filter / aggregate (fold) / sort / distinct / slice — the lambda
+    * surface of §2.2's scalar-function row. All evaluate inside whole-
+    * stage codegen per row with NO explode, so the per-doc token list
+    * never leaves the row — at 100 TB this is a pure map over the scan
+    * (contrast vocab_topk, which explodes to shuffle a global
+    * aggregate). Integer-only arithmetic, so both engines agree
+    * bit-for-bit. */
+  def arrayPack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        expr("aggregate(transform(toks, t -> length(t)), 0, (a, b) -> a + b)")
+          .as("total_chars"),
+        expr("size(filter(toks, t -> length(t) >= 6))").as("n_long"),
+        expr("array_max(transform(toks, t -> length(t)))").as("max_len"),
+        expr("array_join(slice(array_sort(array_distinct(toks)), 1, 5), ',')")
+          .as("top5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
@@ -275,7 +341,9 @@ object AnalyticOps {
     "date_pack"        -> (datePack _),
     "pattern_filter"   -> (patternFilter _),
     "trailing_window"  -> (trailingWindow _),
-    "having_filter"    -> (havingFilter _))
+    "having_filter"    -> (havingFilter _),
+    "stats_pack"       -> (statsPack _),
+    "array_pack"       -> (arrayPack _))
 
   val oracles: Map[String, String] = Map(
     "pivot_counts" ->
@@ -389,5 +457,26 @@ object AnalyticOps {
     "salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stats_pack" ->
+      s"""WITH m AS (
+        | SELECT event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sx,
+        |  sum(CAST(user_id AS DECIMAL(18,2))) AS sy,
+        |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx,
+        |  sum(CAST(user_id AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,2))) AS syy,
+        |  sum(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,2))) AS sxy
+        | FROM events GROUP BY event_type)
+        |SELECT event_type, n, ${statsExprs.mkString(", ")}
+        |FROM m ORDER BY event_type""".stripMargin,
+    "array_pack" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_toks,
+        | CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS INTEGER) AS total_chars,
+        | CAST(len(list_filter(toks, t -> length(t) >= 6)) AS INTEGER) AS n_long,
+        | CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_len,
+        | array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS top5
+        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -115,12 +115,48 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------- winnowing
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every word-3-gram shingle, slide a
+    * [[WinnowWindow]]-hash window over each document in shingle order,
+    * keep the window minimum, and dedup the kept values — the selected
+    * set is position-independent and guarantees any shingle run of
+    * length ≥ window shares a fingerprint with a copy (MOSS's
+    * guarantee). Trailing sub-window positions also select (the
+    * boundary variant both engines state identically).
+    *
+    * Scale shape: the per-doc window partitions by doc_id — each
+    * document winnows independently (one shuffle on doc_id, bounded
+    * partitions), then one hash aggregate; nothing global. The
+    * summary row carries count/min/max/sum of the fingerprint set, so
+    * any selection divergence is hash-visible. */
+  private[operators] val WinnowWindow = 4
+
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowWindow - 1)
+    TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(tokens) - 2, 1)), " +
+          "i -> struct(i AS pos, array_join(slice(tokens, i, 3), ' ') AS sh))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
+        expr("cast(conv(substring(md5(e.sh), 1, 7), 16, 10) as bigint)").as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .select("doc_id", "fp").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"),
+        max("fp").as("fp_max"), sum("fp").as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_topk"    -> (vocabTopk _),
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
-    "source_mix"    -> (sourceMix _))
+    "source_mix"    -> (sourceMix _),
+    "winnow_fingerprints" -> (winnowFingerprints _))
 
   val oracles: Map[String, String] = Map(
     "vocab_topk" ->
@@ -165,5 +201,19 @@ object CorpusOps {
         |SELECT source, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
         |FROM r WHERE before < $MixTokenBudget
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |sh AS (SELECT doc_id, i AS pos,
+        |  CAST(CAST('0x' || substr(md5(array_to_string(tokens[i:i+2], ' ')), 1, 7) AS INTEGER) AS BIGINT) AS h
+        | FROM (SELECT doc_id, tokens,
+        |   unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i
+        |  FROM dtk) t),
+        |wmin AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS fp FROM sh),
+        |f AS (SELECT DISTINCT doc_id, fp FROM wmin)
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
+        | CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -342,6 +342,59 @@ object RelationalOps {
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
       .orderBy("log2_bucket")
 
+  // -------------------------------------------------------------- subqueries
+  /** Shared SQL template for [[existsSubquery]] — one string generates
+    * BOTH engines' text (table names substituted), so the Spark query
+    * and the DuckDB oracle can never drift. Correlated EXISTS / NOT
+    * EXISTS: Catalyst decorrelates these into a left-semi and a
+    * left-anti hash join (RewritePredicateSubquery), so at 100 TB this
+    * is two shuffles on o_custkey — never a per-row probe. */
+  private def existsSubquerySql(customer: String, orders: String): String =
+    s"""SELECT c_custkey, c_mktsegment
+       |FROM $customer c
+       |WHERE EXISTS (SELECT 1 FROM $orders o
+       |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+       |  AND NOT EXISTS (SELECT 1 FROM $orders o2
+       |        WHERE o2.o_custkey = c.c_custkey
+       |          AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Shared SQL template for [[subqueryPack]]: correlated scalar
+    * aggregates in the projection (count / max per customer — Catalyst
+    * rewrites each into one left-outer aggregate join) plus an IN
+    * predicate (a left-semi join). max(double) and count are exact, so
+    * no float-summation order can differ between engines. */
+  private def subqueryPackSql(customer: String, orders: String): String =
+    s"""SELECT c_custkey, c_mktsegment,
+       | (SELECT count(*) FROM $orders o
+       |    WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       | (SELECT max(o_totalprice) FROM $orders o
+       |    WHERE o.o_custkey = c.c_custkey) AS max_price
+       |FROM $customer c
+       |WHERE c_custkey IN (SELECT o_custkey FROM $orders
+       |                    WHERE o_totalprice > 450000)
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Registers the driver tables this file's SQL-surface queries read
+    * under graft-prefixed temp-view names (never clobbering a user's
+    * own view of the same table) and runs `sql`. */
+  private def sqlOnViews(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(sql)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL surface — the
+    * subquery-decorrelation capability of §2.2 (the DataFrame analogs
+    * are join_semi/join_anti; this proves the SQL path plans to the
+    * same joins). */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    sqlOnViews(spark, sfDir, existsSubquerySql("graft_customer", "graft_orders"))
+
+  /** Correlated scalar subqueries + IN — the remaining subquery shapes. */
+  def subqueryPack(spark: SparkSession, sfDir: String): DataFrame =
+    sqlOnViews(spark, sfDir, subqueryPackSql("graft_customer", "graft_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (q1Agg _),
     "agg_rollup"       -> (aggRollup _),
@@ -370,6 +423,8 @@ object RelationalOps {
     "set_except"       -> (setExcept _),
     "set_intersect_all" -> (setIntersectAll _),
     "set_except_all"   -> (setExceptAll _),
+    "exists_subquery"  -> (existsSubquery _),
+    "subquery_pack"    -> (subqueryPack _),
     "doc_length_histogram" -> (docLengthHistogram _))
 
   val oracles: Map[String, String] = Map(
@@ -531,6 +586,8 @@ object RelationalOps {
         |EXCEPT ALL
         |SELECT user_id FROM events WHERE event_type = 'signup'
         |ORDER BY user_id""".stripMargin,
+    "exists_subquery"  -> existsSubquerySql("customer", "orders"),
+    "subquery_pack"    -> subqueryPackSql("customer", "orders"),
     "doc_length_histogram" ->
       """SELECT CAST(length(bin(n_chars)) AS INTEGER) AS log2_bucket,
         | count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars

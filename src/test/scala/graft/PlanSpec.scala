@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{PipelineOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{AnalyticOps, PipelineOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Physical-plan shape guards — the scale contract as assertions.
   *
@@ -137,6 +137,45 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // scan → project(dot) → top-k: the only exchanges are the final
     // ordering/limit, never a hash repartition of the embeddings table
     assert(!p.contains("hashpartitioning"), s"unexpected hash shuffle:\n$p")
+  }
+
+  test("exists_subquery decorrelates to semi + anti hash joins, never a per-row probe") {
+    // Catalyst's RewritePredicateSubquery must turn the correlated
+    // EXISTS into a left-semi and the NOT EXISTS into a left-anti join
+    // — at 100 TB these are two shuffles (or broadcasts) on o_custkey,
+    // not a re-executed subquery per customer row
+    val p = plan(RelationalOps.existsSubquery(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("subquery_pack rewrites scalar subqueries to aggregate joins") {
+    // each correlated scalar aggregate becomes ONE aggregate-then-join;
+    // the IN predicate becomes a semi join — no nested-loop re-execution
+    val p = plan(RelationalOps.subqueryPack(spark, sf))
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"scalar subquery left as a nested-loop probe:\n$p")
+  }
+
+  test("winnow_fingerprints window is partitioned by doc_id, never global") {
+    val p = plan(operators.CorpusOps.winnowFingerprints(spark, sf))
+    assert("windowspecdefinition\\(doc_id#\\d+L, pos#\\d+".r.findFirstIn(p).isDefined,
+      s"winnow window not partitioned by doc_id:\n$p")
+  }
+
+  test("stats_pack collects all six moments in one scan with map-side partials") {
+    val p = plan(AnalyticOps.statsPack(spark, sf))
+    assert(p.contains("partial_sum"), "moment sums lost their map-side phase")
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected a single events scan:\n$p")
+  }
+
+  test("array_pack evaluates its lambdas in-row: no explode, map-only to the sort") {
+    val p = plan(AnalyticOps.arrayPack(spark, sf))
+    assert(!p.contains("Generate "), s"higher-order fns fell back to explode:\n$p")
+    assert(exchanges(p) == 1, s"expected only the presentation sort exchange:\n$p")
   }
 
   test("tfidf_embedding runs ONE token explode, not one per consuming branch") {
