@@ -115,6 +115,53 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  // ----------------------------------------------------- boilerplate strip
+  /** Cross-document boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * pass, over fixed token windows since the corpus is single-line):
+    * passages appearing in more than [[BoilerplateMaxDf]] distinct
+    * documents are presumed boilerplate (headers, navigation, license
+    * blocks) and removed from EVERY document; each document is then
+    * reassembled from its surviving passages in original order. Unlike
+    * [[passageDedup]] (which only REPORTS per-doc duplication), this is
+    * the document-REWRITING shape: a global frequency table feeds back
+    * into a per-row transformation.
+    *
+    * Scale shape: the frequency aggregate shuffles fixed-width passage
+    * hashes only; the boilerplate set (df > threshold) is the small side
+    * of the join-back and AQE broadcasts it, so passage TEXT moves in
+    * exactly ONE shuffle — the doc_id groupBy that reassembly inherently
+    * needs. The output carries a hash of the rebuilt text, not the text,
+    * so any reassembly-order divergence is hash-visible. */
+  private[operators] val BoilerplateMaxDf = 2L
+
+  def boilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = PassageTokens
+    // one corpus scan: passage position + text + hash, feeding both the
+    // frequency aggregate and the reassembly (the file's one-base rule)
+    val pass = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(cast(ceil(size(tokens) / $p.0) as int), 1)), " +
+          s"i -> struct(i AS pos, array_join(slice(tokens, (i - 1) * $p + 1, $p), ' ') AS ptext))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.ptext").as("ptext"),
+        md5(col("e.ptext")).as("ph"))
+      .persist()
+    pass.count()
+    val bp = pass.groupBy(col("ph"))
+      .agg(count_distinct(col("doc_id")).as("pdf"))
+      .filter(col("pdf") > BoilerplateMaxDf)
+      .select(col("ph"), lit(true).as("bp"))
+    pass.join(bp, Seq("ph"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pass"),
+        sum(when(col("bp"), 0L).otherwise(1L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("bp").isNull,
+            struct(col("pos"), col("ptext"))))),
+          x => x.getField("ptext")), " ")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- winnowing
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): hash every word-3-gram shingle, slide a
@@ -156,7 +203,8 @@ object CorpusOps {
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
     "source_mix"    -> (sourceMix _),
-    "winnow_fingerprints" -> (winnowFingerprints _))
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "boilerplate_strip"   -> (boilerplateStrip _))
 
   val oracles: Map[String, String] = Map(
     "vocab_topk" ->
@@ -202,6 +250,24 @@ object CorpusOps {
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
         |FROM r WHERE before < $MixTokenBudget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "boilerplate_strip" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |p AS MATERIALIZED (SELECT doc_id, i AS pos,
+        |  array_to_string(tokens[(i-1)*$PassageTokens+1:(i-1)*$PassageTokens+$PassageTokens], ' ') AS ptext
+        | FROM (SELECT doc_id, tokens,
+        |   unnest(generate_series(1, greatest(CAST(ceil(array_length(tokens) / $PassageTokens.0) AS INT), 1))) AS i
+        |  FROM dtk) t),
+        |h AS MATERIALIZED (SELECT doc_id, pos, ptext, md5(ptext) AS ph FROM p),
+        |bp AS (SELECT ph FROM (
+        |  SELECT ph, count(DISTINCT doc_id) AS pdf FROM h GROUP BY ph) d
+        | WHERE pdf > $BoilerplateMaxDf)
+        |SELECT h.doc_id, count(*) AS n_pass,
+        | CAST(sum(CASE WHEN b.ph IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(CASE WHEN b.ph IS NULL THEN h.ptext END,
+        |   ' ' ORDER BY h.pos), '')) AS kept_hash
+        |FROM h LEFT JOIN bp b ON b.ph = h.ph
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),

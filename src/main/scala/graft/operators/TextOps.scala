@@ -727,6 +727,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- PII scrub
+  /** Regex surface of the PII-redaction pass every released training set
+    * runs (emails/phones/IPs → typed placeholders). The driver corpus
+    * carries no PII, so the query injects a deterministic, doc_id-derived
+    * payload first (same convention as the multimodal synthesis: the
+    * SCRUB expressions are the product, the injection simulates the
+    * data) — the oracle re-derives the injection independently, so a
+    * regex-dialect divergence or a missed replacement is hash-visible.
+    *
+    * Patterns stay inside the Java-regex ∩ RE2 common subset (classes,
+    * bounded quantifiers — no backrefs or lookarounds), which is also
+    * what keeps them codegen-friendly; the Spark side passes them as
+    * Scala strings to `functions.regexp_*` (no SQL-literal escaping),
+    * the oracle embeds them in standard SQL literals (DuckDB does not
+    * process backslashes). Counts are taken BEFORE replacement;
+    * replacements run email → phone → IP (the placeholders contain no
+    * digits or '@', so earlier replacements can never create or destroy
+    * later matches). Scale shape: pure map over the scan + presentation
+    * sort — no shuffle at all until the ORDER BY. */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val IpRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The injected payload, as a SQL expression shared by both engines
+    * (`str` wraps the engine's int→string cast): 1-3 emails, one phone,
+    * one IP, all pure functions of doc_id. */
+  private[operators] def piiInjectSql(str: String => String): String =
+    s"text || ' contact ' || repeat('u' || ${str("doc_id % 97")} || '@mail' || " +
+      s"${str("doc_id % 7")} || '.com ', CAST(doc_id % 3 AS INTEGER) + 1) || " +
+      s"'call +1-555-' || lpad(${str("doc_id % 10000")}, 4, '0') || " +
+      s"' ip 10.' || ${str("doc_id % 256")} || '.0.' || ${str("(doc_id * 7) % 256")}"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        piiInjectSql(x => s"CAST($x AS STRING)") + " AS txt")
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("txt"), lit(PhoneRe)).as("n_phone"),
+        regexp_count(col("txt"), lit(IpRe)).as("n_ip"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>")).as("scrubbed_hash"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
@@ -751,7 +798,8 @@ object TextOps {
     "token_count"         -> (tokenCount _),
     "quality_score"       -> (qualityScore _),
     "quality_filter"      -> (qualityFilter _),
-    "fingerprint"         -> (fingerprint _))
+    "fingerprint"         -> (fingerprint _),
+    "pii_scrub"           -> (piiScrub _))
 
   private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private def hitsSql(sub: String): String = {
@@ -1060,5 +1108,16 @@ object TextOps {
         | round(1.0 - CAST(n_uniq_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE), 6) AS rep3_ratio,
         | n_words, n_uniq_words,
         | round(CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS ttr
-        |FROM g3 JOIN w1 USING (doc_id) ORDER BY doc_id""".stripMargin)
+        |FROM g3 JOIN w1 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  ${piiInjectSql(x => s"CAST($x AS VARCHAR)")} AS txt FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(txt, '$EmailRe')) AS INTEGER) AS n_email,
+        | CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS INTEGER) AS n_phone,
+        | CAST(len(regexp_extract_all(txt, '$IpRe')) AS INTEGER) AS n_ip,
+        | md5(regexp_replace(regexp_replace(regexp_replace(txt,
+        |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+        |   '$IpRe', '<IP>', 'g')) AS scrubbed_hash
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

@@ -52,6 +52,53 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("boilerplate_strip: kept counts bounded, clones identical, untouched docs rebuild verbatim") {
+    val out = CorpusOps.boilerplateStrip(spark, sf).cache()
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_kept") > col("n_pass") || col("n_kept") < 0).count() == 0)
+    // the boilerplate decision is global: identical docs must strip identically
+    val clones = docs.groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).select(explode(col("ids")).as("doc_id"))
+    val cloneGroups = out.join(clones, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("text"))
+      .agg(countDistinct(col("n_kept"), col("kept_hash")).as("variants"))
+    assert(cloneGroups.filter(col("variants") =!= 1).count() == 0,
+      "identical documents stripped differently")
+    // a doc that lost nothing must reassemble to exactly its normalized
+    // text (consecutive windows partition the token list)
+    val rebuilt = out.filter(col("n_kept") === col("n_pass"))
+      .join(docs.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm")), Seq("doc_id"))
+    assert(rebuilt.filter(col("kept_hash") =!= md5(col("norm"))).count() == 0,
+      "untouched doc did not rebuild to its normalized text")
+    out.unpersist()
+  }
+
+  test("pii regexes count and redact exactly the crafted artifacts") {
+    import spark.implicits._
+    val s = "write u5@mail2.com or u5@mail2.com call +1-555-0042 ip 10.3.0.21 end"
+    val r = Seq(s).toDF("txt").select(
+      regexp_count(col("txt"), lit(TextOps.EmailRe)).as("e"),
+      regexp_count(col("txt"), lit(TextOps.PhoneRe)).as("p"),
+      regexp_count(col("txt"), lit(TextOps.IpRe)).as("i"),
+      regexp_replace(regexp_replace(regexp_replace(col("txt"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>"),
+        TextOps.IpRe, "<IP>").as("red")).head()
+    assert(r.getAs[Int]("e") == 2 && r.getAs[Int]("p") == 1 && r.getAs[Int]("i") == 1)
+    assert(r.getAs[String]("red") ==
+      "write <EMAIL> or <EMAIL> call <PHONE> ip <IP> end")
+  }
+
+  test("pii_scrub counts match the injection formula for every document") {
+    TextOps.piiScrub(spark, sf).collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 3) + 1, s"doc $id email count")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1, s"doc $id phone/ip count")
+    }
+  }
+
   test("source_mix keeps at least one doc per source and never exceeds budget+1 doc") {
     val docs = graft.model.Tables.documents(spark, sf)
     val maxDocTokens = docs

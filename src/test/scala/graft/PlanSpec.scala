@@ -69,6 +69,7 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       TextOps.decontaminateBloom(spark, sf),
       TextOps.editDistancePairs(spark, sf),
       operators.CorpusOps.passageDedup(spark, sf),
+      operators.CorpusOps.boilerplateStrip(spark, sf),
       SimilarityOps.embeddingNeardup(spark, sf))
       .foreach { df =>
         val p = plan(df)
@@ -170,6 +171,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val p = plan(AnalyticOps.statsPack(spark, sf))
     assert(p.contains("partial_sum"), "moment sums lost their map-side phase")
     assert("FileScan".r.findAllIn(p).size == 1, s"expected a single events scan:\n$p")
+  }
+
+  test("pii_scrub counts and redacts inside the scan stage: map-only to the sort") {
+    val p = plan(TextOps.piiScrub(spark, sf))
+    assert(exchanges(p) == 1, s"expected only the presentation sort exchange:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "regex pipeline left whole-stage codegen")
   }
 
   test("array_pack evaluates its lambdas in-row: no explode, map-only to the sort") {
