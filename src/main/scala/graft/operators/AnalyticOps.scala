@@ -324,6 +324,76 @@ object AnalyticOps {
           .as("top5"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------- event analytics
+  /** Ordered conversion funnel signup → view → click → purchase: a user
+    * counts at stage k only with an event of that type strictly after
+    * their stage-(k-1) timestamp (the product-analytics funnel, not four
+    * independent existence checks). Each stage is a conditional min
+    * aggregate joined to the previous stage's one-row-per-user frame;
+    * every shuffle keys on user_id, and stage frames shrink
+    * monotonically, so at 100 TB this is K co-partitioned
+    * aggregate+join rounds over ever-smaller data — the standard
+    * distributed funnel shape. Counts are exact integers. */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    def nextStage(typ: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col(prevTs)), Seq("user_id"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val s2 = nextStage("view", s1, "t1", "t2")
+    val s3 = nextStage("click", s2, "t2", "t3")
+    val s4 = nextStage("purchase", s3, "t3", "t4")
+    def stageRow(n: Int, step: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(step).as("step"), col("n_users"))
+    stageRow(1, "signup", s1)
+      .unionAll(stageRow(2, "view", s2))
+      .unionAll(stageRow(3, "click", s3))
+      .unionAll(stageRow(4, "purchase", s4))
+      .orderBy("stage")
+  }
+
+  /** Weekly retention cohorts: users grouped by the Monday-truncated week
+    * of their FIRST event; each (cohort week, week offset) cell counts
+    * distinct users active that many weeks later. Two shuffles, both on
+    * user_id / fixed-width keys; the first-event frame is one row per
+    * user, so the join-back is the classic small⋈big enrich that AQE
+    * broadcasts when the user dimension allows. Offsets are exact
+    * integers (both engines truncate to week boundaries first, so the
+    * day difference is always a multiple of 7). */
+  def retentionCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    ev.select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("event_week"))
+      .join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("event_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Gaps-and-islands: maximal runs of consecutive active DAYS per user,
+    * via the row_number difference trick (d − row_number(d) is constant
+    * exactly within a consecutive run). One distinct + one user-bounded
+    * window + one groupBy — all partitioned by user_id, nothing global;
+    * the window's per-partition size is the user's distinct-day count,
+    * bounded by the calendar, so no skew blowup at 100 TB. */
+  def gapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d")))
+    days.withColumn("grp", date_sub(col("d"), rn))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("d")).as("island_start"), max(col("d")).as("island_end"))
+      .drop("grp")
+      .orderBy("user_id", "island_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
@@ -343,7 +413,10 @@ object AnalyticOps {
     "trailing_window"  -> (trailingWindow _),
     "having_filter"    -> (havingFilter _),
     "stats_pack"       -> (statsPack _),
-    "array_pack"       -> (arrayPack _))
+    "array_pack"       -> (arrayPack _),
+    "funnel_steps"     -> (funnelSteps _),
+    "retention_cohort" -> (retentionCohort _),
+    "gaps_islands"     -> (gapsIslands _))
 
   val oracles: Map[String, String] = Map(
     "pivot_counts" ->
@@ -478,5 +551,41 @@ object AnalyticOps {
         | array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS top5
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+        |ORDER BY stage""".stripMargin,
+    "retention_cohort" ->
+      """WITH fw AS (
+        | SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        | FROM events GROUP BY user_id)
+        |SELECT cohort_week,
+        | CAST(date_diff('day', cohort_week,
+        |   CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fw ON e.user_id = fw.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "gaps_islands" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d,
+        | d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        | FROM days)
+        |SELECT user_id, count(*) AS n_days,
+        | min(d) AS island_start, max(d) AS island_end
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin)
 }

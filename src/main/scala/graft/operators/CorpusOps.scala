@@ -115,6 +115,33 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------ overlapping chunks
+  /** RAG-style sliding chunker: windows of [[ChunkTokens]] tokens at
+    * stride [[ChunkStride]] (< width, so consecutive chunks overlap by
+    * width − stride tokens — the retrieval-context shape, vs
+    * [[passageDedup]]'s disjoint windows). Chunk count per doc is
+    * ceil((n − width) / stride) + 1, floored at 1, so the final chunk is
+    * partial rather than dropped and every token lands in ≥ 1 chunk.
+    * Pure per-row explode over the scan — no shuffle until the
+    * presentation sort; output carries the chunk hash, not the text, so
+    * the exchange rows stay fixed-width at 100 TB. */
+  private[graft] val ChunkTokens = 24
+  private[graft] val ChunkStride = 16
+
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"), explode(expr(
+        s"transform(sequence(1, greatest(cast(ceil((size(tokens) - $w) / $s.0) as int) + 1, 1)), " +
+          s"i -> struct(i AS cid, slice(tokens, (i - 1) * $s + 1, $w) AS ctoks))")).as("e"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("e.cid").as("chunk_id"),
+        size(col("e.ctoks")).as("chunk_len"),
+        md5(array_join(col("e.ctoks"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ----------------------------------------------------- boilerplate strip
   /** Cross-document boilerplate removal (the RefinedWeb/CCNet line-dedup
     * pass, over fixed token windows since the corpus is single-line):
@@ -204,7 +231,8 @@ object CorpusOps {
     "passage_dedup" -> (passageDedup _),
     "source_mix"    -> (sourceMix _),
     "winnow_fingerprints" -> (winnowFingerprints _),
-    "boilerplate_strip"   -> (boilerplateStrip _))
+    "boilerplate_strip"   -> (boilerplateStrip _),
+    "chunk_overlap"       -> (chunkOverlap _))
 
   val oracles: Map[String, String] = Map(
     "vocab_topk" ->
@@ -268,6 +296,20 @@ object CorpusOps {
         |   ' ' ORDER BY h.pos), '')) AS kept_hash
         |FROM h LEFT JOIN bp b ON b.ph = h.ph
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "chunk_overlap" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |c AS (SELECT doc_id, len(tokens) AS n_tokens, i,
+        |  tokens[(i-1)*$ChunkStride+1:(i-1)*$ChunkStride+$ChunkTokens] AS ctoks
+        | FROM (SELECT doc_id, tokens,
+        |   unnest(generate_series(1, greatest(
+        |     CAST(ceil((len(tokens) - $ChunkTokens) / $ChunkStride.0) AS INT) + 1, 1))) AS i
+        |  FROM dtk) t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | CAST(i AS INTEGER) AS chunk_id,
+        | CAST(len(ctoks) AS INTEGER) AS chunk_len,
+        | md5(array_to_string(ctoks, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),

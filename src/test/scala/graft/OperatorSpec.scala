@@ -421,6 +421,75 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       "oracle formula diverges from the real bytes")
   }
 
+  test("funnel_steps stage counts are monotonically non-increasing from the signup base") {
+    val rows = AnalyticOps.funnelSteps(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("step")).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.head == graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").select("user_id").distinct().count())
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"funnel stage grew: $a -> $b") }
+  }
+
+  test("retention_cohort offset 0 covers every user exactly once across cohorts") {
+    val out = AnalyticOps.retentionCohort(spark, sf).cache()
+    assert(out.filter(col("week_offset") < 0).count() == 0)
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // each user is active in their own cohort week by construction
+    val atZero = out.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    assert(atZero == users, s"offset-0 total $atZero != $users distinct users")
+    out.unpersist()
+  }
+
+  test("gaps_islands partitions each user's active days into maximal runs") {
+    val out = AnalyticOps.gapsIslands(spark, sf).cache()
+    // island length is exactly its day span (runs are consecutive)
+    assert(out.filter(datediff(col("island_end"), col("island_start")) + 1
+      =!= col("n_days")).count() == 0)
+    // islands cover every distinct (user, day) exactly once
+    val days = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    assert(out.agg(sum(col("n_days"))).head().getLong(0) == days)
+    // maximality: consecutive islands of one user are separated by a gap
+    import spark.implicits._
+    out.select("user_id", "island_start", "island_end").as[(Long, java.sql.Date, java.sql.Date)]
+      .collect().groupBy(_._1).values.foreach { is =>
+        is.sortBy(_._2.getTime).sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) =>
+            assert(s2.getTime - e1.getTime > 86400000L,
+              s"adjacent islands touch: $e1 then $s2")
+          case _ => ()
+        }
+      }
+    out.unpersist()
+  }
+
+  test("chunk_overlap windows tile every token with stride overlap") {
+    val w = CorpusOps.ChunkTokens
+    val s = CorpusOps.ChunkStride
+    val out = CorpusOps.chunkOverlap(spark, sf).cache()
+    // all but the final chunk of each doc are full-width
+    val lastIdx = out.groupBy(col("doc_id")).agg(max(col("chunk_id")).as("last_id"))
+    assert(out.join(lastIdx, Seq("doc_id"))
+      .filter(col("chunk_id") < col("last_id") && col("chunk_len") =!= w)
+      .count() == 0, "non-final chunk not full width")
+    // final chunk reaches the end of the token list: start + len == n + 1
+    assert(out.join(lastIdx, Seq("doc_id"))
+      .filter(col("chunk_id") === col("last_id"))
+      .filter((col("chunk_id") - 1) * s + col("chunk_len") < least(col("n_tokens"), lit(w)))
+      .count() == 0, "final chunk leaves tokens uncovered")
+    // chunk count matches the ceil formula
+    val bad = out.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(max(col("chunk_id")).as("n_chunks"))
+      .filter(col("n_chunks") =!=
+        greatest(ceil((col("n_tokens") - w) / s.toDouble).cast("int") + 1, lit(1)))
+    assert(bad.count() == 0, "chunk count formula violated")
+    out.unpersist()
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
@@ -432,10 +501,12 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, dst).count() // must not throw
       // cache_empty/include_match report a boolean, the recall gates a
-      // global aggregate — all four are one-row-always by design, and
-      // their DuckDB oracles return one row on empty input too
+      // global aggregate, and funnel_steps is four ungrouped aggregates
+      // (one zero-count row per stage) — all are fixed-row-count by
+      // design, and their DuckDB oracles return the same rows on empty
+      // input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
-          name == "ann_recall" || name == "ivf_recall",
+          name == "ann_recall" || name == "ivf_recall" || name == "funnel_steps",
         s"$name returned $n rows on empty input")
     }
   }
