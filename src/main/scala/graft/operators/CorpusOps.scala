@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 
@@ -42,6 +43,42 @@ object CorpusOps {
       .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabTopK)
+
+  // ------------------------------------------------- unigram LM perplexity
+  /** Unigram language-model quality score (the CCNet/KenLM-filter proxy):
+    * train token probabilities on the corpus itself (cnt / N), score
+    * every document by its mean token surprisal −ln p(t), in nats. Docs
+    * full of rare tokens score high (candidate garbage), docs of common
+    * filler score low — the standard LM-based quality cut, with the
+    * unigram model standing in for the n-gram KenLM this container
+    * cannot host.
+    *
+    * Determinism: each token's surprisal is rounded to 6 dp and cast to
+    * DECIMAL(18,6), so the per-doc sum is EXACT and order-independent
+    * (float summation order under shuffle would otherwise diverge, and
+    * DuckDB would disagree); the single decimal→double cast and the
+    * final division are correctly rounded in both engines. Same ln
+    * round-6 discipline tfidf_embedding has held green since round 5.
+    *
+    * Scale shape: one token-keyed aggregate builds the vocab (Zipf: tiny
+    * vs the corpus — it broadcasts), one join-back scores tokens in
+    * place, one doc_id groupBy reduces — the same two-shuffle profile as
+    * vocab_topk + a map-side join. */
+  def perplexityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val n = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    val scored = toks.join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / lit(n.toDouble)), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------- n-gram table
   /** Bigram frequency table with a count cutoff — the language-model /
@@ -232,7 +269,8 @@ object CorpusOps {
     "source_mix"    -> (sourceMix _),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "boilerplate_strip"   -> (boilerplateStrip _),
-    "chunk_overlap"       -> (chunkOverlap _))
+    "chunk_overlap"       -> (chunkOverlap _),
+    "perplexity_score"    -> (perplexityScore _))
 
   val oracles: Map[String, String] = Map(
     "vocab_topk" ->
@@ -296,6 +334,16 @@ object CorpusOps {
         |   ' ' ORDER BY h.pos), '')) AS kept_hash
         |FROM h LEFT JOIN bp b ON b.ph = h.ph
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "perplexity_score" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
+        |vocab AS MATERIALIZED (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(CAST(round(-ln(CAST(v.cnt AS DOUBLE) / n.total), 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+        |FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN n
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "chunk_overlap" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),

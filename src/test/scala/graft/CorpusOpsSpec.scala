@@ -76,6 +76,28 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("perplexity_score: surprisals bounded by ln N, corpus mean equals unigram entropy") {
+    val out = CorpusOps.perplexityScore(spark, sf).cache()
+    val toks = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .as("token"))
+    val n = toks.count()
+    val lnN = math.log(n.toDouble)
+    assert(out.filter(col("mean_nll") <= 0 || col("mean_nll") > lnN + 1e-6).count() == 0,
+      "mean surprisal outside (0, ln N]")
+    // token-weighted mean over docs == corpus unigram entropy (exact up
+    // to the 6-dp per-token rounding)
+    val weighted = out.agg(sum(col("mean_nll") * col("n_tokens")))
+      .head().getDouble(0) / n
+    val entropy = toks.groupBy(col("token")).count()
+      .agg(sum(-col("count") * log(col("count") / n.toDouble)))
+      .head().getDouble(0) / n
+    assert(math.abs(weighted - entropy) < 1e-3,
+      s"weighted doc mean $weighted != corpus entropy $entropy")
+    out.unpersist()
+  }
+
   test("pii regexes count and redact exactly the crafted artifacts") {
     import spark.implicits._
     val s = "write u5@mail2.com or u5@mail2.com call +1-555-0042 ip 10.3.0.21 end"
