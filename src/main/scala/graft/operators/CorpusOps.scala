@@ -68,7 +68,9 @@ object CorpusOps {
     val toks = TextOps.normed(spark, sfDir)
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val n = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    // coalesce: empty corpus sums to NULL; any positive stand-in works
+    // (toks is empty, so nothing is ever scored against it)
+    val n = vocab.agg(coalesce(sum(col("cnt")), lit(1L))).head().getLong(0)
     val scored = toks.join(broadcast(vocab), Seq("token"))
       .select(col("doc_id"),
         round(-log(col("cnt").cast("double") / lit(n.toDouble)), 6)

@@ -36,6 +36,36 @@ object RelationalOps {
   private def discPrice =
     col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(DecimalType(9, 4)))
 
+  // ----------------------------------------------------------- SQL surface
+  /** TPC-H Q3-shaped shipping-priority query submitted through the
+    * `spark.sql(...)` ENTRY PATH over registered temp views — every
+    * other query exercises the DataFrame API; this one proves the same
+    * engine surface works for SQL users end-to-end (same Catalyst plan:
+    * the segment filter pushes into the customer scan, both joins
+    * broadcast the dimension side under AQE, the top-10 is
+    * TakeOrderedAndProject, never a global sort). Revenue uses the
+    * per-factor decimal casts of [[discPrice]] so both engines sum
+    * exactly; ties at the limit boundary break on l_orderkey. */
+  def q3Sql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_q3_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_q3_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_q3_lineitem")
+    spark.sql(
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM graft_q3_customer c
+        |JOIN graft_q3_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_q3_lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   // ----------------------------------------------------------- aggregation
   /** TPC-H Q1-shaped pricing summary: hash aggregate with partial (map-
     * side) + final phases, picked automatically by Spark. */
@@ -425,9 +455,24 @@ object RelationalOps {
     "set_except_all"   -> (setExceptAll _),
     "exists_subquery"  -> (existsSubquery _),
     "subquery_pack"    -> (subqueryPack _),
-    "doc_length_histogram" -> (docLengthHistogram _))
+    "doc_length_histogram" -> (docLengthHistogram _),
+    "q3_sql"           -> (q3Sql _))
 
   val oracles: Map[String, String] = Map(
+    "q3_sql" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
