@@ -180,6 +180,14 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       "regex pipeline left whole-stage codegen")
   }
 
+  test("q3_sql via spark.sql plans like the DataFrame path: pushed filter, top-k, no global sort") {
+    val p = plan(RelationalOps.q3Sql(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT 10 became a global sort:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed into the customer scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("array_pack evaluates its lambdas in-row: no explode, map-only to the sort") {
     val p = plan(AnalyticOps.arrayPack(spark, sf))
     assert(!p.contains("Generate "), s"higher-order fns fell back to explode:\n$p")
