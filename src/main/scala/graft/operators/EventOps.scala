@@ -258,6 +258,40 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------- event-sourced state
+  /** CDC / event-sourced state reconstruction — the MERGE-INTO shape
+    * without a table format: the LATEST event per user (ts desc,
+    * event_id desc tiebreak, same total order as `latest_per_key`)
+    * becomes a change record — `error` ⇒ DELETE, anything else ⇒ UPSERT
+    * of its value — applied onto the customer base snapshot keyed by
+    * custkey. Output is the merged state: base rows survive unchanged
+    * unless a change hits their key; upserts for unknown keys INSERT.
+    *
+    * Scale shape: one user_id window picks the change set (one row per
+    * key — delta-sized), then ONE full-outer join on the key applies
+    * it; at 100 TB this is the standard CDC-merge plan (the small
+    * change side broadcast or co-partitioned with the base). No
+    * driver-side state, no iteration. */
+  def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val changes = events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("key"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        round(col("value"), 6).as("new_value"))
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("base_value"))
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("key"),
+        coalesce(col("op"), lit("keep")).as("op"),
+        round(coalesce(col("new_value"), col("base_value")), 6).as("value"))
+      .orderBy("key")
+  }
+
   // ------------------------------------------------------------- #23-#24
   /** Serialize/deserialize round-trip (reference `message_pack_serializer
     * .ex:10-33`): term → wire → term. The engine's wire format is JSON
@@ -307,6 +341,7 @@ object EventOps {
     "ref_sequence"        -> (refSequence _),
     "version_route"       -> (versionRoute _),
     "json_roundtrip"      -> (jsonRoundtrip _),
+    "cdc_upsert"          -> (cdcUpsert _),
     "consumer_pipeline"   -> (flagship _))
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +409,20 @@ object EventOps {
         |  WHEN 2 THEN 'v2:' || event_type
         |  ELSE 'quarantine:unsupported_version' END AS handled
         |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_upsert" ->
+      """WITH ch AS (
+        | SELECT user_id AS key,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  round(value, 6) AS new_value
+        | FROM (SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key, c_acctbal AS base_value FROM customer)
+        |SELECT key, COALESCE(op, 'keep') AS op,
+        | round(COALESCE(new_value, base_value), 6) AS value
+        |FROM base FULL JOIN ch USING (key)
+        |WHERE op IS NULL OR op <> 'delete'
+        |ORDER BY key""".stripMargin,
     "json_roundtrip" ->
       """SELECT event_id,
         | to_json(struct_pack(event_id := event_id, event_type := event_type)) AS wire,

@@ -490,6 +490,27 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("cdc_upsert merges exactly: keys = base ∪ upserts − deletes, values from the right side") {
+    val out = EventOps.cdcUpsert(spark, sf).cache()
+    val ev = graft.model.Tables.events(spark, sf)
+    val base = graft.model.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("key"), col("c_acctbal"))
+    val latest = RelationalOps.latestPerKey(spark, sf)  // same total order
+    val deleted = latest.filter(col("event_type") === "error").select(col("user_id").as("key"))
+    val upserted = latest.filter(col("event_type") =!= "error").select(col("user_id").as("key"))
+    // key set identity
+    val expect = base.select("key").union(upserted).distinct().exceptAll(deleted.distinct())
+    assert(out.select("key").exceptAll(expect).count() == 0 &&
+      expect.exceptAll(out.select("key")).count() == 0, "merged key set wrong")
+    // no deleted key survives; every upserted key is labeled upsert
+    assert(out.join(deleted, Seq("key")).count() == 0)
+    assert(out.join(upserted, Seq("key")).filter(col("op") =!= "upsert").count() == 0)
+    // keep rows carry the base value untouched
+    assert(out.filter(col("op") === "keep").join(base, Seq("key"))
+      .filter(col("value") =!= round(col("c_acctbal"), 6)).count() == 0)
+    out.unpersist()
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
