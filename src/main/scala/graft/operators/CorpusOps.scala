@@ -82,6 +82,35 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- CMS heavy hitters
+  /** Count-min-sketch heavy hitters: estimated counts for the exact
+    * top-[[CmsTopK]] tokens, completing the sketch family next to HLL
+    * (`approx_distinct`) and t-digest (`approx_percentiles`). At 100 TB
+    * the sketch replaces the full vocab aggregate with a merge of
+    * fixed-size (w×d counter) partial sketches — the exact aggregate
+    * here exists only to pick the probe tokens and expose the error,
+    * which the spec bounds (CMS never underestimates; overestimate
+    * ≤ eps·N with prob ≥ confidence). Deterministic: the seed pins the
+    * hash functions and counter merges are sums. Not oracle-hashable
+    * (DuckDB has no CMS) → rows-only, like the other sketches. */
+  private[graft] val CmsTopK = 10
+  private[graft] val CmsEps = 0.001
+  def approxTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.normed(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("token"))
+    toks.persist()
+    val cms = toks.stat.countMinSketch("token", eps = CmsEps,
+      confidence = 0.99, seed = 42)
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token")).limit(CmsTopK)
+      .as[(String, Long)].collect() // k rows — metadata-sized, like ann_recall
+    toks.unpersist()
+    top.toSeq.map { case (t, c) => (t, c, cms.estimateCount(t)) }
+      .toDF("token", "true_cnt", "est_cnt")
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
   // ---------------------------------------------------------- n-gram table
   /** Bigram frequency table with a count cutoff — the language-model /
     * tokenizer-training building block. Reuses the shingle pipeline at
@@ -272,7 +301,8 @@ object CorpusOps {
     "winnow_fingerprints" -> (winnowFingerprints _),
     "boilerplate_strip"   -> (boilerplateStrip _),
     "chunk_overlap"       -> (chunkOverlap _),
-    "perplexity_score"    -> (perplexityScore _))
+    "perplexity_score"    -> (perplexityScore _),
+    "approx_topk"         -> (approxTopk _))
 
   val oracles: Map[String, String] = Map(
     "vocab_topk" ->

@@ -98,6 +98,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("approx_topk: CMS never under-counts and stays within the eps*N bound") {
+    val out = CorpusOps.approxTopk(spark, sf).collect()
+    assert(out.length == CorpusOps.CmsTopK)
+    val n = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")))
+      .count()
+    out.foreach { r =>
+      val (truth, est) = (r.getAs[Long]("true_cnt"), r.getAs[Long]("est_cnt"))
+      assert(est >= truth, s"CMS under-counted ${r.getString(0)}: $est < $truth")
+      assert(est <= truth + (CorpusOps.CmsEps * n).toLong,
+        s"CMS over-counted ${r.getString(0)} beyond eps*N: $est vs $truth (N=$n)")
+    }
+    // determinism: the pinned seed makes the estimates reproducible
+    assert(CorpusOps.approxTopk(spark, sf).collect().toSeq == out.toSeq)
+  }
+
   test("pii regexes count and redact exactly the crafted artifacts") {
     import spark.implicits._
     val s = "write u5@mail2.com or u5@mail2.com call +1-555-0042 ip 10.3.0.21 end"
