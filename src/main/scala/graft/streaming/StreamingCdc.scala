@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming CDC merge: events ARRIVE as a stream and fold into a
+  * persistent state snapshot — the streaming rendition of the batch
+  * `cdc_upsert` reconstruction (EventOps.cdcUpsert), and the engine's
+  * stand-in for MERGE INTO against a table format.
+  *
+  * The merge rule keeps, per key, the row with the greatest
+  * (ts, event_id) — the same total order as `latest_per_key`. That rule
+  * is associative, commutative, and idempotent over per-key rows, so the
+  * final state is independent of how the stream was micro-batched AND of
+  * at-least-once replays (StreamingSpec proves stream-batch parity).
+  *
+  * State layout: versioned snapshots `statePath/v=<batchId>`, a
+  * poor-man's commit log. Each batch reads the newest version BELOW its
+  * own id and overwrites its own — so a replayed batch recomputes from
+  * the same predecessor state instead of double-applying, the same
+  * idempotence contract as ConsumerPipeline's batch-keyed sinks. At
+  * scale the snapshot is one row per live key (delta-sized, not
+  * event-sized), rewritten per batch; versions two behind the current
+  * batch are pruned.
+  */
+object StreamingCdc {
+
+  /** One change record per key in the batch: latest event wins. */
+  private def latestChanges(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    batch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("key"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        round(col("value"), 6).as("new_value"))
+  }
+
+  /** Associative latest-wins merge of two state frames. */
+  private def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    a.unionByName(b).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  private def versions(spark: SparkSession, statePath: String): Seq[Long] = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+  }
+
+  /** The newest committed snapshot (for readers). */
+  def state(spark: SparkSession, statePath: String): DataFrame = {
+    val vs = versions(spark, statePath)
+    require(vs.nonEmpty, s"no state snapshot under $statePath")
+    spark.read.parquet(s"$statePath/v=${vs.max}")
+  }
+
+  def start(events: DataFrame, statePath: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .queryName("graft-streaming-cdc")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prevIds = versions(spark, statePath).filter(_ < batchId)
+        val changes = latestChanges(batch)
+        val merged = prevIds.sorted.lastOption match {
+          case Some(v) => merge(
+            spark.read.parquet(s"$statePath/v=$v"), changes)
+          case None => changes
+        }
+        merged.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+        // prune: a replay of batch N only ever needs version N-1
+        val fs = new Path(statePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        prevIds.filter(_ < batchId - 1)
+          .foreach(v => fs.delete(new Path(s"$statePath/v=$v"), true))
+      }
+      .start()
+}

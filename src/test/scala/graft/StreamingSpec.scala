@@ -403,4 +403,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.nonEmpty)
     corpusBands.unpersist()
   }
+
+  test("streaming cdc: merged state is batch-boundary-independent and matches cdc_upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    val statePath = tempDir("cdc_state")
+    val q = graft.streaming.StreamingCdc.start(
+      stream.toDF(), statePath, tempDir("cdc_ckpt"))
+    try {
+      // three arbitrary waves — the latest-wins merge must make the
+      // final state independent of where the batch boundaries fell
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { wave =>
+        stream.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = graft.streaming.StreamingCdc.state(spark, statePath)
+    // applying the streamed state onto the base snapshot reproduces the
+    // batch cdc_upsert reconstruction exactly
+    val base = graft.model.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("base_value"))
+    val applied = base.join(state.select("key", "op", "new_value"),
+        Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("key"), coalesce(col("op"), lit("keep")).as("op"),
+        round(coalesce(col("new_value"), col("base_value")), 6).as("value"))
+    val batch = graft.operators.EventOps.cdcUpsert(spark, sf)
+    assert(applied.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(applied).count() == 0, "stream state diverged from batch merge")
+    // pruning leaves at most the current and predecessor snapshots
+    val vdirs = new java.io.File(statePath).list().count(_.startsWith("v="))
+    assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
+  }
 }
