@@ -330,6 +330,51 @@ object SimilarityOps {
     * k-means loop and the IVF coarse index. Eager persist: the caller's
     * assignment/update/probe rounds all consume it in one job. Released
     * by [[graft.api.Caches.release]] like every query-internal cache. */
+  // -------------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * clusters the embedding space, then pairwise cosine is computed only
+    * WITHIN each cluster and, per duplicate pair, the higher vec_id is
+    * dropped (keep-one-per-set, deterministic greedy). The cluster
+    * bounds the candidate space the way LSH bands do for
+    * `embedding_neardup` — at 100 TB, K grows with N so per-cluster
+    * populations (and the within-cluster self-join) stay bounded; no
+    * all-pairs join ever exists.
+    *
+    * Determinism: the cosine threshold is evaluated in INTEGER
+    * arithmetic on the whole-number quantized codes — cos > 0.9 ⟺
+    * d > 0 ∧ 100·d² > 16·|a|²·|b|² — every product a whole number below
+    * 2⁵³, so both engines agree bit-for-bit and no sqrt/division ever
+    * runs. Same assignment (c1 centroids, (dist, cid) tie-break) as
+    * `kmeans_assign`; same 0.4 duplicate threshold as
+    * `embedding_neardup` (the synthetic corpus's true near-dups sit at
+    * ~0.45 cosine — SemDeDup's published 0.9+ applies to real encoder
+    * embeddings, which these synthetic vectors are not). */
+  private[graft] val SemDedupNum = 16L   // threshold²·100: cos > 0.4
+  private[graft] val SemDedupDen = 100L
+
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantCodes(spark, sfDir)
+    val assigned = assignNearest(q, lloydCentroids(q), keepQ = true)
+      .select(col("vec_id"), col("cid").as("cluster"), col("q"))
+      .persist()
+    assigned.count()
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"), col("q").as("qa"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("q").as("qb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b"),
+        dot("qa", "qb").as("d"), dot("qa", "qa").as("na"), dot("qb", "qb").as("nb"))
+      .filter(col("d") > 0 &&
+        lit(SemDedupDen) * col("d") * col("d") > lit(SemDedupNum) * col("na") * col("nb"))
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val q = vecs(spark, sfDir)
       .select(col("vec_id"),
@@ -393,7 +438,8 @@ object SimilarityOps {
     "ivf_recall"         -> (ivfRecall _),
     "ann_lsh"            -> (annLsh _),
     "ann_ivf"            -> (annIvf _),
-    "kmeans_assign"      -> (kmeansAssign _))
+    "kmeans_assign"      -> (kmeansAssign _),
+    "semantic_dedup"     -> (semanticDedup _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -616,6 +662,22 @@ object SimilarityOps {
         |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
         | round(count(*) / 5.0, 6) AS recall
         |FROM b5 WHERE vec_id IN (SELECT vec_id FROM i5)""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$kmeansCtesSql,
+        |a2 AS MATERIALIZED (SELECT vec_id, cid, qv FROM (
+        | SELECT qq.vec_id, c.cid, qq.qv,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c) t WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT y.vec_id FROM a2 x JOIN a2 y
+        | ON x.cid = y.cid AND x.vec_id < y.vec_id
+        | WHERE list_dot_product(x.qv, y.qv) > 0
+        |  AND $SemDedupDen * list_dot_product(x.qv, y.qv) * list_dot_product(x.qv, y.qv)
+        |    > $SemDedupNum * list_dot_product(x.qv, x.qv) * list_dot_product(y.qv, y.qv))
+        |SELECT a.vec_id, a.cid AS cluster, d.vec_id IS NULL AS kept
+        |FROM a2 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "kmeans_assign" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |$kmeansCtesSql

@@ -511,6 +511,37 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("semantic_dedup drops exactly the vectors with a lower-id in-cluster cosine>0.9 partner") {
+    import spark.implicits._
+    val out = SimilarityOps.semanticDedup(spark, sf).collect()
+    val n = graft.model.Tables.embeddings(spark, sf).count()
+    assert(out.length == n && out.map(_.getLong(0)).distinct.length == n)
+    // independent driver-side recompute of the integer drop rule over
+    // the same quantized codes, within the clusters the query reports
+    val codes = graft.model.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .selectExpr("vec_id", "array_max(transform(v, x -> abs(x))) AS m", "v")
+      .selectExpr("vec_id",
+        "CASE WHEN m = 0D THEN transform(v, x -> 0D) " +
+          "ELSE transform(v, x -> cast(floor(x * 127 / m + 0.5) as double)) END AS q")
+      .as[(Long, Seq[Double])].collect().toMap
+    def ldot(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum.toLong
+    val expectedDropped = out.groupBy(_.getLong(1)).values.flatMap { cluster =>
+      val ids = cluster.map(_.getLong(0)).sorted
+      for {
+        j <- ids.indices; i <- 0 until j
+        (qa, qb) = (codes(ids(i)), codes(ids(j)))
+        d = ldot(qa, qb)
+        if d > 0 && SimilarityOps.SemDedupDen * d * d >
+          SimilarityOps.SemDedupNum * ldot(qa, qa) * ldot(qb, qb)
+      } yield ids(j)
+    }.toSet
+    assert(out.filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet == expectedDropped)
+    // the synthetic corpus contains near-identical vectors: some must drop
+    assert(expectedDropped.nonEmpty, "fixture produced no semantic duplicates")
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
