@@ -324,6 +324,43 @@ object AnalyticOps {
           .as("top5"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------ anomaly detection
+  /** Trailing-window z-score anomaly detection (the monitoring shape):
+    * each event's value against the mean/stddev of the previous
+    * [[ZscoreWindow]] events of its type; |z| > 3 flags the anomaly.
+    * Per-type windows — no global order; the frame is ROWS-bounded so
+    * state per key is constant at 100 TB (the streaming analog keeps
+    * the same fixed-size ring per key in mapGroupsWithState).
+    *
+    * Determinism: the trailing power sums accumulate in DECIMAL (exact,
+    * order-independent); mean/var/z are derived in double with the
+    * IDENTICAL formula text on both engines — every step (decimal→
+    * double cast, divide, multiply, subtract, sqrt) is correctly
+    * rounded IEEE, so equal inputs give equal bits, then round(…, 6)
+    * defends the hash. */
+  private[graft] val ZscoreWindow = 50
+
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-ZscoreWindow, -1)
+    val v = col("value").cast(Dec)
+    Tables.events(spark, sfDir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(v).over(w).cast("double"))
+      .withColumn("s2", sum(v * v).over(w).cast("double"))
+      .filter(col("n") === ZscoreWindow) // full frames only: stable baseline
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+      .withColumn("z",
+        (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean"), 6).as("mean"), round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------- event analytics
   /** Ordered conversion funnel signup → view → click → purchase: a user
     * counts at stage k only with an event of that type strictly after
@@ -415,6 +452,7 @@ object AnalyticOps {
     "stats_pack"       -> (statsPack _),
     "array_pack"       -> (arrayPack _),
     "funnel_steps"     -> (funnelSteps _),
+    "anomaly_zscore"   -> (anomalyZscore _),
     "retention_cohort" -> (retentionCohort _),
     "gaps_islands"     -> (gapsIslands _))
 
@@ -552,6 +590,23 @@ object AnalyticOps {
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "anomaly_zscore" ->
+      """SELECT event_id, event_type, value,
+        | round(mean, 6) AS mean, round(z, 6) AS z
+        |FROM (
+        | SELECT event_id, event_type, value, n, s1 / n AS mean,
+        |  (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) AS z
+        | FROM (
+        |  SELECT event_id, event_type, value,
+        |   count(*) OVER w AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |   CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)) f
+        | WHERE n = 50) g
+        |WHERE abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

@@ -542,6 +542,22 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(expectedDropped.nonEmpty, "fixture produced no semantic duplicates")
   }
 
+  test("anomaly_zscore flags only full-frame outliers, sign-consistent with the mean") {
+    val out = AnalyticOps.anomalyZscore(spark, sf).cache()
+    assert(out.filter(abs(col("z")) <= 3.0).count() == 0)
+    assert(out.filter((col("value") > col("mean")) =!= (col("z") > 0)).count() == 0)
+    // an event inside the first ZscoreWindow rows of its type has no
+    // full trailing frame and must never be flagged
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val early = graft.model.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AnalyticOps.ZscoreWindow)
+      .select("event_id")
+    assert(out.join(early, Seq("event_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
