@@ -361,6 +361,29 @@ object AnalyticOps {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count (from_type → to_type) adjacencies in ts order, with the row-
+    * normalized transition probability. The behavioral-model shape —
+    * session modeling, next-event prediction features, bot detection.
+    *
+    * Scale shape: one user_id window (lag) → one groupBy on the 5×5 type
+    * grid; the second window partitions by from_type over AT MOST
+    * |types|² rows, so the normalization is metadata-sized no matter the
+    * corpus. Determinism: `n` is an exact long; probability is ONE
+    * long→double division on both engines, then round(…, 6). */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tot = Window.partitionBy(col("from_type"))
+    Tables.events(spark, sfDir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(tot).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   // ------------------------------------------------------- event analytics
   /** Ordered conversion funnel signup → view → click → purchase: a user
     * counts at stage k only with an event of that type strictly after
@@ -453,6 +476,7 @@ object AnalyticOps {
     "array_pack"       -> (arrayPack _),
     "funnel_steps"     -> (funnelSteps _),
     "anomaly_zscore"   -> (anomalyZscore _),
+    "transition_matrix" -> (transitionMatrix _),
     "retention_cohort" -> (retentionCohort _),
     "gaps_islands"     -> (gapsIslands _))
 
@@ -607,6 +631,19 @@ object AnalyticOps {
         | WHERE n = 50) g
         |WHERE abs(z) > 3.0
         |ORDER BY event_id""".stripMargin,
+    "transition_matrix" ->
+      """SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) /
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM (
+        | SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        | FROM (
+        |  SELECT event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events) s
+        | WHERE from_type IS NOT NULL
+        | GROUP BY 1, 2) c
+        |ORDER BY from_type, to_type""".stripMargin,
     "funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

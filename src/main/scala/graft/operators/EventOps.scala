@@ -292,6 +292,33 @@ object EventOps {
       .orderBy("key")
   }
 
+  /** SCD Type 2 dimension build from the event stream — the other half of
+    * the CDC family next to [[cdcUpsert]] (latest-state merge): per user,
+    * collapse consecutive runs of the same event_type into validity
+    * intervals `[valid_from, valid_to)` with a monotonically increasing
+    * version; the open interval (`valid_to IS NULL`) is the current row.
+    * This is the standard warehouse history-table shape: a point-in-time
+    * lookup is `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
+    *
+    * Scale shape: two windows over the SAME (user_id, ts) partitioning —
+    * change detection (`lag`) and interval stitching (`lead` +
+    * `row_number`) reuse one exchange+sort, so the whole build is a
+    * single shuffle on user_id regardless of history depth; state per
+    * key is one row. */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(ord))
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   // ------------------------------------------------------------- #23-#24
   /** Serialize/deserialize round-trip (reference `message_pack_serializer
     * .ex:10-33`): term → wire → term. The engine's wire format is JSON
@@ -342,6 +369,7 @@ object EventOps {
     "version_route"       -> (versionRoute _),
     "json_roundtrip"      -> (jsonRoundtrip _),
     "cdc_upsert"          -> (cdcUpsert _),
+    "scd2_intervals"      -> (scd2Intervals _),
     "consumer_pipeline"   -> (flagship _))
 
   val oracles: Map[String, String] = Map(
@@ -423,6 +451,20 @@ object EventOps {
         |FROM base FULL JOIN ch USING (key)
         |WHERE op IS NULL OR op <> 'delete'
         |ORDER BY key""".stripMargin,
+    "scd2_intervals" ->
+      """SELECT user_id,
+        | CAST(row_number() OVER w AS INTEGER) AS version,
+        | event_type AS state,
+        | ts AS valid_from,
+        | lead(ts) OVER w AS valid_to,
+        | lead(ts) OVER w IS NULL AS is_current
+        |FROM (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events) c
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "json_roundtrip" ->
       """SELECT event_id,
         | to_json(struct_pack(event_id := event_id, event_type := event_type)) AS wire,

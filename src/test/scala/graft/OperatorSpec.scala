@@ -558,6 +558,39 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("transition_matrix rows are probability distributions over a complete grid") {
+    val out = AnalyticOps.transitionMatrix(spark, sf).cache()
+    // each from_type's probabilities sum to 1 (round-trip tolerance from
+    // the per-cell round(p, 6))
+    val sums = out.groupBy("from_type").agg(sum(col("p")).as("ps"))
+      .filter(abs(col("ps") - 1.0) > 1e-4)
+    assert(sums.count() == 0)
+    // total transitions = events - one lag-less first event per user
+    val ev = graft.model.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.agg(sum(col("n"))).head.getLong(0) == expected)
+    out.unpersist()
+  }
+
+  test("scd2_intervals stitches gap-free, change-only, per-user histories") {
+    val out = EventOps.scd2Intervals(spark, sf).cache()
+    // exactly one open (current) interval per user
+    val users = graft.model.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.filter(col("is_current")).count() == users)
+    // intervals chain: next version's valid_from equals this valid_to,
+    // and consecutive versions never carry the same state (true SCD2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    val chained = out
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() == 0)
+    assert(chained.filter(col("next_state").isNotNull &&
+      col("next_state") === col("state")).count() == 0)
+    out.unpersist()
+  }
+
   test("queries degrade to empty results on empty tables, not errors") {
     // empty copies of every table, written with the canonical schemas
     val dst = tempDir("sf0")
