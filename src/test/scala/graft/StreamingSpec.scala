@@ -439,4 +439,35 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val vdirs = new java.io.File(statePath).list().count(_.startsWith("v="))
     assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
   }
+
+  test("streaming anomaly scores equal the batch anomaly_zscore window bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full event table, in the batch query's (ts, event_id) order,
+    // arriving as three micro-batches
+    val all = graft.model.Tables.events(spark, sf)
+      .orderBy("ts", "event_id").as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingAnomaly.detect(stream.toDS())
+      .writeStream.format("memory").queryName("anomaly_out")
+      .option("checkpointLocation", tempDir("anom_ckpt"))
+      .outputMode("append").start()
+    try {
+      val third = all.length / 3
+      stream.addData(all.take(third): _*)
+      q.processAllAvailable()
+      stream.addData(all.slice(third, 2 * third): _*)
+      q.processAllAvailable() // rings must carry across the boundary
+      stream.addData(all.drop(2 * third): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anomaly_out")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean"), 6).as("mean"), round(col("z"), 6).as("z"))
+      .orderBy("event_id").collect().toSeq
+    val expected = graft.operators.AnalyticOps.anomalyZscore(spark, sf)
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no anomalies")
+  }
 }
