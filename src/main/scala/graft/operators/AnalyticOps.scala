@@ -361,6 +361,51 @@ object AnalyticOps {
       .orderBy("event_id")
   }
 
+  /** Single-pass data profiling (ANALYZE-style column statistics): row
+    * count, non-null count, exact distinct count, and min/max per
+    * profiled lineitem column, as one row per column. The pipeline-
+    * health op every ingestion run wants first.
+    *
+    * Scale shape: ONE scan — all per-column aggregates live in one
+    * Aggregate (the multi-distinct is planned as a single Expand, ×5
+    * rows map-side, never 5 scans), then a 5-row `stack` to long form.
+    * Numeric min/max surface as doubles, string min/max as strings, so
+    * no engine-specific number formatting enters the hash. */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("nn_ok"),
+      countDistinct(col("l_orderkey")).as("nd_ok"),
+      min(col("l_orderkey")).cast("double").as("mn_ok"),
+      max(col("l_orderkey")).cast("double").as("mx_ok"),
+      count(col("l_quantity")).as("nn_q"),
+      countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).as("mn_q"),
+      max(col("l_quantity")).as("mx_q"),
+      count(col("l_discount")).as("nn_d"),
+      countDistinct(col("l_discount")).as("nd_d"),
+      min(col("l_discount")).as("mn_d"),
+      max(col("l_discount")).as("mx_d"),
+      count(col("l_returnflag")).as("nn_rf"),
+      countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("mn_rf"),
+      max(col("l_returnflag")).as("mx_rf"),
+      count(col("l_linestatus")).as("nn_ls"),
+      countDistinct(col("l_linestatus")).as("nd_ls"),
+      min(col("l_linestatus")).as("mn_ls"),
+      max(col("l_linestatus")).as("mx_ls"))
+      .selectExpr(
+        """stack(5,
+          |'l_discount',   n_rows, nn_d,  nd_d,  mn_d,  mx_d,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |'l_linestatus', n_rows, nn_ls, nd_ls, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_ls, mx_ls,
+          |'l_orderkey',   n_rows, nn_ok, nd_ok, mn_ok, mx_ok, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |'l_quantity',   n_rows, nn_q,  nd_q,  mn_q,  mx_q,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |'l_returnflag', n_rows, nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_rf, mx_rf
+          |) AS (col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+      .orderBy("col_name")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * count (from_type → to_type) adjacencies in ts order, with the row-
     * normalized transition probability. The behavioral-model shape —
@@ -477,6 +522,7 @@ object AnalyticOps {
     "funnel_steps"     -> (funnelSteps _),
     "anomaly_zscore"   -> (anomalyZscore _),
     "transition_matrix" -> (transitionMatrix _),
+    "column_profile"   -> (columnProfile _),
     "retention_cohort" -> (retentionCohort _),
     "gaps_islands"     -> (gapsIslands _))
 
@@ -631,6 +677,25 @@ object AnalyticOps {
         | WHERE n = 50) g
         |WHERE abs(z) > 3.0
         |ORDER BY event_id""".stripMargin,
+    "column_profile" ->
+      """SELECT * FROM (
+        | SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+        | UNION ALL
+        | SELECT 'l_quantity', count(*), count(l_quantity), count(DISTINCT l_quantity),
+        |  min(l_quantity), max(l_quantity), NULL, NULL FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', count(*), count(l_discount), count(DISTINCT l_discount),
+        |  min(l_discount), max(l_discount), NULL, NULL FROM lineitem
+        | UNION ALL
+        | SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+        |  NULL, NULL, min(l_returnflag), max(l_returnflag) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_linestatus', count(*), count(l_linestatus), count(DISTINCT l_linestatus),
+        |  NULL, NULL, min(l_linestatus), max(l_linestatus) FROM lineitem) p
+        |ORDER BY col_name""".stripMargin,
     "transition_matrix" ->
       """SELECT from_type, to_type, n,
         | round(CAST(n AS DOUBLE) /

@@ -66,6 +66,29 @@ object RelationalOps {
         |LIMIT 10""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery through the SQL entry path: top-3
+    * orders per BUILDING-segment customer, expressed the way a SQL user
+    * writes it (`JOIN LATERAL ... ORDER BY ... LIMIT 3`) rather than the
+    * window formulation `topk_per_group` uses. Catalyst DECORRELATES the
+    * lateral into a per-key rank plan — no per-customer re-execution, no
+    * nested loop — so the physical shape is the same scalable window
+    * top-k; what this query proves is the SQL-surface parity of the
+    * decorrelation path. Ties at the LIMIT boundary break on
+    * o_orderkey, making the pick deterministic on both engines. */
+  def lateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_lat_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_lat_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   // ----------------------------------------------------------- aggregation
   /** TPC-H Q1-shaped pricing summary: hash aggregate with partial (map-
     * side) + final phases, picked automatically by Spark. */
@@ -456,9 +479,18 @@ object RelationalOps {
     "exists_subquery"  -> (existsSubquery _),
     "subquery_pack"    -> (subqueryPack _),
     "doc_length_histogram" -> (docLengthHistogram _),
-    "q3_sql"           -> (q3Sql _))
+    "q3_sql"           -> (q3Sql _),
+    "lateral_topk"     -> (lateralTopk _))
 
   val oracles: Map[String, String] = Map(
+    "lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q3_sql" ->
       """SELECT l_orderkey,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -572,6 +572,51 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("lateral_topk decorrelates to the window top-k answer") {
+    val out = RelationalOps.lateralTopk(spark, sf).cache()
+    // never more than 3 orders per customer
+    assert(out.groupBy("c_custkey").count().filter(col("count") > 3).count() == 0)
+    // equals the window formulation over the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    assert(out.collect().toSeq == expected)
+    assert(expected.nonEmpty)
+    out.unpersist()
+  }
+
+  test("column_profile reports exact per-column statistics from one scan") {
+    val out = AnalyticOps.columnProfile(spark, sf).cache()
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_quantity", "l_discount",
+      "l_returnflag", "l_linestatus"))
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(rows.values.forall(_.getAs[Long]("n_rows") == n))
+    assert(rows("l_returnflag").getAs[Long]("n_distinct") ==
+      li.select("l_returnflag").distinct().count())
+    assert(rows("l_orderkey").getAs[Double]("min_num") <=
+      rows("l_orderkey").getAs[Double]("max_num"))
+    // one scan: the multi-distinct plans as a single Expand, not 5 reads
+    // (counted on the optimized logical plan — the AQE-executed string
+    // reprints subtrees and over-counts)
+    val plan = AnalyticOps.columnProfile(spark, sf).queryExecution.optimizedPlan
+    val scans = plan.collectLeaves().size
+    assert(scans == 1, s"expected a single-pass profile, saw $scans scans")
+    assert(plan.toString.contains("Expand"), "multi-distinct should plan as Expand")
+    out.unpersist()
+  }
+
   test("scd2_intervals stitches gap-free, change-only, per-user histories") {
     val out = EventOps.scd2Intervals(spark, sf).cache()
     // exactly one open (current) interval per user
