@@ -366,45 +366,35 @@ object AnalyticOps {
     * profiled lineitem column, as one row per column. The pipeline-
     * health op every ingestion run wants first.
     *
-    * Scale shape: ONE scan — all per-column aggregates live in one
-    * Aggregate (the multi-distinct is planned as a single Expand, ×5
-    * rows map-side, never 5 scans), then a 5-row `stack` to long form.
-    * Numeric min/max surface as doubles, string min/max as strings, so
-    * no engine-specific number formatting enters the hash. */
-  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    li.agg(
-      count(lit(1)).as("n_rows"),
-      count(col("l_orderkey")).as("nn_ok"),
-      countDistinct(col("l_orderkey")).as("nd_ok"),
-      min(col("l_orderkey")).cast("double").as("mn_ok"),
-      max(col("l_orderkey")).cast("double").as("mx_ok"),
-      count(col("l_quantity")).as("nn_q"),
-      countDistinct(col("l_quantity")).as("nd_q"),
-      min(col("l_quantity")).as("mn_q"),
-      max(col("l_quantity")).as("mx_q"),
-      count(col("l_discount")).as("nn_d"),
-      countDistinct(col("l_discount")).as("nd_d"),
-      min(col("l_discount")).as("mn_d"),
-      max(col("l_discount")).as("mx_d"),
-      count(col("l_returnflag")).as("nn_rf"),
-      countDistinct(col("l_returnflag")).as("nd_rf"),
-      min(col("l_returnflag")).as("mn_rf"),
-      max(col("l_returnflag")).as("mx_rf"),
-      count(col("l_linestatus")).as("nn_ls"),
-      countDistinct(col("l_linestatus")).as("nd_ls"),
-      min(col("l_linestatus")).as("mn_ls"),
-      max(col("l_linestatus")).as("mx_ls"))
-      .selectExpr(
-        """stack(5,
-          |'l_discount',   n_rows, nn_d,  nd_d,  mn_d,  mx_d,  CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |'l_linestatus', n_rows, nn_ls, nd_ls, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_ls, mx_ls,
-          |'l_orderkey',   n_rows, nn_ok, nd_ok, mn_ok, mx_ok, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |'l_quantity',   n_rows, nn_q,  nd_q,  mn_q,  mx_q,  CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |'l_returnflag', n_rows, nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_rf, mx_rf
-          |) AS (col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+    * Scale shape: melt FIRST (a `stack` generator — one scan, map-only),
+    * then ONE groupBy(col_name) holding a SINGLE distinct aggregate.
+    * The obvious alternative — all five `countDistinct`s in one wide
+    * aggregate — plans as a 6-way Expand whose group key is every
+    * profiled column at once; measured 10× slower at sf0.1 (4.5 s vs
+    * 0.4 s) because each expanded row hashes a wide all-nullable key.
+    * Melting narrows the key to (col_name, value) and the distinct
+    * rewrite needs no Expand at all. Numeric min/max surface as doubles,
+    * string min/max as strings, so no engine-specific number formatting
+    * enters the hash (bigint→double is injective below 2^53). */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(expr("""stack(5,
+        |'l_orderkey',   cast(l_orderkey as double), cast(null as string),
+        |'l_quantity',   l_quantity,                 cast(null as string),
+        |'l_discount',   l_discount,                 cast(null as string),
+        |'l_returnflag', cast(null as double),       l_returnflag,
+        |'l_linestatus', cast(null as double),       l_linestatus
+        |) as (col_name, num_val, str_val)""".stripMargin))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("num_val").isNotNull || col("str_val").isNotNull, 1))
+          .as("n_nonnull"),
+        countDistinct(when(col("num_val").isNotNull || col("str_val").isNotNull,
+          struct(col("num_val"), col("str_val")))).as("n_distinct"),
+        min(col("num_val")).as("min_num"), max(col("num_val")).as("max_num"),
+        min(col("str_val")).as("min_str"), max(col("str_val")).as("max_str"))
       .orderBy("col_name")
-  }
 
   /** First-order Markov transition matrix over per-user event sequences:
     * count (from_type → to_type) adjacencies in ts order, with the row-
