@@ -329,8 +329,17 @@ object AnalyticOps {
     * each event's value against the mean/stddev of the previous
     * [[ZscoreWindow]] events of its type; |z| > 3 flags the anomaly.
     * Per-type windows — no global order; the frame is ROWS-bounded so
-    * state per key is constant at 100 TB (the streaming analog keeps
-    * the same fixed-size ring per key in mapGroupsWithState).
+    * state per key is constant at 100 TB (the streaming analog
+    * [[graft.streaming.StreamingAnomaly]] keeps the same fixed-size
+    * ring per key in mapGroupsWithState).
+    *
+    * Scale note: a trailing window is inherently SEQUENTIAL per key, so
+    * parallelism equals key cardinality — the fixture's 5 event types
+    * are the degenerate worst case (5 of 32 cores busy at sf0.1).
+    * Production anomaly keys are (entity, metric) pairs — naturally
+    * high-cardinality — and the streaming form shards the same rings
+    * across the state store; the batch query keeps the fixture key so
+    * the oracle exercises the exact frame semantics.
     *
     * Determinism: the trailing power sums accumulate in DECIMAL (exact,
     * order-independent); mean/var/z are derived in double with the
