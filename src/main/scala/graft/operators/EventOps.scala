@@ -319,6 +319,20 @@ object EventOps {
       .orderBy("user_id", "version")
   }
 
+  /** Z-order clustering key over (user bucket, day-of-year bucket) —
+    * the multi-dimensional layout key [[graft.sources.DataLayout]]
+    * writes with. Oracle-checked here because the interleave must be
+    * bit-identical on both engines for the layout to be reproducible;
+    * both sides are GENERATED from the same formula
+    * ([[graft.sources.DataLayout.zorderSql]]). */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"),
+        graft.sources.DataLayout.zorderKey(
+          pmod(col("user_id"), lit(256L)),
+          pmod(dayofyear(col("ts")), lit(256)).cast("long")).as("zkey"))
+      .orderBy("event_id")
+
   // ------------------------------------------------------------- #23-#24
   /** Serialize/deserialize round-trip (reference `message_pack_serializer
     * .ex:10-33`): term → wire → term. The engine's wire format is JSON
@@ -370,6 +384,7 @@ object EventOps {
     "json_roundtrip"      -> (jsonRoundtrip _),
     "cdc_upsert"          -> (cdcUpsert _),
     "scd2_intervals"      -> (scd2Intervals _),
+    "zorder_key"          -> (zorderKey _),
     "consumer_pipeline"   -> (flagship _))
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +480,10 @@ object EventOps {
         |WHERE prev_type IS NULL OR prev_type <> event_type
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "zorder_key" ->
+      s"""SELECT event_id,
+         | ${graft.sources.DataLayout.zorderSql("(user_id % 256)", "(dayofyear(ts) % 256)")} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
     "json_roundtrip" ->
       """SELECT event_id,
         | to_json(struct_pack(event_id := event_id, event_type := event_type)) AS wire,

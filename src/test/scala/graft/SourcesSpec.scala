@@ -78,6 +78,72 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(joined.count() > 0)
   }
 
+  test("compaction rewrites fragments into size-targeted, range-disjoint files") {
+    val events = EventSource.parquet(spark, sf)
+    val frag = tempDir("frag")
+    events.repartition(40).write.mode("overwrite").parquet(frag) // 40 small files
+    val out = tempDir("compacted")
+    val fs = new org.apache.hadoop.fs.Path(frag)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(frag)).getLength
+    val n = graft.sources.DataLayout.compact(
+      spark, frag, out, Seq("user_id", "ts"), targetBytes = bytes / 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == n && n >= 4 && n < 40, s"n=$n files=${files.length}")
+    // content survives byte-for-byte (same rows, nothing dropped or duped)
+    assert(spark.read.parquet(out).orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+    // range clustering: per-file user_id ranges overlap only at boundaries
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .orderBy("lo").collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"file ranges interleave: $a vs $b")
+      case _ => ()
+    }
+  }
+
+  test("z-ordered layout keeps per-file key ranges disjoint for min/max skipping") {
+    val events = EventSource.parquet(spark, sf)
+    val out = tempDir("zordered")
+    graft.sources.DataLayout.writeZordered(events, out, files = 8,
+      pmod(col("user_id"), lit(256L)),
+      pmod(dayofyear(col("ts")), lit(256)).cast("long"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    // recompute the zkey per row and check per-file [min,max] disjointness
+    val zk = graft.sources.DataLayout.zorderKey(
+      pmod(col("user_id"), lit(256L)),
+      pmod(dayofyear(col("ts")), lit(256)).cast("long"))
+    val ranges = back.withColumn("zk", zk)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zk").as("lo"), max("zk").as("hi"))
+      .orderBy("lo").collect()
+    assert(ranges.length == 8)
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"z ranges interleave: $a vs $b")
+      case _ => ()
+    }
+    // bit interleave is a bijection on the 16-bit grid: de-interleaving
+    // recovers both dimensions exactly
+    val bits = (0 until 8).map { i =>
+      (shiftright(col("zk"), 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << i),
+       shiftright(col("zk"), 2 * i).bitwiseAND(lit(1L)) * lit(1L << i))
+    }
+    val decoded = back.withColumn("zk", zk)
+      .withColumn("a", bits.map(_._1).reduce(_ + _))
+      .withColumn("b", bits.map(_._2).reduce(_ + _))
+    assert(decoded.filter(col("a") =!= pmod(col("user_id"), lit(256L))).count() == 0)
+    assert(decoded.filter(col("b") =!=
+      pmod(dayofyear(col("ts")), lit(256)).cast("long")).count() == 0)
+  }
+
   test("streaming file source replays at-rest data through the consumer") {
     val events = EventSource.parquet(spark, sf)
     val stage = tempDir("stage")
