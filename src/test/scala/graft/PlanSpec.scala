@@ -211,4 +211,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"token explode planned outside the cached tf:\n$exec")
     assert(exec.toString.contains("InMemoryTableScan"), "tf cache not used")
   }
+
+  test("lateral_topk decorrelates: hash join + window rank, never a nested loop") {
+    val p = plan(RelationalOps.lateralTopk(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral join did not decorrelate:\n$p")
+    assert(p.contains("Window"), "expected the rank window in the decorrelated plan")
+  }
+
+  test("scd2_intervals shares one user_id exchange across both window passes") {
+    val p = plan(graft.operators.EventOps.scd2Intervals(spark, sf))
+    // change-detect (lag) + stitch (lead/row_number) + presentation sort:
+    // anything beyond [user_id hash, final range] means the windows
+    // stopped reusing the child partitioning
+    assert(exchanges(p) == 2, s"expected 2 exchanges, plan:\n$p")
+  }
 }
