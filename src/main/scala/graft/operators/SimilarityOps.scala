@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -207,6 +208,37 @@ object SimilarityOps {
           .as("qval"),
         col("m").as("scale"))
       .orderBy("vec_id", "dim")
+
+  /** Per-DIMENSION corpus statistics (mean/variance of every embedding
+    * coordinate) — the drift-monitoring / whitening-prep op: a feature
+    * pipeline compares these against a reference window to catch
+    * embedding-model or upstream-data drift.
+    *
+    * Determinism: each coordinate is fixed-point quantized first
+    * (`floor(x·10⁶ + 0.5)` — the same rounding-mode-free construction
+    * as [[embedQuantize]]), so the per-dimension sums are exact integer
+    * arithmetic in DECIMAL — order-independent under any shuffle — and
+    * the mean/variance derivation is one identical double chain on both
+    * engines. Scale shape: posexplode (map-only) → ONE groupBy on dim
+    * (64 groups, map-side partials); sums carry DECIMAL(38,0) headroom
+    * so 10¹⁰ vectors cannot overflow. */
+  def embedDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    vecs(spark, sfDir)
+      .select(posexplode(col("v")))
+      .select(col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast(dec)).cast("double").as("s1"),
+        sum((col("q") * col("q")).cast(dec)).cast("double").as("s2"))
+      .select(col("dim"), col("n"),
+        round(col("s1") / col("n") / 1e6, 6).as("mean"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n") / 1e12, 6)
+          .as("variance"))
+      .orderBy("dim")
+  }
 
   /** Deterministic pseudo-random ±1 hyperplane components: md5-seeded by
     * (plane, dim) — reproducible on any cluster AND in the SQL oracle
@@ -434,6 +466,7 @@ object SimilarityOps {
     "embedding_neardup"  -> (embeddingNeardup _),
     "embed_dedup_groups" -> (embedDedupGroups _),
     "embed_quantize"     -> (embedQuantize _),
+    "embed_dim_stats"    -> (embedDimStats _),
     "ann_recall"         -> (annRecall _),
     "ivf_recall"         -> (ivfRecall _),
     "ann_lsh"            -> (annLsh _),
@@ -577,6 +610,18 @@ object SimilarityOps {
         |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
         | round(count(*) / 5.0, 6) AS recall
         |FROM b5 WHERE vec_id IN (SELECT vec_id FROM l5)""".stripMargin,
+    "embed_dim_stats" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS (SELECT i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v))
+        |SELECT dim, count(*) AS n,
+        | round(CAST(sum(qv) AS DOUBLE) / count(*) / 1e6, 6) AS mean,
+        | round((CAST(sum(qv * qv) AS DOUBLE)
+        |   - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
+        |  / count(*) / 1e12, 6) AS variance
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "embed_quantize" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |mv AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v)

@@ -616,6 +616,24 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
+  test("embed_dim_stats covers every dimension with exact counts and sane moments") {
+    val out = SimilarityOps.embedDimStats(spark, sf).cache()
+    val nvecs = graft.model.Tables.embeddings(spark, sf).count()
+    val dims = out.count()
+    assert(dims == 64, s"expected 64 dims, got $dims")
+    assert(out.filter(col("n") =!= nvecs).count() == 0,
+      "every dimension must see every vector")
+    assert(out.filter(col("variance") < 0).count() == 0, "variance must be >= 0")
+    // quantization error bound: the op's mean differs from a double-sum
+    // mean by at most the 1e-6 fixed-point step
+    val direct = graft.model.Tables.embeddings(spark, sf)
+      .select(explode(col("embedding")).as("x"))
+      .agg(avg(col("x"))).head.getDouble(0)
+    val allMean = out.agg(avg(col("mean"))).head.getDouble(0)
+    assert(math.abs(direct - allMean) < 1e-5, s"$direct vs $allMean")
+    out.unpersist()
+  }
+
   test("scd2_intervals stitches gap-free, change-only, per-user histories") {
     val out = EventOps.scd2Intervals(spark, sf).cache()
     // exactly one open (current) interval per user
