@@ -374,7 +374,31 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlap(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("sa") + col("sb") - col("i")).cast("double"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Containment similarity |A∩B| / min(|A|,|B|) over the same LSH
+    * candidates as [[ngramJaccard]] — the doc-IN-doc detector. Jaccard
+    * punishes size asymmetry (a passage wholly embedded in a 100× longer
+    * document scores near 0), so training-data pipelines that hunt
+    * quotation/wrapping duplicates (news wire inside aggregator pages,
+    * README sections vendored into monorepos) score containment instead;
+    * same candidate-bounded cost, different normalizer. */
+  def minhashContainment(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlap(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          least(col("sa"), col("sb")).cast("double"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared exact-overlap kernel behind [[ngramJaccard]] and
+    * [[minhashContainment]]: LSH candidate pairs with the exact shingle
+    * intersection count `i` and set sizes `sa`/`sb`. */
+  private def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val s3 = shingles(spark, sfDir, 3).distinct().persist()
     s3.count()
     // ONE groupBy over the distinct-shingle base yields both the MinHash
@@ -403,10 +427,8 @@ object TextOps {
     inter
       .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("i")).cast("double"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        col("sa.sz").as("sa"), col("sb.sz").as("sb"))
   }
 
   /** Connected components over the LSH candidate-pair graph: every doc
@@ -787,6 +809,7 @@ object TextOps {
     "dedup_groups"        -> (dedupGroups _),
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
+    "minhash_containment" -> (minhashContainment _),
     "edit_distance_pairs" -> (editDistancePairs _),
     "simhash"             -> (simhash _),
     "simhash_neardup"     -> (simhashNeardup _),
@@ -1002,6 +1025,22 @@ object TextOps {
         | GROUP BY c.doc_a, c.doc_b)
         |SELECT i.doc_a, i.doc_b,
         | round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        | JOIN sizes sa ON sa.doc_id = i.doc_a
+        | JOIN sizes sb ON sb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "minhash_containment" ->
+      s"""WITH $candCtesSql,
+        |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS i
+        | FROM cand c
+        |  JOIN s3 x ON x.doc_id = c.doc_a
+        |  JOIN s3 y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        | GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        | round(CAST(i.i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
         |FROM inter i
         | JOIN sizes sa ON sa.doc_id = i.doc_a
         | JOIN sizes sb ON sb.doc_id = i.doc_b
