@@ -60,6 +60,49 @@ object SimilarityOps {
       .limit(10)
   }
 
+  // ------------------------------------------------------ hard negatives
+  /** Anchors mined (vec_id < this) and negatives kept per anchor. */
+  private[operators] val HardNegAnchors = 3
+  private[operators] val HardNegK = 3
+
+  /** Per-anchor top-k within the local-heap stage — hash salt count so
+    * the first top-k pass parallelizes across the corpus, not just
+    * across anchors. */
+  private val HardNegSalts = 32
+
+  /** Contrastive hard-negative mining: for each anchor vector, the
+    * [[HardNegK]] most cosine-similar vectors carrying a DIFFERENT label
+    * — the pairs a contrastive trainer most needs (similar embedding,
+    * wrong class). The anchor set (id + label + vector) is broadcast, so
+    * the corpus is scanned once with no shuffle; the per-anchor top-k
+    * runs in TWO phases — a local top-k per (anchor, vec_id-salt) bucket,
+    * then the final rank over the ≤ anchors·salts·k survivors — because a
+    * single window partitioned by anchor alone would bound parallelism at
+    * the anchor count (the trailing-window lesson: 3 anchors = 3 tasks no
+    * matter the cluster size). Ranking compares the ROUNDED cosine with a
+    * vec_id tiebreak, so order is engine-independent. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val anchors = e.filter(col("vec_id") < HardNegAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("v").as("av"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("a_label"))
+      .select(col("anchor_id"), col("vec_id"),
+        round(cosine("v", "av"), 6).as("cos"))
+    val local = Window.partitionBy(col("anchor_id"), pmod(col("vec_id"), lit(HardNegSalts)))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val global = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= HardNegK)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= HardNegK)
+      .select(col("anchor_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Bands for the near-dup LSH grid (OR-amplification count). */
   private val NeardupBands = 16
 
@@ -463,6 +506,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_norms"        -> (embedNorms _),
     "topk_similarity"    -> (topkSimilarity _),
+    "hard_negatives"     -> (hardNegatives _),
     "embedding_neardup"  -> (embeddingNeardup _),
     "embed_dedup_groups" -> (embedDedupGroups _),
     "embed_quantize"     -> (embedQuantize _),
@@ -556,6 +600,18 @@ object SimilarityOps {
         |SELECT vec_id, round(${cosSql("v", "pv")}, 6) AS cos
         |FROM v, p WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+        |      FROM v WHERE vec_id < $HardNegAnchors),
+        |s AS (SELECT a.anchor_id, x.vec_id,
+        |       round(${cosSql("x.v", "a.av")}, 6) AS cos
+        |      FROM v x, a WHERE x.label <> a.a_label),
+        |r AS (SELECT anchor_id, vec_id, cos,
+        |       row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY cos DESC, vec_id) AS rank FROM s)
+        |SELECT anchor_id, vec_id, cos, rank FROM r
+        |WHERE rank <= $HardNegK ORDER BY anchor_id, rank""".stripMargin,
     "embedding_neardup" ->
       s"""WITH $neardupCtesSql
         |SELECT vec_a, vec_b, cos FROM pairs ORDER BY vec_a, vec_b""".stripMargin,

@@ -872,7 +872,7 @@ object TextOps {
        | $bandSelects)""".stripMargin
   }
 
-  private def candCtesSql: String =
+  private[operators] def candCtesSql: String =
     s"""$bandsCtesSql,
        |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
