@@ -362,6 +362,12 @@ object AnalyticOps {
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("variance",
         (col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+      // a window of 50 IDENTICAL values makes the exact variance 0, and
+      // the double expression can land a few ulps NEGATIVE — Spark's
+      // sqrt would yield NaN (row silently dropped) while DuckDB ERRORS
+      // on sqrt(<0). Guard both engines with the same double compare: a
+      // zero-variance frame has no defined z-score anyway.
+      .filter(col("variance") > 1e-12)
       .withColumn("z",
         (col("value") - col("mean")) / sqrt(col("variance")))
       .filter(abs(col("z")) > 3.0)
@@ -673,7 +679,7 @@ object AnalyticOps {
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)) f
-        | WHERE n = 50) g
+        | WHERE n = 50 AND (s2 - s1 * s1 / n) / n > 1e-12) g
         |WHERE abs(z) > 3.0
         |ORDER BY event_id""".stripMargin,
     "column_profile" ->

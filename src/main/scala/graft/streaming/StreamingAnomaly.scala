@@ -57,9 +57,14 @@ object StreamingAnomaly {
               val s2 = ds.map(d => d * d).sum.toDouble
               val mean = s1 / window
               val variance = (s2 - s1 * s1 / window) / window
-              val z = (e.value - mean) / math.sqrt(variance)
-              if (math.abs(z) > threshold)
-                out += Anomaly(e.event_id, etype, e.value, mean, z)
+              // same guard as the batch window: a zero-variance frame
+              // (50 identical values; the double can land ulps negative)
+              // has no defined z-score — both paths drop the row
+              if (variance > 1e-12) {
+                val z = (e.value - mean) / math.sqrt(variance)
+                if (math.abs(z) > threshold)
+                  out += Anomaly(e.event_id, etype, e.value, mean, z)
+              }
             }
             ring = (ring :+ e.value).takeRight(window)
           }
