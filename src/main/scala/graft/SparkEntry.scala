@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventOps.queries ++ RelationalOps.queries ++ AnalyticOps.queries ++
       TextOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      PipelineOps.queries ++ CorpusOps.queries ++ MiningOps.queries
+      PipelineOps.queries ++ CorpusOps.queries ++ MiningOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventOps.oracles ++ RelationalOps.oracles ++ AnalyticOps.oracles ++
       TextOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      PipelineOps.oracles ++ CorpusOps.oracles ++ MiningOps.oracles
+      PipelineOps.oracles ++ CorpusOps.oracles ++ MiningOps.oracles ++
+      GraphOps.oracles
 }

@@ -156,4 +156,102 @@ object GraphOps {
     }
     edges.map(_._1).distinct.map(n => n -> find(n)).toMap
   }
+
+  // --------------------------------------------------------- PageRank
+  /** Fixed iteration count: the query is a deterministic benchmark of
+    * the iterative-numeric shape, not a convergence study. */
+  private[graft] val PagerankIters = 3
+  private[graft] val PagerankTopK = 20
+
+  /** Distributed PageRank (damping 0.85, [[PagerankIters]] synchronous
+    * iterations) over the undirected part↔supplier co-occurrence graph
+    * from lineitem — nodes are 2·partkey (parts) and 2·suppkey+1
+    * (suppliers) so the two key spaces cannot collide. The iterative
+    * NUMERIC fixpoint complement to [[connectedComponents]]' label
+    * fixpoint.
+    *
+    * Determinism across engines: the ENTIRE loop is integer fixed-point
+    * in units of 10⁻¹² — init = 10¹² DIV N, contribution = pr DIV
+    * outdeg, update = (0.15·10¹²) DIV N + (85·Σ) DIV 100 — so every
+    * step is exact integer arithmetic, order-independent under any
+    * shuffle, and bit-identical to DuckDB's `//`. (A first cut rounded
+    * doubles to 12 dp instead; Spark's BigDecimal-HALF_UP round and
+    * DuckDB's multiply-based round disagreed in the last digit on the
+    * very first corpus tried. Floats have no business inside an
+    * iterative fixpoint that must hash-match.) The DIV truncation leaks
+    * ≤ outdeg·10⁻¹² of mass per node per round — bounded and identical
+    * in both engines. N arrives via a broadcast one-row aggregate,
+    * never a driver action.
+    *
+    * Scale shape: per iteration, one hash join of ranks against the
+    * (persisted) edge list and one map-side-combined sum on dst —
+    * the aggregateMessages pattern. Ranks are lineage-truncated every
+    * round (same rationale as the CC loop: nested iterative plans
+    * otherwise grow exponentially). Top-k is TakeOrderedAndProject. */
+  def pagerank(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val li = graft.model.Tables.lineitem(spark, sfDir)
+    val und = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    edges.count()
+    // disjoint column names per role — outdeg/nodes/sums all descend
+    // from `edges`, and df("col") references across shared lineage trip
+    // DetectAmbiguousSelfJoin
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("deg_node"), col("outdeg"))
+    val nodes = edges.select(col("src").as("node_id")).distinct().persist()
+    val nA = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nA))
+      .select(col("node_id"), expr("1000000000000L DIV n").as("pr"))
+    for (_ <- 1 to PagerankIters) {
+      val contrib = pr
+        .join(outdeg, col("node_id") === col("deg_node"))
+        .join(edges.select(col("src").as("edge_src"), col("dst")),
+          col("node_id") === col("edge_src"))
+        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("sum_node"), col("s"))
+      pr = truncate(nodes
+        .join(sums, col("node_id") === col("sum_node"), "left_outer")
+        .crossJoin(broadcast(nA))
+        .select(col("node_id"),
+          expr("150000000000L DIV n + (85 * coalesce(s, 0L)) DIV 100").as("pr")))
+    }
+    pr.select(col("node_id"),
+        when(col("node_id") % 2 === 0, "part").otherwise("supp").as("kind"),
+        col("pr").as("pr_e12"))
+      .orderBy(col("pr_e12").desc, col("node_id"))
+      .limit(PagerankTopK)
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "pagerank" -> (pagerank _))
+
+  /** DuckDB oracle: the three iterations unrolled as CTEs, stating the
+    * identical integer fixed-point chain (`//` = Spark's `DIV`; both
+    * truncate, and every operand is non-negative). */
+  val oracles: Map[String, String] = {
+    def iter(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""c$i AS (SELECT e.dst, p.pr // od.outdeg AS c
+        | FROM $prev p JOIN od ON od.src = p.node_id JOIN e ON e.src = p.node_id),
+        |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c$i GROUP BY dst),
+        |p$i AS MATERIALIZED (SELECT nd.node_id,
+        |  150000000000 // n.n + (85 * coalesce(s$i.s, 0)) // 100 AS pr
+        | FROM nd LEFT JOIN s$i ON s$i.dst = nd.node_id, n)""".stripMargin
+    }
+    Map("pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |nd AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM e),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+        |p0 AS MATERIALIZED (SELECT node_id, 1000000000000 // n.n AS pr FROM nd, n),
+        |${(1 to PagerankIters).map(iter).mkString(",\n")}
+        |SELECT node_id,
+        | CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supp' END AS kind,
+        | CAST(pr AS BIGINT) AS pr_e12
+        |FROM p$PagerankIters ORDER BY pr_e12 DESC, node_id LIMIT $PagerankTopK""".stripMargin)
+  }
 }

@@ -85,4 +85,18 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
     val tg = t.groupBy(col("group_id")).agg(min(col("doc_id")).as("mn"))
     assert(tg.filter(col("group_id") =!= col("mn")).count() == 0)
   }
+
+  test("pagerank: ranks are a probability-like mass within damping bounds") {
+    val rows = graft.operators.GraphOps.pagerank(spark, sf).collect()
+    assert(rows.length == graft.operators.GraphOps.PagerankTopK)
+    // descending by rank with id tiebreak
+    val prs = rows.map(_.getLong(2)).toSeq
+    assert(prs == prs.sorted.reverse)
+    // every rank obeys the damping floor 0.15e12/N and, in an undirected
+    // graph with no dangling mass, stays below the 1e12 total mass
+    for (r <- rows) assert(r.getLong(2) > 0L && r.getLong(2) < 1000000000000L)
+    // kind decodes the key-space parity
+    for (r <- rows)
+      assert(r.getString(1) == (if (r.getLong(0) % 2 == 0) "part" else "supp"))
+  }
 }
