@@ -226,4 +226,34 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // stopped reusing the child partitioning
     assert(exchanges(p) == 2, s"expected 2 exchanges, plan:\n$p")
   }
+
+  test("hard_negatives broadcasts the anchors and salts the first top-k phase") {
+    val p = plan(SimilarityOps.hardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus×anchors went cartesian:\n$p")
+    // two Window operators: the salted local rank and the final rank
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2,
+      s"expected the two-phase top-k windows:\n$p")
+  }
+
+  test("cdc_chunk is map-only: the only exchange is the presentation sort") {
+    val p = plan(graft.operators.MiningOps.cdcChunk(spark, sf))
+    assert(exchanges(p) == 1, s"expected only the sort exchange, plan:\n$p")
+    assert(!p.contains("Generate"),
+      s"chunk geometry must stay in-row (no explode of the token array):\n$p")
+  }
+
+  test("cdc_dedup explodes only chunk hashes and takes a heap-based top-k") {
+    val p = plan(graft.operators.MiningOps.cdcDedup(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition heaps, not a global sort:\n$p")
+  }
+
+  test("temperature_mix collapses to per-source rows before any float math") {
+    val p = plan(graft.operators.MiningOps.temperatureMix(spark, sf))
+    // partial aggregation on the scan side of the one data shuffle
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"expected map-side partial aggregation:\n$p")
+  }
 }
