@@ -225,8 +225,78 @@ object GraphOps {
       .limit(PagerankTopK)
   }
 
+  // --------------------------------------------------- Triangle count
+  /** Distributed triangle counting over the MinHash-LSH near-dup pair
+    * graph — the graph-structure complement to [[connectedComponents]]:
+    * CC tells a dedup pipeline how many GROUPS it has; the triangle
+    * count (vs edge count) tells it how CLIQUE-LIKE the groups are
+    * (true duplicate clusters are cliques, band-collision noise is
+    * tree-like), which is the standard cheap diagnostic before cutting
+    * a keep-list.
+    *
+    * Algorithm: degree-ordered edge orientation (Suri &
+    * Vassilvitskii's MR triangle counting / Chiba–Nishizeki): orient
+    * every undirected edge from its (degree, id)-smaller endpoint to
+    * the larger, enumerate wedges by self-joining oriented edges on
+    * the source, and close each wedge with a hash join back against
+    * the oriented edge list. Orientation caps per-node out-degree at
+    * O(√m) on any graph, so the wedge join — the only superlinear
+    * step — is O(m^1.5) worst case instead of Σdeg² (the "curse of the
+    * last reducer": one hub node otherwise owns almost all wedges).
+    * Every step is a hash join or aggregation on key columns — no
+    * cross join, no driver-side adjacency — so the plan scales with
+    * shuffle capacity at 100 TB. Each triangle {a<b<c} (order by
+    * (deg, id)) is counted exactly once: as the wedge b←a→c closed by
+    * the oriented edge b→c. */
+  def triangleCount(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    triangleCountOf(TextOps.candidatePairs(spark, sfDir))
+
+  /** Counting core over an arbitrary undirected pair list (`doc_a` <
+    * `doc_b`, already distinct) — separated so the spec can drive it
+    * with known-triangle graphs. */
+  private[graft] def triangleCountOf(pairsIn: DataFrame): DataFrame = {
+    // one persisted pair base feeds degrees, orientation, and the edge
+    // count (the file-family one-base-per-query rule)
+    val pairs = pairsIn.persist()
+    pairs.count()
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist()
+    deg.count()
+    // orient by (deg, id): lower endpoint → higher endpoint
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("na"), col("deg").as("da")), col("na") === col("doc_a"))
+      .join(deg.select(col("node").as("nb"), col("deg").as("db")), col("nb") === col("doc_b"))
+      .select(when(aLower, col("doc_a")).otherwise(col("doc_b")).as("u"),
+        when(aLower, col("doc_b")).otherwise(col("doc_a")).as("v"))
+    // destination order key rides along so the wedge join can order its
+    // two legs without another degree join; eager persist — the wedge
+    // self-join consumes ek twice in one job
+    val ek = oriented
+      .join(deg.select(col("node").as("nv"), col("deg").as("vdeg")), col("nv") === col("v"))
+      .select(col("u"), col("v"), col("vdeg"))
+      .persist()
+    ek.count()
+    val legOrder = col("e1.vdeg") < col("e2.vdeg") ||
+      (col("e1.vdeg") === col("e2.vdeg") && col("e1.v") < col("e2.v"))
+    val tri = ek.as("e1")
+      .join(ek.as("e2"), col("e1.u") === col("e2.u") && legOrder)
+      .select(col("e1.v").as("w1"), col("e2.v").as("w2"))
+      .join(ek.select(col("u").as("cu"), col("v").as("cv")),
+        col("cu") === col("w1") && col("cv") === col("w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // one-row graph summary; the three aggregates are metadata-sized
+    // and broadcast, so the joins are nested-loop over single rows,
+    // never a partitioned cartesian
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "pagerank" -> (pagerank _))
+    "pagerank" -> (pagerank _),
+    "triangle_count" -> (triangleCount _))
 
   /** DuckDB oracle: the three iterations unrolled as CTEs, stating the
     * identical integer fixed-point chain (`//` = Spark's `DIV`; both
@@ -241,7 +311,31 @@ object GraphOps {
         |  150000000000 // n.n + (85 * coalesce(s$i.s, 0)) // 100 AS pr
         | FROM nd LEFT JOIN s$i ON s$i.dst = nd.node_id, n)""".stripMargin
     }
-    Map("pagerank" ->
+    Map(
+      // same degree-ordered orientation stated in SQL: every CASE and
+      // join mirrors the Spark plan, so the count is structural, not
+      // engine-dependent (all arithmetic is integer)
+      "triangle_count" ->
+        s"""WITH ${TextOps.candCtesSql},
+          |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+          |  SELECT doc_a AS node FROM cand
+          |  UNION ALL SELECT doc_b AS node FROM cand) allv GROUP BY node),
+          |e AS MATERIALIZED (SELECT
+          |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+          |   THEN c.doc_a ELSE c.doc_b END AS u,
+          |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+          |   THEN c.doc_b ELSE c.doc_a END AS v
+          | FROM cand c JOIN deg da ON da.node = c.doc_a JOIN deg db ON db.node = c.doc_b),
+          |ek AS MATERIALIZED (SELECT e.u, e.v, dv.deg AS vdeg FROM e JOIN deg dv ON dv.node = e.v),
+          |tri AS (SELECT count(*) AS n_triangles FROM ek e1
+          | JOIN ek e2 ON e1.u = e2.u
+          |  AND (e1.vdeg < e2.vdeg OR (e1.vdeg = e2.vdeg AND e1.v < e2.v))
+          | JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+          | (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_edges,
+          | n_triangles
+          |FROM tri""".stripMargin,
+      "pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),

@@ -173,6 +173,12 @@ object TextOps {
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3)).orderBy("doc_a", "doc_b")
 
+  /** Unsorted LSH candidate pairs (doc_a < doc_b) for graph-shaped
+    * consumers ([[GraphOps.triangleCount]]) — same kernel as
+    * [[dedupMinhashPairs]] without the presentation sort. */
+  private[operators] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    candidatePairsFrom(shingles(spark, sfDir, 3))
+
   /** Banded MinHash signature index (doc_id, band_no, bh) of an
     * arbitrary document frame (doc_id, text, …) — the PRECOMPUTED corpus
     * side of incremental/streaming dedup. MinHash is an associative min,

@@ -99,4 +99,28 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
     for (r <- rows)
       assert(r.getString(1) == (if (r.getLong(0) % 2 == 0) "part" else "supp"))
   }
+
+  /** Drives the degree-oriented counting core with graphs whose triangle
+    * census is known in closed form — shapes the LSH pair data can't be
+    * relied on to produce (cliques, triangle-free bipartite, hub stars). */
+  private def triangles(pairs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = GraphOps.triangleCountOf(pairs.toDF("doc_a", "doc_b")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangle count: cliques, triangle-free graphs, and shared-edge fans") {
+    // K4 has C(4,3)=4 triangles; a dup group of size n is exactly a clique
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(triangles(k4) == ((4L, 6L, 4L)))
+    // star K1,4: wedge-rich, triangle-free — the shape orientation must
+    // not mis-close (hub 100 has degree 4, every wedge stays open)
+    val star = (1L to 4L).map(i => (i, 100L))
+    assert(triangles(star) == ((5L, 4L, 0L)))
+    // two triangles sharing edge (1,2): each counted once, no double count
+    val fan = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(triangles(fan) == ((4L, 5L, 2L)))
+    // C4 (square): cyclic but triangle-free
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))._3 == 0L)
+  }
 }

@@ -70,7 +70,8 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       TextOps.editDistancePairs(spark, sf),
       operators.CorpusOps.passageDedup(spark, sf),
       operators.CorpusOps.boilerplateStrip(spark, sf),
-      SimilarityOps.embeddingNeardup(spark, sf))
+      SimilarityOps.embeddingNeardup(spark, sf),
+      operators.GraphOps.triangleCount(spark, sf))
       .foreach { df =>
         val p = plan(df)
         assert(!p.contains("CartesianProduct"),
