@@ -44,6 +44,71 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabTopK)
 
+  // ----------------------------------------------------------------- BM25
+  /** BM25 constants (Robertson's defaults) and the deterministic query:
+    * the [[Bm25Terms]] vocabulary terms ranked [[Bm25TermOffset]]+1.. by
+    * document frequency — mid-df terms, away from both stopword
+    * saturation and hapax noise, and fully derivable by both engines
+    * (a literal query string would pin the benchmark to one corpus; an
+    * offset past the vocabulary yields an empty query — the synthetic
+    * corpus carries ~31 distinct tokens, so ranks 11-15 sit mid-table). */
+  private[operators] val Bm25K1 = 1.2
+  private[operators] val Bm25B = 0.75
+  private[operators] val Bm25TermOffset = 10
+  private[operators] val Bm25Terms = 5
+  private[graft] val Bm25TopK = 20
+
+  /** BM25 top-[[Bm25TopK]] retrieval — the ranked-search primitive a
+    * RAG / retrieval pipeline runs over the corpus. Score per doc =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with the
+    * Robertson idf ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Determinism: every arithmetic input (tf, df, dl, N, Σdl) is an
+    * exact integer; the double expression tree is written identically
+    * in both engines (IEEE ops on identical operands), each term
+    * contribution is rounded to 6 dp and cast DECIMAL(18,6) so the
+    * per-doc sum is exact and shuffle-order-independent — the same ln
+    * round-6 discipline as tfidf_embedding/perplexity_score.
+    *
+    * Scale shape: ONE persisted token explode feeds the df aggregate,
+    * the doc-length aggregate, and the query-term tf — three shuffles
+    * over (token)- or (doc)-keyed partials, never a re-scan. The query
+    * terms and the two one-row stat frames broadcast; term selection is
+    * a TakeOrderedAndProject (per-partition heaps), not a global sort;
+    * the final top-k likewise. */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+      .persist()
+    toks.count()
+    val dfv = toks.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val terms = dfv.orderBy(col("df").desc, col("token"))
+      .offset(Bm25TermOffset).limit(Bm25Terms)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val dlStats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("ndl"))
+    val tfq = toks.join(broadcast(terms.select(col("token"))), Seq("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val avgdl = col("sumdl").cast("double") / col("ndl").cast("double")
+    val idf = log((col("n").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val contrib = tfq
+      .join(broadcast(terms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(dlStats))
+      .select(col("doc_id"),
+        round(idf * (col("tf").cast("double") * (lit(Bm25K1) + lit(1.0))) /
+          (col("tf").cast("double") +
+            lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)), 6)
+          .cast(DecimalType(18, 6)).as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   // ------------------------------------------------- unigram LM perplexity
   /** Unigram language-model quality score (the CCNet/KenLM-filter proxy):
     * train token probabilities on the corpus itself (cnt / N), score
@@ -302,9 +367,38 @@ object CorpusOps {
     "boilerplate_strip"   -> (boilerplateStrip _),
     "chunk_overlap"       -> (chunkOverlap _),
     "perplexity_score"    -> (perplexityScore _),
-    "approx_topk"         -> (approxTopk _))
+    "approx_topk"         -> (approxTopk _),
+    "bm25_topk"           -> (bm25Topk _))
 
   val oracles: Map[String, String] = Map(
+    // identical expression tree: IEEE double ops on exact-integer inputs
+    // agree bit-for-bit; per-term round-6 + DECIMAL(18,6) makes the sum
+    // order-independent (the tfidf/perplexity discipline)
+    "bm25_topk" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
+        |dfv AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        | FROM tok GROUP BY token),
+        |terms AS MATERIALIZED (SELECT token, df FROM dfv
+        | ORDER BY df DESC, token LIMIT $Bm25Terms OFFSET $Bm25TermOffset),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        | FROM tok GROUP BY doc_id),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl, CAST(count(*) AS BIGINT) AS ndl FROM dl),
+        |tfq AS (SELECT tok.doc_id, tok.token, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok JOIN terms ON terms.token = tok.token GROUP BY tok.doc_id, tok.token),
+        |contrib AS (SELECT tfq.doc_id, CAST(round(
+        |  ln((CAST(nd.n AS DOUBLE) - CAST(terms.df AS DOUBLE) + 0.5) /
+        |     (CAST(terms.df AS DOUBLE) + 0.5) + 1.0)
+        |  * (CAST(tfq.tf AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + 1.0))
+        |  / (CAST(tfq.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE) * (1.0 - $Bm25B + $Bm25B *
+        |      CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.ndl AS DOUBLE)))),
+        |  6) AS DECIMAL(18,6)) AS c
+        | FROM tfq JOIN terms ON terms.token = tfq.token
+        |  JOIN dl ON dl.doc_id = tfq.doc_id, nd, st)
+        |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
     "vocab_topk" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn)

@@ -218,4 +218,14 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
         s"vec $id: got ($cl, $dist), reference ${expected(id)}")
     }
   }
+
+  test("bm25_topk: positive descending scores with doc_id tiebreak") {
+    val rows = graft.operators.CorpusOps.bm25Topk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.CorpusOps.Bm25TopK)
+    // Robertson idf ln((N-df+0.5)/(df+0.5)+1) is strictly positive, so
+    // every retrieved doc (≥1 query-term hit) scores > 0
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    val ranked = rows.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(ranked == ranked.sorted, "rows not in (score desc, doc_id) order")
+  }
 }

@@ -111,6 +111,12 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
   }
 
+  test("bm25_topk: heap-based top-k, no cartesian outside broadcast one-row stats") {
+    val p = plan(operators.CorpusOps.bm25Topk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("source_mix windows are partitioned by source, never one global partition") {
     val p = plan(operators.CorpusOps.sourceMix(spark, sf))
     assert(p.contains("hashpartitioning(source"), s"window not partitioned by source:\n$p")
