@@ -26,11 +26,11 @@ object PipelineOps {
   /** First 7 md5 hex digits of `seed:doc_id` as a bigint in [0, 2^28) —
     * the same 28-bit construction as TextOps token hashes (fits i32 in
     * both engines). */
-  private[operators] def keyHash(seed: String): Column =
-    expr(s"cast(conv(substring(md5(concat('$seed:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)")
+  private[operators] def keyHash(seed: String, idCol: String = "doc_id"): Column =
+    expr(s"cast(conv(substring(md5(concat('$seed:', cast($idCol as string))), 1, 7), 16, 10) as bigint)")
 
-  private[operators] def keyHashSql(seed: String): String =
-    s"CAST(CAST('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 7) AS INTEGER) AS BIGINT)"
+  private[operators] def keyHashSql(seed: String, idCol: String = "doc_id"): String =
+    s"CAST(CAST('0x' || substr(md5('$seed:' || CAST($idCol AS VARCHAR)), 1, 7) AS INTEGER) AS BIGINT)"
 
   // ------------------------------------------------------------- sampling
   /** Per-language keep-rates (percent). Downsamples the dominant
@@ -66,6 +66,34 @@ object PipelineOps {
         .otherwise("test").as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
+  }
+
+  // ------------------------------------------------------- split leakage
+  /** Cross-split contamination audit: counts NEAR-duplicate pairs
+    * (MinHash-LSH candidates — the corpus's actual duplicate signal;
+    * exact-hash dups don't exist here, every clone is mutated) that
+    * `dataset_split`'s doc-hash fence puts on opposite sides — the
+    * leakage `group_split` exists to prevent (a val/test doc whose
+    * near-clone sits in train silently inflates eval).
+    *
+    * Scale shape: the split of each endpoint is a pure EXPRESSION of
+    * its doc_id (the same seeded md5 bucket dataset_split uses), so the
+    * audit is one projection + aggregate over the candidate-pair table
+    * — no join back to the corpus at all, and the pair table is the
+    * LSH output, a vanishing fraction of the corpus at 100 TB. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    def splitOf(idCol: String): Column = {
+      val b = keyHash("spl", idCol) % 1000
+      when(b < 900, "train").when(b < 950, "val").otherwise("test")
+    }
+    TextOps.candidatePairs(spark, sfDir)
+      .select(splitOf("doc_a").as("sa"), splitOf("doc_b").as("sb"))
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+      .orderBy("split_a", "split_b")
   }
 
   // -------------------------------------------------------------- TF-IDF
@@ -148,6 +176,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "dataset_split"     -> (datasetSplit _),
+    "split_leakage"     -> (splitLeakage _),
     "tfidf_embedding"   -> (tfidfEmbedding _),
     "sequence_pack"     -> (sequencePack _),
     "corpus_shuffle"    -> (corpusShuffle _))
@@ -168,6 +197,18 @@ object PipelineOps {
           |  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs
           |FROM (SELECT ${keyHashSql("spl")} % 1000 AS b FROM documents) t
           |GROUP BY split ORDER BY split""".stripMargin,
+      "split_leakage" -> {
+        def splitCase(idCol: String) =
+          s"""CASE WHEN ${keyHashSql("spl", idCol)} % 1000 < 900 THEN 'train'
+            |   WHEN ${keyHashSql("spl", idCol)} % 1000 < 950 THEN 'val'
+            |   ELSE 'test' END""".stripMargin
+        s"""WITH ${TextOps.candCtesSql},
+          |lk AS (SELECT ${splitCase("doc_a")} AS sa, ${splitCase("doc_b")} AS sb FROM cand)
+          |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+          | CAST(count(*) AS BIGINT) AS leaked_pairs
+          |FROM lk WHERE sa <> sb
+          |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+      },
       "tfidf_embedding" ->
         s"""WITH ${TextOps.tfCtesSql},
           |df AS (SELECT dim, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY dim),

@@ -112,4 +112,18 @@ class MiningOpsSpec extends AnyFunSuite with SparkTest {
       .filter(col("n") > 1)
     assert(perGroup.count() == 0)
   }
+
+  test("split_leakage: doc-hash splitting leaks near-dup pairs that group_split cannot") {
+    val rows = graft.operators.PipelineOps.splitLeakage(spark, sf).collect()
+    // the clone-heavy corpus MUST leak under per-doc hashing — that
+    // asymmetry vs the group_split zero-straddle assertion above is the
+    // whole point of the audit
+    assert(rows.nonEmpty)
+    val valid = Set("train", "val", "test")
+    for (r <- rows) {
+      assert(valid(r.getString(0)) && valid(r.getString(1)))
+      assert(r.getString(0) < r.getString(1), "pair key not ordered")
+      assert(r.getLong(2) > 0L)
+    }
+  }
 }
