@@ -200,15 +200,23 @@ object GraphOps {
     // DetectAmbiguousSelfJoin
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("deg_node"), col("outdeg"))
+    // outdeg is static across iterations — join it into the edge list
+    // ONCE so each round pays a single rank⋈edge join instead of
+    // rank⋈outdeg⋈edge (one fewer shuffle join per iteration; on a
+    // cluster the persisted edge partitioning is also reused verbatim
+    // every round)
+    val edgesDeg = edges
+      .join(outdeg, col("src") === col("deg_node"))
+      .select(col("src").as("edge_src"), col("dst"), col("outdeg"))
+      .persist()
+    edgesDeg.count()
     val nodes = edges.select(col("src").as("node_id")).distinct().persist()
     val nA = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nA))
       .select(col("node_id"), expr("1000000000000L DIV n").as("pr"))
     for (_ <- 1 to PagerankIters) {
       val contrib = pr
-        .join(outdeg, col("node_id") === col("deg_node"))
-        .join(edges.select(col("src").as("edge_src"), col("dst")),
-          col("node_id") === col("edge_src"))
+        .join(edgesDeg, col("node_id") === col("edge_src"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("sum_node"), col("s"))
