@@ -448,7 +448,65 @@ object RelationalOps {
   def subqueryPack(spark: SparkSession, sfDir: String): DataFrame =
     sqlOnViews(spark, sfDir, subqueryPackSql("graft_customer", "graft_orders"))
 
+  // ---------------------------------------------------- data-quality audit
+  /** Constraint-suite audit (the Deequ / dbt-test shape): one row per
+    * rule with its violation count — range checks, referential
+    * integrity, uniqueness, derived-column consistency, and a
+    * cross-table reconciliation. A healthy warehouse run returns mostly
+    * zeros; the synthetic data genuinely violates two rules (shipdates
+    * before the order date, order totals that don't reconcile with
+    * their line sum), so the audit is non-vacuous under CORRECTNESS.
+    *
+    * Scale shape: the row-local rules are single-scan sum(CASE)
+    * aggregates; both order-level rules share ONE lineitem⋈orders
+    * shuffle (flags and the 2-dp decimal line sum come out of the same
+    * groupBy); referential integrity is an anti join the small side of
+    * which broadcasts; uniqueness is a groupBy-count on the key. Every
+    * money comparison goes through DECIMAL(18,2) so the reconciliation
+    * is exact under any shuffle order. */
+  def dqAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
+    def rule(name: String, viol: DataFrame): DataFrame =
+      viol.select(lit(name).as("rule"), col("violations").cast("long").as("violations"))
+    val qtyRange = rule("li_quantity_range", li.agg(
+      sum(when(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("violations")))
+    // one join + one groupBy serves BOTH order-level rules
+    val lineTerm = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax")), 2).cast(DecimalType(18, 2))
+    val perOrder = li
+      .join(o.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("early"),
+        sum(lineTerm).as("line_sum"),
+        first(round(col("o_totalprice"), 2).cast(DecimalType(18, 2))).as("tp"))
+    val shipEarly = rule("li_ship_after_order",
+      perOrder.agg(sum(col("early")).as("violations")))
+    val reconcile = rule("orders_total_reconciles",
+      perOrder.agg(sum(when(abs(col("tp") - col("line_sum")) >
+        lit("0.01").cast(DecimalType(18, 2)), 1L).otherwise(0L)).as("violations")))
+    val ri = rule("orders_customer_ri",
+      o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val unique = rule("events_event_id_unique",
+      ev.groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("violations")))
+    val nchars = rule("docs_nchars_consistent",
+      d.agg(sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("violations")))
+    qtyRange.unionByName(shipEarly).unionByName(reconcile)
+      .unionByName(ri).unionByName(unique).unionByName(nchars)
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_audit"         -> (dqAudit _),
     "q1_agg"           -> (q1Agg _),
     "agg_rollup"       -> (aggRollup _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -483,6 +541,36 @@ object RelationalOps {
     "lateral_topk"     -> (lateralTopk _))
 
   val oracles: Map[String, String] = Map(
+    // money maths through DECIMAL(18,2) on both sides: the round-2
+    // decimal sum is exact and shuffle-order-independent
+    "dq_audit" ->
+      """WITH per_order AS MATERIALIZED (
+        | SELECT o.o_orderkey,
+        |  CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS early,
+        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * (1.0 + l.l_tax), 2)
+        |      AS DECIMAL(18,2))) AS line_sum,
+        |  CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) AS tp
+        | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        | GROUP BY o.o_orderkey, CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+        |SELECT * FROM (
+        | SELECT 'li_quantity_range' AS rule, CAST(sum(CASE WHEN l_quantity IS NULL
+        |   OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'li_ship_after_order', CAST(sum(early) AS BIGINT) FROM per_order
+        | UNION ALL
+        | SELECT 'orders_total_reconciles', CAST(sum(CASE WHEN abs(tp - line_sum) >
+        |   CAST(0.01 AS DECIMAL(18,2)) THEN 1 ELSE 0 END) AS BIGINT) FROM per_order
+        | UNION ALL
+        | SELECT 'orders_customer_ri', CAST(count(*) AS BIGINT) FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        | UNION ALL
+        | SELECT 'events_event_id_unique', CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM (SELECT event_id, count(*) AS n FROM events GROUP BY event_id) u
+        | UNION ALL
+        | SELECT 'docs_nchars_consistent', CAST(sum(CASE WHEN n_chars <> length(text)
+        |   THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |) rules ORDER BY rule""".stripMargin,
     "lateral_topk" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (

@@ -664,12 +664,14 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, dst).count() // must not throw
       // cache_empty/include_match report a boolean, the recall gates a
-      // global aggregate, and funnel_steps is four ungrouped aggregates
-      // (one zero-count row per stage) — all are fixed-row-count by
-      // design, and their DuckDB oracles return the same rows on empty
-      // input too
+      // global aggregate, funnel_steps is four ungrouped aggregates
+      // (one zero-count row per stage), triangle_count is a one-row
+      // graph summary, and dq_audit is one row per RULE — all are
+      // fixed-row-count by design, and their DuckDB oracles return the
+      // same rows on empty input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
-          name == "ann_recall" || name == "ivf_recall" || name == "funnel_steps",
+          name == "ann_recall" || name == "ivf_recall" || name == "funnel_steps" ||
+          name == "triangle_count" || name == "dq_audit",
         s"$name returned $n rows on empty input")
     }
   }
@@ -743,5 +745,19 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     // heavy hitters) aren't portable to DuckDB's sketches — rows-only
     // checks with accuracy-bound specs instead
     assert(noOracle == Set("approx_distinct", "approx_percentiles", "approx_topk"))
+  }
+
+  test("dq_audit: six rules, and exactly the two known data defects fire") {
+    val rows = operators.RelationalOps.dqAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("li_quantity_range", "li_ship_after_order",
+      "orders_total_reconciles", "orders_customer_ri",
+      "events_event_id_unique", "docs_nchars_consistent"))
+    // the generator ships shipdates independent of the order date and a
+    // random o_totalprice — those two rules MUST fire; the rest must not
+    assert(rows("li_ship_after_order") > 0L)
+    assert(rows("orders_total_reconciles") > 0L)
+    assert(rows("li_quantity_range") == 0L && rows("orders_customer_ri") == 0L &&
+      rows("events_event_id_unique") == 0L && rows("docs_nchars_consistent") == 0L)
   }
 }
