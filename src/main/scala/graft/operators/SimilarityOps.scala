@@ -283,6 +283,54 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Top-[[DimCorrTopK]] most-correlated embedding dimension pairs —
+    * the redundancy probe a feature pipeline runs before whitening /
+    * PCA (|corr|→1 dims carry duplicate signal; corr≈0 everywhere says
+    * the embedding is already decorrelated).
+    *
+    * Determinism: coordinates go through the same floor(x·10⁶+0.5)
+    * fixed-point as [[embedDimStats]], every sum (per-dim and per-pair
+    * cross products) is exact integer arithmetic in DECIMAL(38,0), and
+    * the Pearson derivation is one identical double chain on both
+    * engines ending in round-6.
+    *
+    * Scale shape: ONE persisted fixed-point explode feeds the per-dim
+    * moment aggregate (d rows — broadcast twice) and the within-vector
+    * pair products (equi-join on vec_id, never across vectors; map-side
+    * combine collapses to d²/2 partial rows per partition before the
+    * one (i,j)-keyed shuffle). Top-k is TakeOrderedAndProject. */
+  private[graft] val DimCorrTopK = 20
+
+  def dimCorrTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = vecs(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+      .persist()
+    q.count()
+    val stats = q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(dec)).cast("double").as("s1"),
+        sum((col("q") * col("q")).cast(dec)).cast("double").as("s2"))
+    val sxy = q.as("a")
+      .join(q.as("b"), col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
+      .groupBy(col("a.dim").as("dim_i"), col("b.dim").as("dim_j"))
+      .agg(sum((col("a.q") * col("b.q")).cast(dec)).cast("double").as("sxy"))
+    val si = stats.select(col("dim").as("dim_i"), col("n").as("n"),
+      col("s1").as("s1i"), col("s2").as("s2i"))
+    val sj = stats.select(col("dim").as("dim_j"),
+      col("s1").as("s1j"), col("s2").as("s2j"))
+    sxy.join(broadcast(si), Seq("dim_i"))
+      .join(broadcast(sj), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"),
+        round((col("n") * col("sxy") - col("s1i") * col("s1j")) /
+          (sqrt(col("n") * col("s2i") - col("s1i") * col("s1i")) *
+           sqrt(col("n") * col("s2j") - col("s1j") * col("s1j"))), 6).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+      .limit(DimCorrTopK)
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane components: md5-seeded by
     * (plane, dim) — reproducible on any cluster AND in the SQL oracle
     * (same md5-parity rule stated in both). */
@@ -511,6 +559,7 @@ object SimilarityOps {
     "embed_dedup_groups" -> (embedDedupGroups _),
     "embed_quantize"     -> (embedQuantize _),
     "embed_dim_stats"    -> (embedDimStats _),
+    "dim_corr_topk"      -> (dimCorrTopk _),
     "ann_recall"         -> (annRecall _),
     "ivf_recall"         -> (ivfRecall _),
     "ann_lsh"            -> (annLsh _),
@@ -678,6 +727,25 @@ object SimilarityOps {
         |   - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
         |  / count(*) / 1e12, 6) AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    // exact-integer sums (hugeint/decimal) → one identical double chain;
+    // the same fixed-point construction as embed_dim_stats
+    "dim_corr_topk" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS q
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v)),
+        |st AS MATERIALIZED (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q * q) AS DOUBLE) AS s2
+        | FROM q GROUP BY dim),
+        |sxy AS (SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(sum(a.q * b.q) AS DOUBLE) AS sxy
+        | FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        | GROUP BY a.dim, b.dim)
+        |SELECT p.dim_i, p.dim_j,
+        | round((si.n * p.sxy - si.s1 * sj.s1) /
+        |  (sqrt(si.n * si.s2 - si.s1 * si.s1) * sqrt(sj.n * sj.s2 - sj.s1 * sj.s1)), 6) AS corr
+        |FROM sxy p JOIN st si ON si.dim = p.dim_i JOIN st sj ON sj.dim = p.dim_j
+        |ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT $DimCorrTopK""".stripMargin,
     "embed_quantize" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |mv AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v)

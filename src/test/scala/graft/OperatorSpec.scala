@@ -747,6 +747,17 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(noOracle == Set("approx_distinct", "approx_percentiles", "approx_topk"))
   }
 
+  test("dim_corr_topk: valid Pearson values in |corr|-descending order") {
+    val rows = operators.SimilarityOps.dimCorrTopk(spark, sf).collect()
+    assert(rows.length == operators.SimilarityOps.DimCorrTopK)
+    for (r <- rows) {
+      assert(r.getInt(0) < r.getInt(1), "pair not ordered dim_i < dim_j")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"corr out of range: $r")
+    }
+    val mags = rows.map(r => math.abs(r.getDouble(2))).toSeq
+    assert(mags == mags.sorted.reverse, "not in |corr|-descending order")
+  }
+
   test("dq_audit: six rules, and exactly the two known data defects fire") {
     val rows = operators.RelationalOps.dqAudit(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
