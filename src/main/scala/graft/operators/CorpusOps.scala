@@ -44,6 +44,39 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabTopK)
 
+  // -------------------------------------------------- composition PMI
+  /** Pointwise mutual information between the `lang` and `source`
+    * columns — the dataset-composition association probe (a strongly
+    * positive cell says a source over-supplies a language; ≈0
+    * everywhere says composition is factorized, which is what a
+    * balanced mixture wants).
+    *
+    * Determinism: every operand inside the ln is an exact integer
+    * (cell count, margins, total — derived from ONE contingency
+    * aggregate, no re-scan), the double chain is written identically
+    * in both engines, and the result is round-6.
+    *
+    * Scale shape: one corpus scan groupBy(lang, source) with map-side
+    * partials; everything downstream operates on the contingency table
+    * (≈ |langs|·|sources| rows — metadata-sized), margins broadcast. */
+  def langSourcePmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .persist()
+    cells.count()
+    val nl = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val ns = cells.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells
+      .join(broadcast(nl), Seq("lang"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        round(log(col("n").cast("double") * col("total").cast("double") /
+          (col("n_lang").cast("double") * col("n_src").cast("double"))), 6).as("pmi"))
+      .orderBy("lang", "source")
+  }
+
   // ----------------------------------------------------------------- BM25
   /** BM25 constants (Robertson's defaults) and the deterministic query:
     * the [[Bm25Terms]] vocabulary terms ranked [[Bm25TermOffset]]+1.. by
@@ -368,9 +401,23 @@ object CorpusOps {
     "chunk_overlap"       -> (chunkOverlap _),
     "perplexity_score"    -> (perplexityScore _),
     "approx_topk"         -> (approxTopk _),
-    "bm25_topk"           -> (bm25Topk _))
+    "bm25_topk"           -> (bm25Topk _),
+    "lang_source_pmi"     -> (langSourcePmi _))
 
   val oracles: Map[String, String] = Map(
+    "lang_source_pmi" ->
+      """WITH cells AS MATERIALIZED (
+        | SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY lang, source),
+        |nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang),
+        |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM cells GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+        |SELECT c.lang, c.source, c.n,
+        | round(ln(CAST(c.n AS DOUBLE) * CAST(tot.total AS DOUBLE) /
+        |  (CAST(nl.n_lang AS DOUBLE) * CAST(ns.n_src AS DOUBLE))), 6) AS pmi
+        |FROM cells c JOIN nl ON nl.lang = c.lang
+        | JOIN ns ON ns.source = c.source, tot
+        |ORDER BY c.lang, c.source""".stripMargin,
     // identical expression tree: IEEE double ops on exact-integer inputs
     // agree bit-for-bit; per-term round-6 + DECIMAL(18,6) makes the sum
     // order-independent (the tfidf/perplexity discipline)

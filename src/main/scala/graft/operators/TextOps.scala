@@ -179,6 +179,34 @@ object TextOps {
   private[operators] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3))
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-grams whose FIRST owner (minimum doc_id corpus-wide) is the doc
+    * itself — the corpus-novelty curve (Lee et al.'s dedup papers plot
+    * exactly this to show how fast fresh text decays in a crawl; docs
+    * near 0 are assembled from already-seen text).
+    *
+    * Scale shape: one distinct-shingle base feeds BOTH the first-owner
+    * aggregate (shingle-keyed shuffle) and the join-back; the ratio is
+    * exact-integer counts through one double division, round-6. */
+  /** Distinct 3-gram universe size — spec support for the novelty
+    * partition property (Σ n_novel over docs must equal this). */
+  private[graft] def distinctShingleCount(spark: SparkSession, sfDir: String): Long =
+    shingles(spark, sfDir, 3).select(col("sh")).distinct().count()
+
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val s3 = shingles(spark, sfDir, 3).distinct().persist()
+    s3.count()
+    val firstOwner = s3.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    s3.join(firstOwner, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Banded MinHash signature index (doc_id, band_no, bh) of an
     * arbitrary document frame (doc_id, text, …) — the PRECOMPUTED corpus
     * side of incremental/streaming dedup. MinHash is an associative min,
@@ -809,6 +837,7 @@ object TextOps {
     "dedup_fuzzy"         -> (dedupFuzzy _),
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "ngram_novelty"       -> (ngramNovelty _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
@@ -975,6 +1004,16 @@ object TextOps {
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH $shingleCtesSql,
+        |ds AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+        |fo AS (SELECT sh, min(doc_id) AS first_doc FROM ds GROUP BY sh)
+        |SELECT ds.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN fo.first_doc = ds.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | round(CAST(sum(CASE WHEN fo.first_doc = ds.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM ds JOIN fo ON fo.sh = ds.sh
+        |GROUP BY ds.doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" -> decontamOracleSql,
     // bit-identical by construction (the Bloom prefilter only drops
     // non-joining train rows) — the oracle is the exact-path SQL

@@ -219,6 +219,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("lang_source_pmi: cells cover the corpus and mutual information is non-negative") {
+    val rows = graft.operators.CorpusOps.langSourcePmi(spark, sf).collect()
+    val total = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells don't cover the corpus")
+    // MI = Σ p(x,y)·pmi(x,y) ≥ 0 for any joint distribution; per-cell
+    // round-6 can only perturb the sum by |cells|·5e-7
+    val mi = rows.map(r => r.getLong(2).toDouble / total * r.getDouble(3)).sum
+    assert(mi >= -1e-4, s"mutual information negative: $mi")
+  }
+
+  test("ngram_novelty: bounded ratios, novel counts tile the distinct-shingle universe") {
+    val rows = graft.operators.TextOps.ngramNovelty(spark, sf).collect()
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for ((id, (n, novel, frac)) <- byDoc) {
+      assert(novel >= 0 && novel <= n, s"doc $id: novel $novel of $n")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id: novelty $frac")
+    }
+    // the minimum doc_id owns every one of its shingles first
+    val first = byDoc.minBy(_._1)
+    assert(first._2._3 == 1.0, s"first doc not fully novel: $first")
+    // every distinct shingle has exactly ONE first owner, so the novel
+    // counts partition the shingle universe
+    val universe = graft.operators.TextOps.distinctShingleCount(spark, sf)
+    assert(byDoc.map(_._2._2).sum == universe)
+  }
+
   test("bm25_topk: positive descending scores with doc_id tiebreak") {
     val rows = graft.operators.CorpusOps.bm25Topk(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.CorpusOps.Bm25TopK)
