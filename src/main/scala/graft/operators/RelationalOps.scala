@@ -287,6 +287,26 @@ object RelationalOps {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Time-based RANGE frame (the window-frame type ROWS can't express):
+    * per event, the sum/count of the same user's events in the trailing
+    * 5 minutes — frame membership is defined by the ORDER-BY VALUE
+    * (epoch millis), so peers with equal timestamps share one frame and
+    * the result is row-order independent by construction. Millis are
+    * exact integers in both engines (no float time arithmetic); the
+    * value sum goes through DECIMAL(18,2) like every money window here.
+    * One user_id shuffle, per-user frames — parallel at any scale. */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms")).rangeBetween(-300000L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("ms"), col("value").cast(Dec).as("v"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("v")).over(w).cast("double").as("trailing_sum"),
+        count(lit(1)).over(w).as("trailing_n"))
+      .orderBy("event_id")
+  }
+
   /** As-of join (event attribution): for each purchase, the most recent
     * strictly-prior click of the same user. Spark has no as-of operator;
     * composed from built-ins (union + last-ignore-nulls over a
@@ -526,6 +546,7 @@ object RelationalOps {
     "latest_per_key"   -> (latestPerKey _),
     "topk_per_group"   -> (topkPerGroup _),
     "running_sum"      -> (runningSum _),
+    "range_frame"      -> (rangeFrame _),
     "asof_attribution" -> (asofAttribution _),
     "tumbling_counts"  -> (tumblingCounts _),
     "sliding_counts"   -> (slidingCounts _),
@@ -688,6 +709,15 @@ object RelationalOps {
         |   PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+        | CAST(count(*) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_n
+        |FROM events ORDER BY event_id""".stripMargin,
     "asof_attribution" ->
       """WITH base AS (
         | SELECT event_id, user_id, ts, event_type,
