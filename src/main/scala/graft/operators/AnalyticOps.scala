@@ -50,6 +50,32 @@ object AnalyticOps {
         round(element_at(col("ps"), 3), 6).as("p75"))
       .orderBy("event_type")
 
+  /** Inter-event dwell-time distribution: exact p50/p90/p99 of the gap
+    * (integer millis) between consecutive events of the same user,
+    * grouped by the LATER event's type — the engagement-latency profile
+    * (how long users sit before a click vs a purchase). Gaps are exact
+    * epoch-millis differences from one user-keyed window pass; the
+    * exact interpolated percentile over integers is the same
+    * type-7 quantile in both engines (the `percentiles` query's proven
+    * parity), round-6. One user_id shuffle + one event_type-keyed
+    * aggregate. */
+  def gapPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"), expr("unix_millis(ts)").as("ms"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_ms, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("event_type"), col("n_gaps"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** Ranking family over a deterministic total order: quartile ntile,
     * percent_rank, dense_rank per market segment. */
   def rankQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
@@ -466,6 +492,32 @@ object AnalyticOps {
       .orderBy("stage")
   }
 
+  /** Top-10 opening user journeys: each user's first five events (by
+    * ts, event_id) joined into a `a>b>c` path string, counted across
+    * users — the path-analysis complement to the fixed-order funnel
+    * (funnel_steps asks "how many got through THIS sequence"; this asks
+    * "which sequences actually happen").
+    *
+    * Scale shape: the per-user prefix is cut BEFORE aggregation
+    * (row_number ≤ 5 over the user window), so the collect_list is
+    * bounded at 5 elements regardless of per-user volume — never an
+    * unbounded per-key array; path frequency is one shuffle on the tiny
+    * path-string key and the top-k is per-partition heaps. array_sort
+    * on (rn, event_type) structs makes the join order deterministic
+    * under any collect order. */
+  def pathTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
   /** Weekly retention cohorts: users grouped by the Monday-truncated week
     * of their FIRST event; each (cohort week, week offset) cell counts
     * distinct users active that many weeks later. Two shuffles, both on
@@ -525,6 +577,8 @@ object AnalyticOps {
     "stats_pack"       -> (statsPack _),
     "array_pack"       -> (arrayPack _),
     "funnel_steps"     -> (funnelSteps _),
+    "path_topk"        -> (pathTopk _),
+    "gap_percentiles"  -> (gapPercentiles _),
     "anomaly_zscore"   -> (anomalyZscore _),
     "transition_matrix" -> (transitionMatrix _),
     "column_profile"   -> (columnProfile _),
@@ -714,6 +768,25 @@ object AnalyticOps {
         | WHERE from_type IS NOT NULL
         | GROUP BY 1, 2) c
         |ORDER BY from_type, to_type""".stripMargin,
+    "gap_percentiles" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        | round(quantile_cont(gap_ms, 0.5), 6) AS p50,
+        | round(quantile_cont(gap_ms, 0.9), 6) AS p90,
+        | round(quantile_cont(gap_ms, 0.99), 6) AS p99
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "path_topk" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (SELECT user_id, array_to_string(list(event_type ORDER BY rn), '>') AS path
+        | FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

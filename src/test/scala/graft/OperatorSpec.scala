@@ -747,6 +747,31 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(noOracle == Set("approx_distinct", "approx_percentiles", "approx_topk"))
   }
 
+  test("path_topk: user coverage, 5-bounded paths, frequency-descending") {
+    val rows = operators.AnalyticOps.pathTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // every path has 1..5 steps, each a known event type
+    val types = Set("signup", "view", "click", "purchase", "error")
+    for (r <- rows) {
+      val steps = r.getString(0).split(">")
+      assert(steps.nonEmpty && steps.length <= 5 && steps.forall(types))
+      assert(r.getLong(1) > 0L)
+    }
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("gap_percentiles: ordered quantiles over positive gaps for every event type") {
+    val rows = operators.AnalyticOps.gapPercentiles(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("signup", "view", "click", "purchase", "error"))
+    for (r <- rows) {
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 >= 0.0 && p50 <= p90 && p90 <= p99, s"quantiles out of order: $r")
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
   test("dim_corr_topk: valid Pearson values in |corr|-descending order") {
     val rows = operators.SimilarityOps.dimCorrTopk(spark, sf).collect()
     assert(rows.length == operators.SimilarityOps.DimCorrTopK)
