@@ -87,9 +87,8 @@ object GraphOps {
       .distinct()
       .persist()
     val edgeCount = edges.count()
-    val localMax = pairs.sparkSession.conf
-      .getOption("spark.graft.cc.localMaxEdges")
-      .map(_.toLong).getOrElse(LocalMaxEdgesDefault)
+    val localMax = graft.api.GraftConfig.getLong(pairs.sparkSession,
+      "spark.graft.cc.localMaxEdges", LocalMaxEdgesDefault)
     if (edgeCount <= localMax) {
       val labels = localUnionFind(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
       edges.unpersist(blocking = true)

@@ -356,7 +356,14 @@ class GraftTopicProvider extends TableProvider {
     val options = new CaseInsensitiveStringMap(properties)
     val dir = required(options, "path")
     val topic = required(options, "topic")
-    val count = options.getInt("partition.count", graft.model.Tables.DefaultPartitionCount)
+    // option > session conf (with env:VAR[:default] indirection, the
+    // reference's {:system, VAR} form — lib/hivent/config.ex:21-38) >
+    // built-in default, mirroring the reference's partition_count lookup
+    val confCount = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => graft.api.GraftConfig.getInt(s,
+        "spark.graft.partition.count", graft.model.Tables.DefaultPartitionCount))
+      .getOrElse(graft.model.Tables.DefaultPartitionCount)
+    val count = options.getInt("partition.count", confCount)
     val partitions = Option(options.get("partitions")).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(0 until count)

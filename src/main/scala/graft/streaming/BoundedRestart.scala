@@ -27,6 +27,20 @@ import scala.util.control.NonFatal
 final case class BackoffPolicy(reconnectBackoffMillis: Long = 1000L,
     maxReconnectTries: Int = 3)
 
+object BackoffPolicy {
+  /** Resolve the policy from session conf via [[graft.api.GraftConfig]] —
+    * the analog of the reference reading `reconnect_backoff` /
+    * `max_reconnect_tries` through `Config.get_integer/3`
+    * (`lib/hivent/emitter.ex` + `lib/hivent/config.ex:40-56`), including
+    * `env:VAR[:default]` indirection and leading-prefix integer coercion. */
+  def fromConf(spark: org.apache.spark.sql.SparkSession): BackoffPolicy =
+    BackoffPolicy(
+      reconnectBackoffMillis = graft.api.GraftConfig.getLong(spark,
+        "spark.graft.reconnect.backoffMillis", 1000L),
+      maxReconnectTries = graft.api.GraftConfig.getInt(spark,
+        "spark.graft.reconnect.maxTries", 3))
+}
+
 object BoundedRestart {
 
   /** Outcome when every allowed attempt failed. */
