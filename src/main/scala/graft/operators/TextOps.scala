@@ -295,41 +295,40 @@ object TextOps {
     * 100 TB the filter removes the overwhelming majority of the
     * train-side (doc, shingle) volume before it ever shuffles: the
     * classic bloom-join shape for a small⋈huge containment check.
-    * Built with the public `DataFrameStatFunctions.bloomFilter`
-    * aggregate over `xxhash64(sh)` (treeAggregate of a
-    * `util.sketch.BloomFilter` — ~1.2 MB at 1M eval shingles at 1%
-    * fpp), probed with Spark's codegen'd [[BloomFilterMightContain]]
-    * expression on a foldable binary literal — the same sketch format
-    * Spark's own runtime row-group filtering uses, so the probe stays
-    * inside whole-stage codegen (no UDF in the scan path). */
+    * Built EXACTLY like Spark's own `InjectRuntimeFilter` plans it: a
+    * [[BloomFilterAggregate]] over `xxhash64(sh)` on the eval side runs
+    * as a [[ScalarSubquery]], and the codegen'd
+    * [[BloomFilterMightContain]] probe consumes the subquery result —
+    * the sketch is computed once in the subquery job and shipped with
+    * the stage's task binary (one broadcast per stage), never embedded
+    * as a multi-MB foldable literal in the plan / generated code
+    * (round-8 shape; at 100 TB an eval split's sketch can reach GBs —
+    * a plan-sized literal does not survive that, a subquery result
+    * does). Sketch geometry is fixed by conf
+    * (`spark.graft.decontam.bloom.items`/`.bits`, default 2²⁰ items /
+    * 2²³ bits = 1 MiB) rather than a driver-side pre-count job: an
+    * undersized sketch only raises fpp, and false positives merely pass
+    * extra rows into the exact join, so the result is bit-identical to
+    * [[decontaminate]] either way (same oracle SQL). An empty eval
+    * split yields a null sketch → `might_contain` is null → the
+    * prefilter drops every train row, which is exactly right. */
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame =
     decontamFrom(spark, sfDir) { (eval, train) =>
       import org.apache.spark.sql.GraftColumnBridge
-      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-      // size by (approximately) the DISTINCT hashed shingles — the items
-      // actually inserted — not the raw (doc, shingle) row count, which
-      // over-allocates whenever shingles repeat across eval docs. The
-      // estimate only sizes the sketch: an undercount raises fpp a
-      // little, and false positives merely pass extra rows to the exact
-      // join, so the result is bit-identical either way.
-      val n = eval.agg(approx_count_distinct(col("sh"))).head().getLong(0)
-      if (n == 0) train.filter(lit(false)) // empty eval split: nothing can match
-      else {
-        val bf = eval.select(xxhash64(col("sh")).as("h"))
-          .stat.bloomFilter("h", math.max(n, 1L), 0.01)
-        // the serialized sketch rides as a foldable binary literal —
-        // one copy in the generated code per task, ~1.2 MB at 1M eval
-        // shingles at 1% fpp. Intentional: BloomFilterMightContain
-        // requires a foldable probe side (Spark's own InjectRuntimeFilter
-        // feeds it a scalar subquery the same way), and at the eval
-        // split's few-percent share the literal stays plan-sized
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val probe = GraftColumnBridge.column(BloomFilterMightContain(
-          GraftColumnBridge.expression(lit(bos.toByteArray)),
-          GraftColumnBridge.expression(xxhash64(col("sh")))))
-        train.filter(probe)
-      }
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val items = graft.api.GraftConfig.getLong(spark,
+        "spark.graft.decontam.bloom.items", 1L << 20)
+      val bits = graft.api.GraftConfig.getLong(spark,
+        "spark.graft.decontam.bloom.bits", 1L << 23)
+      val sketch = eval.select(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("sh"))),
+          Literal(items), Literal(bits)).toAggregateExpression()).as("bf"))
+      val probe = GraftColumnBridge.column(BloomFilterMightContain(
+        ScalarSubquery(sketch.queryExecution.analyzed),
+        GraftColumnBridge.expression(xxhash64(col("sh")))))
+      train.filter(probe)
     }
 
   /** Shared decontamination core. `prefilter(evalShingles, trainShingles)`
@@ -338,16 +337,18 @@ object TextOps {
   private def decontamFrom(spark: SparkSession, sfDir: String)(
       prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val bucket = PipelineOps.keyHash("spl") % 1000
-    // distinct (doc, shingle) base feeds the df filter AND both join
-    // sides — persist so the shingle pipeline runs once
-    val sh = shinglesOf(normed(spark, sfDir), 3).distinct().persist()
-    sh.count()
-    val rareSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DecontamMaxDf).select(col("sh"))
-    // rare is consumed by BOTH split branches (and the bloom variant
-    // reads the eval branch three times: count, sketch build, join) —
-    // persist it so the df aggregate + semi-join run once, not per branch
-    val rare = sh.join(rareSh, Seq("sh"), "left_semi")
+    // ONE persisted base (round-9 restructure — the round-8 shape chained
+    // two eager persists, `sh` then `rare` = sh ⋈ df-agg(sh), so the
+    // 15M-shingle pipeline materialized TWICE back-to-back; under memory
+    // pressure that double residency made the decontam pair the round-8
+    // bench's only regression). The per-shingle document frequency is
+    // computed INSIDE the same sh-keyed exchange with an unordered count
+    // window, so distinct → df-filter is one extra exchange — no groupBy
+    // + join-back, no intermediate cache, exactly one materialization.
+    val rare = shinglesOf(normed(spark, sfDir), 3).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= DecontamMaxDf)
+      .select(col("doc_id"), col("sh"))
       .withColumn("bucket", bucket).persist()
     rare.count()
     val evalSh = rare.filter(col("bucket") >= 950)

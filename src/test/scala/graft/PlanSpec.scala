@@ -96,12 +96,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("decontaminate_bloom probes the sketch inside the scan stage") {
+  test("decontaminate_bloom probes a scalar-subquery sketch inside the scan stage") {
     // the bloom probe must sit on the train side BEFORE the shingle
-    // equi-join — as a codegen'd might_contain on the literal sketch,
-    // not a UDF and not after the shuffle
+    // equi-join — as a codegen'd might_contain fed by a SCALAR SUBQUERY
+    // (Spark's InjectRuntimeFilter shape), not a UDF, not after the
+    // shuffle, and NOT a serialized sketch embedded as a foldable
+    // binary literal (round-8 shape: a multi-MB literal in every task's
+    // generated code once the eval split carries 10⁸+ shingles)
     val p = plan(TextOps.decontaminateBloom(spark, sf))
     assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(p.toLowerCase.contains("subquery"),
+      s"bloom sketch is not a scalar subquery:\n$p")
+    assert(p.length < 100000,
+      s"plan string is ${p.length} chars — a sketch literal leaked into the plan")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
       "bloom probe left whole-stage codegen")
   }
