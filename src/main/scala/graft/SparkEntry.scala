@@ -20,12 +20,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventOps.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every builder
+    * runs inside [[graft.api.Caches.scoped]]: its internal persists
+    * release automatically once the caller's action over the result
+    * completes, so a long-lived session using this map as a library never
+    * accumulates cached blocks (round-9; see Caches). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventOps.queries ++ RelationalOps.queries ++ AnalyticOps.queries ++
+    (EventOps.queries ++ RelationalOps.queries ++ AnalyticOps.queries ++
       TextOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       PipelineOps.queries ++ CorpusOps.queries ++ MiningOps.queries ++
-      GraphOps.queries
+      GraphOps.queries).map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        graft.api.Caches.scoped(s)(fn(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

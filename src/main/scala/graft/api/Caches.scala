@@ -1,8 +1,16 @@
 package graft.api
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.ConcurrentHashMap
 
-/** Release hook for query-internal caches.
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Lifecycle management for query-internal caches.
   *
   * Several multi-stage queries (the MinHash/Jaccard family, the LSH
   * near-dup paths) eagerly persist intermediates they consume more than
@@ -10,8 +18,25 @@ import org.apache.spark.sql.SparkSession
   * builder cannot know when its caller is done with those blocks — in a
   * long-lived SparkSession they would otherwise accumulate across
   * invocations (ADVICE round 3: MEMORY_AND_DISK leak over repeated bench
-  * runs). Callers running many queries in one session call
-  * [[Caches.release]] between them; the bench and verify harnesses do.
+  * runs).
+  *
+  * Two mechanisms, layered:
+  *
+  *  1. **Scoped release (round 9, the library-correct path)**: every
+  *     `SparkEntry.queries` entry builds inside [[scoped]], each internal
+  *     `.persist()` registers with the enclosing scope via [[tracked]],
+  *     and a [[QueryExecutionListener]] releases the scope's caches as
+  *     soon as ANY action over the scope's result plan completes — so a
+  *     long-lived session calling query functions as a library never
+  *     accumulates blocks, with no harness cooperation required.
+  *     Internal materializing actions (`cache.count()` during the build)
+  *     cannot release anything because the scope's result plan is only
+  *     recorded after the builder returns.
+  *  2. **Global sweep ([[release]])**: the bench/verify harnesses still
+  *     sweep between queries — a backstop for builders invoked directly
+  *     (unit tests call operator functions without the SparkEntry
+  *     wrapper) and for the timing-isolation GC discipline the bench
+  *     needs anyway.
   */
 object Caches {
 
@@ -22,7 +47,89 @@ object Caches {
     * inflated 10-20×) — so sweep the RDD registry with blocking
     * unpersist as well. */
   def release(spark: SparkSession): Unit = {
+    live.clear() // scope bookkeeping for anything the sweep is about to drop
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  /** One query's registered caches + (once built) its result plan. */
+  private final class Scope {
+    val cached = mutable.ArrayBuffer.empty[DataFrame]
+    @volatile var resultPlan: LogicalPlan = _
+  }
+
+  /** Innermost scope currently BUILDING on this thread (builders are
+    * synchronous, so a thread-local stack is the whole story). */
+  private val building = new ThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  /** Built scopes awaiting their terminal action. */
+  private val live = ConcurrentHashMap.newKeySet[Scope]()
+
+  /** Sessions that already carry the release listener. */
+  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Register a just-persisted intermediate with the enclosing [[scoped]]
+    * build (no-op outside one — direct operator calls keep the old
+    * harness-swept behavior). Shaped for `df.persist().transform(tracked)`. */
+  def tracked(df: DataFrame): DataFrame = {
+    building.get().headOption.foreach(_.cached += df)
+    df
+  }
+
+  /** Run `build`, collecting every [[tracked]] persist into a scope that
+    * auto-releases when an action over the returned plan completes. */
+  def scoped(spark: SparkSession)(build: => DataFrame): DataFrame = {
+    ensureListener(spark)
+    val scope = new Scope
+    building.set(scope :: building.get())
+    val df =
+      try build
+      finally building.set(building.get().tail)
+    if (scope.cached.nonEmpty) {
+      // recorded AFTER the build: internal cache.count() materializations
+      // during the build can never match (resultPlan is still null)
+      scope.resultPlan = df.queryExecution.analyzed
+      live.add(scope)
+    }
+    df
+  }
+
+  /** Listener delivery is async (ExecutionListenerBus) — callers that
+    * assert on cache state right after an action should spin briefly. */
+  private[graft] def pendingScopes: Int = live.size()
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = sweep(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = sweep(qe)
+      })
+    }
+
+  /** Release every live scope whose result plan is contained in the
+    * completed action's plan. Identity check first (actions on the very
+    * DataFrame the builder returned reuse its plan subtree by reference);
+    * `sameResult` covers analyzer rewrites (e.g. self-join exprId
+    * deduplication). Unpersist is non-blocking here — this runs on the
+    * listener bus; the registry entry is removed synchronously either
+    * way, and the harness's blocking sweep remains available where block
+    * eviction must complete before timing starts. */
+  private def sweep(qe: QueryExecution): Unit = {
+    val it = live.iterator()
+    while (it.hasNext) {
+      val scope = it.next()
+      val rp = scope.resultPlan
+      if (rp != null && qe.analyzed.exists(n => (n eq rp) || n.sameResult(rp))) {
+        it.remove()
+        scope.cached.foreach { df =>
+          try df.unpersist(blocking = false)
+          catch { case NonFatal(_) => () }
+        }
+      }
+    }
   }
 }

@@ -62,7 +62,7 @@ object CorpusOps {
   def langSourcePmi(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = docs(spark, sfDir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     cells.count()
     val nl = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
     val ns = cells.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
@@ -112,7 +112,7 @@ object CorpusOps {
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.normed(spark, sfDir)
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     toks.count()
     val dfv = toks.groupBy(col("token"))
       .agg(count_distinct(col("doc_id")).as("df"))
@@ -197,7 +197,7 @@ object CorpusOps {
     import spark.implicits._
     val toks = TextOps.normed(spark, sfDir)
       .select(explode(split(col("norm"), " ")).as("token"))
-    toks.persist()
+    toks.persist().transform(graft.api.Caches.tracked)
     val cms = toks.stat.countMinSketch("token", eps = CmsEps,
       confidence = 0.99, seed = 42)
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
@@ -246,7 +246,7 @@ object CorpusOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(cast(ceil(size(tokens) / $p.0) as int), 1)), " +
           s"i -> md5(array_join(slice(tokens, (i - 1) * $p + 1, $p), ' ')))")).as("ph"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     pass.count()
     val pdf = pass.groupBy(col("ph"))
       .agg(count_distinct(col("doc_id")).as("pdf"))
@@ -338,7 +338,7 @@ object CorpusOps {
           s"i -> struct(i AS pos, array_join(slice(tokens, (i - 1) * $p + 1, $p), ' ') AS ptext))")).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.ptext").as("ptext"),
         md5(col("e.ptext")).as("ph"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     pass.count()
     val bp = pass.groupBy(col("ph"))
       .agg(count_distinct(col("doc_id")).as("pdf"))

@@ -85,7 +85,7 @@ object GraphOps {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     val edgeCount = edges.count()
     val localMax = graft.api.GraftConfig.getLong(pairs.sparkSession,
       "spark.graft.cc.localMaxEdges", LocalMaxEdgesDefault)
@@ -192,7 +192,7 @@ object GraphOps {
     val und = li.select((col("l_partkey") * 2).as("src"),
       (col("l_suppkey") * 2 + 1).as("dst")).distinct()
     val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     edges.count()
     // disjoint column names per role — outdeg/nodes/sums all descend
     // from `edges`, and df("col") references across shared lineage trip
@@ -207,9 +207,9 @@ object GraphOps {
     val edgesDeg = edges
       .join(outdeg, col("src") === col("deg_node"))
       .select(col("src").as("edge_src"), col("dst"), col("outdeg"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     edgesDeg.count()
-    val nodes = edges.select(col("src").as("node_id")).distinct().persist()
+    val nodes = edges.select(col("src").as("node_id")).distinct().persist().transform(graft.api.Caches.tracked)
     val nA = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nA))
       .select(col("node_id"), expr("1000000000000L DIV n").as("pr"))
@@ -264,11 +264,11 @@ object GraphOps {
   private[graft] def triangleCountOf(pairsIn: DataFrame): DataFrame = {
     // one persisted pair base feeds degrees, orientation, and the edge
     // count (the file-family one-base-per-query rule)
-    val pairs = pairsIn.persist()
+    val pairs = pairsIn.persist().transform(graft.api.Caches.tracked)
     pairs.count()
     val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     deg.count()
     // orient by (deg, id): lower endpoint → higher endpoint
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("doc_a") < col("doc_b"))
@@ -283,7 +283,7 @@ object GraphOps {
     val ek = oriented
       .join(deg.select(col("node").as("nv"), col("deg").as("vdeg")), col("nv") === col("v"))
       .select(col("u"), col("v"), col("vdeg"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     ek.count()
     val legOrder = col("e1.vdeg") < col("e2.vdeg") ||
       (col("e1.vdeg") === col("e2.vdeg") && col("e1.v") < col("e2.v"))

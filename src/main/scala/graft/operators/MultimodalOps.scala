@@ -38,25 +38,60 @@ object MultimodalOps {
   case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
 
+  /** Materialize-once parquet cache for the synthesized payload tables.
+    * The driver data carries no binary column, so payloads are
+    * synthesized — but synthesis must not be charged to the decode path
+    * these operators exist to exercise (the round-8 SCALING
+    * bench-fidelity caveat): each payload table is written to parquet
+    * ONCE per (sf, table) under `java.io.tmpdir`, and every query reads
+    * the parquet back — binary column in, decode in `mapPartitions` —
+    * the exact shape of a production media table. `/tmp` is volatile and
+    * that is fine: a missing `_SUCCESS` marker rebuilds on demand, and
+    * the bench warm-up ([[warmPayloads]]) builds them outside the timed
+    * window. */
+  private def payloadCached(spark: SparkSession, sfDir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_media_$tag"), name)
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      build.write.mode("overwrite").parquet(dir.toString)
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Harness warm-up hook: build (if absent) every payload table for
+    * `sfDir` so the one-time synthesis write never lands inside a timed
+    * query window. */
+  def warmPayloads(spark: SparkSession, sfDir: String): Unit = {
+    mediaTable(spark, sfDir).count()
+    imageTable(spark, sfDir).count()
+    audioTable(spark, sfDir).count()
+    videoTable(spark, sfDir).count()
+    pixelTable(spark, sfDir).count()
+    ()
+  }
+
   /** The media table, synthesized from `documents` (the driver data has
     * no binary column): one REAL encoded payload per row, the container
     * chosen by doc_id so the oracle can re-derive what the decoder must
     * parse — PNG for the image tier, PCM WAV for audio, AVI for video. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        (id % 3) match {
-          case 0 => MediaRow(id, "image",
-            synthPng(((id % 640) + 1).toInt, ((id % 480) + 1).toInt))
-          case 1 => MediaRow(id, "audio",
-            synthWav(WavRates((id % 4).toInt), (id % 2).toInt + 1,
-              (id % 100).toInt + 1))
-          case _ => MediaRow(id, "video",
-            synthAvi(((id % 16) + 2).toInt, ((id % 12) + 2).toInt,
-              ((id % 8) + 1).toInt))
-        }
-      })
+    payloadCached(spark, sfDir, "media") {
+      Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id % 3) match {
+            case 0 => MediaRow(id, "image",
+              synthPng(((id % 640) + 1).toInt, ((id % 480) + 1).toInt))
+            case 1 => MediaRow(id, "audio",
+              synthWav(WavRates((id % 4).toInt), (id % 2).toInt + 1,
+                (id % 100).toInt + 1))
+            case _ => MediaRow(id, "video",
+              synthAvi(((id % 16) + 2).toInt, ((id % 12) + 2).toInt,
+                ((id % 8) + 1).toInt))
+          }
+        }).toDF()
+    }.as[MediaRow]
   }
 
   /** REAL dispatch decode: sniff the container magic — PNG signature,
@@ -193,11 +228,13 @@ object MultimodalOps {
     * production pipeline carries, built without any image library. */
   def imageTable(spark: SparkSession, sfDir: String): Dataset[ImageBytes] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (w, h) = (((id % 640) + 1).toInt, ((id % 480) + 1).toInt)
-        ImageBytes(id, if (id % 2 == 0) synthPng(w, h) else synthJpeg(w, h))
-      })
+    payloadCached(spark, sfDir, "image") {
+      Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = (((id % 640) + 1).toInt, ((id % 480) + 1).toInt)
+          ImageBytes(id, if (id % 2 == 0) synthPng(w, h) else synthJpeg(w, h))
+        }).toDF()
+    }.as[ImageBytes]
   }
 
   /** Batched REAL decode over image payloads: mapPartitions parses each
@@ -257,6 +294,19 @@ object MultimodalOps {
   case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
       out_w: Int, out_h: Int, pix_sum: Long)
 
+  /** Fully-decodable-PNG table for the pixel pipeline (dims ≤33×25 so
+    * the oracle's per-pixel arithmetic stays cheap at every SF). */
+  private[operators] def pixelTable(spark: SparkSession, sfDir: String): Dataset[ImageBytes] = {
+    import spark.implicits._
+    payloadCached(spark, sfDir, "image_px") {
+      Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
+          ImageBytes(id, synthPngPixels(w, h))
+        }).toDF()
+    }.as[ImageBytes]
+  }
+
   /** REAL image decode + nearest-neighbor 2× downsample: javax.imageio
     * inflates and unfilters the PNG, then the resize picks pixel
     * (2i, 2j) for output (i, j) — explicit NN, not getScaledInstance,
@@ -269,7 +319,7 @@ object MultimodalOps {
     * presentation sort) is the one a real 100 TB media pipeline runs. */
   def imageResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    pixelTable(spark, sfDir)
       .mapPartitions { it =>
         // ImageIO's default stream cache backs every read with a temp
         // FILE (create/write/delete per image) — per-row filesystem I/O
@@ -277,10 +327,11 @@ object MultimodalOps {
         // host with an unwritable tmpdir. Decode from memory (the
         // per-partition init this mapPartitions exists to amortize).
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { id =>
+        it.map { row =>
+        val id = row.doc_id
         val (w, h) = (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(synthPngPixels(w, h)))
+          new java.io.ByteArrayInputStream(row.payload))
         require(img != null && img.getWidth == w && img.getHeight == h,
           s"decode failed for doc $id")
         val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
@@ -374,11 +425,13 @@ object MultimodalOps {
     * the oracle can independently derive what the parser must recover. */
   def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioBytes] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        AudioBytes(id, synthWav(WavRates((id % 4).toInt),
-          (id % 2).toInt + 1, (id % 100).toInt + 1))
-      })
+    payloadCached(spark, sfDir, "audio") {
+      Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          AudioBytes(id, synthWav(WavRates((id % 4).toInt),
+            (id % 2).toInt + 1, (id % 100).toInt + 1))
+        }).toDF()
+    }.as[AudioBytes]
   }
 
   /** Batched REAL decode over WAV payloads: mapPartitions walks each
@@ -543,11 +596,13 @@ object MultimodalOps {
     * the oracle can independently derive what the parser must recover. */
   def videoTable(spark: SparkSession, sfDir: String): Dataset[AudioBytes] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        AudioBytes(id, synthAvi(((id % 16) + 2).toInt, ((id % 12) + 2).toInt,
-          ((id % 8) + 1).toInt))
-      })
+    payloadCached(spark, sfDir, "video") {
+      Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          AudioBytes(id, synthAvi(((id % 16) + 2).toInt, ((id % 12) + 2).toInt,
+            ((id % 8) + 1).toInt))
+        }).toDF()
+    }.as[AudioBytes]
   }
 
   /** Batched REAL decode over AVI payloads: mapPartitions walks each

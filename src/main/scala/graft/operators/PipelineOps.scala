@@ -109,7 +109,7 @@ object PipelineOps {
     // pipelines, zero ReusedExchange). One token explode over the corpus,
     // not two — the file-family's one-base-per-query rule; released by
     // Caches.release like its siblings.
-    val tf = TextOps.tfUnsorted(spark, sfDir).persist()
+    val tf = TextOps.tfUnsorted(spark, sfDir).persist().transform(graft.api.Caches.tracked)
     tf.count()
     val df = tf.groupBy(col("dim")).agg(count(lit(1)).as("df"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n"))

@@ -163,7 +163,7 @@ object SimilarityOps {
         posexplode(graft.functions.VectorFunctions.hyperplane_buckets(
           col("v"), NeardupBands, bits, 64)))
       .select(col("vec_id"), col("pos").as("band_no"), col("col").as("bh"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     sig.count()
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band_no") === col("b.band_no") && col("a.bh") === col("b.bh") &&
@@ -173,7 +173,7 @@ object SimilarityOps {
     val unit = e
       .select(col("vec_id"), col("v"), sqrt(dot("v", "v")).as("nrm"))
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     unit.count()
     cand
       .join(unit.as("ua"), col("ua.vec_id") === col("vec_a"))
@@ -307,7 +307,7 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), col("pos").as("dim"),
         expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     q.count()
     val stats = q.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
@@ -395,7 +395,7 @@ object SimilarityOps {
     val q = quantCodes(spark, sfDir)
     // K rows, consumed twice (assignment + probe-list selection);
     // recomputing would re-run the Lloyd round's corpus pass
-    val cents = lloydCentroids(q).persist()
+    val cents = lloydCentroids(q).persist().transform(graft.api.Caches.tracked)
     cents.count()
     val assigned = assignNearest(q, cents, keepQ = false)
       .select(col("vec_id"), col("cid"))
@@ -479,7 +479,7 @@ object SimilarityOps {
     val q = quantCodes(spark, sfDir)
     val assigned = assignNearest(q, lloydCentroids(q), keepQ = true)
       .select(col("vec_id"), col("cid").as("cluster"), col("q"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     assigned.count()
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"), col("q").as("qa"))
     val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("q").as("qb"))
@@ -506,7 +506,7 @@ object SimilarityOps {
         expr("CASE WHEN m = 0D THEN transform(v, x -> 0D) " +
           "ELSE transform(v, x -> cast(floor(x * 127 / m + 0.5) as double)) END")
           .as("q"))
-      .persist()
+      .persist().transform(graft.api.Caches.tracked)
     q.count()
     q
   }

@@ -161,7 +161,7 @@ object TextOps {
     * cache would let both branches race to compute the full shingle
     * pipeline before either populates it. */
   private def candidatePairsFrom(sh: DataFrame): DataFrame = {
-    val sig = signatureFrom(sh).persist()
+    val sig = signatureFrom(sh).persist().transform(graft.api.Caches.tracked)
     sig.count()
     candidatePairsFromSig(sig)
   }
@@ -194,7 +194,7 @@ object TextOps {
     shingles(spark, sfDir, 3).select(col("sh")).distinct().count()
 
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val s3 = shingles(spark, sfDir, 3).distinct().persist()
+    val s3 = shingles(spark, sfDir, 3).distinct().persist().transform(graft.api.Caches.tracked)
     s3.count()
     val firstOwner = s3.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
     s3.join(firstOwner, Seq("sh"))
@@ -254,7 +254,7 @@ object TextOps {
     * eagerly: the band join consumes it twice in one job). */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 9
-    val sig = signatureFrom(shingles(spark, sfDir, 3)).persist()
+    val sig = signatureFrom(shingles(spark, sfDir, 3)).persist().transform(graft.api.Caches.tracked)
     sig.count()
     val bands = bandsOf(sig)
     verdictsFromBands(
@@ -349,7 +349,7 @@ object TextOps {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= DecontamMaxDf)
       .select(col("doc_id"), col("sh"))
-      .withColumn("bucket", bucket).persist()
+      .withColumn("bucket", bucket).persist().transform(graft.api.Caches.tracked)
     rare.count()
     val evalSh = rare.filter(col("bucket") >= 950)
     val trainSh = prefilter(evalSh, rare.filter(col("bucket") < 900))
@@ -397,7 +397,7 @@ object TextOps {
     // ONE persisted normalized base feeds the shingle pipeline AND both
     // prefix join sides — without it the documents scan+normalization
     // runs three times per query (this file's one-base-per-query rule)
-    val base = normed(spark, sfDir).persist()
+    val base = normed(spark, sfDir).persist().transform(graft.api.Caches.tracked)
     base.count()
     val nb = base.select(col("doc_id"), substring(col("norm"), 1, EditPrefix).as("prefix"))
     val cand = candidatePairsFrom(shinglesOf(base, 3))
@@ -434,15 +434,15 @@ object TextOps {
     * [[minhashContainment]]: LSH candidate pairs with the exact shingle
     * intersection count `i` and set sizes `sa`/`sb`. */
   private def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val s3 = shingles(spark, sfDir, 3).distinct().persist()
+    val s3 = shingles(spark, sfDir, 3).distinct().persist().transform(graft.api.Caches.tracked)
     s3.count()
     // ONE groupBy over the distinct-shingle base yields both the MinHash
     // signature (candidate generation) and the exact set sizes `sz` — the
     // previous separate sizes aggregation was a second full shuffle of s3
-    val sig = signatureFrom(s3).persist()
+    val sig = signatureFrom(s3).persist().transform(graft.api.Caches.tracked)
     sig.count()
     val sizes = sig.select(col("doc_id"), col("sz"))
-    val cand = candidatePairsFromSig(sig).persist()
+    val cand = candidatePairsFromSig(sig).persist().transform(graft.api.Caches.tracked)
     cand.count()
     // Candidates ≪ corpus at scale: semi-filter each side of the
     // intersection join down to the docs that actually appear in a pair
@@ -558,7 +558,7 @@ object TextOps {
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     // sig feeds both sides of the band self-join: persist EAGERLY
     // (mirroring candidatePairsFrom) so the token pipeline runs once
-    val sig = simhashUnsorted(spark, sfDir).persist()
+    val sig = simhashUnsorted(spark, sfDir).persist().transform(graft.api.Caches.tracked)
     sig.count()
     val bandCols = (0 until SimhashBands).map { b =>
       expr(s"(simhash div ${1L << (SimhashBandBits * b)}L) % ${1 << SimhashBandBits}")
@@ -612,13 +612,13 @@ object TextOps {
     // only sort), and cand is consumed twice (dot products + the
     // pair-preserving outer join); lazily-cached either would be
     // recomputed per consuming branch
-    val base = normed(spark, sfDir).persist()
+    val base = normed(spark, sfDir).persist().transform(graft.api.Caches.tracked)
     base.count()
-    val tf = tfOf(base).persist()
+    val tf = tfOf(base).persist().transform(graft.api.Caches.tracked)
     tf.count()
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val cand = candidatePairsFrom(shinglesOf(base, 3)).persist()
+    val cand = candidatePairsFrom(shinglesOf(base, 3)).persist().transform(graft.api.Caches.tracked)
     cand.count()
     // Semi-filter the corpus-wide TF table down to docs that appear in a
     // candidate pair before the sparse-dim join — same 100 TB argument as
@@ -764,7 +764,7 @@ object TextOps {
     * are ≥ 1 by construction ([[shinglesOf]]'s `greatest(…, 1)` floor;
     * `split` of an empty norm yields one empty token). */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = normed(spark, sfDir).persist()
+    val base = normed(spark, sfDir).persist().transform(graft.api.Caches.tracked)
     base.count()
     val g3 = shinglesOf(base, 3).groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_3grams"),
