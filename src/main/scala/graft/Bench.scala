@@ -40,20 +40,38 @@ object Bench {
           try { fn(spark, warmSf).count() } catch { case _: Throwable => () }
         }
       }
+    // Synthesized media payload tables materialize to parquet once per
+    // SF; build them for the TIMED sf here so the one-time synthesis
+    // write never lands inside a timed query window (round-8 SCALING
+    // bench-fidelity caveat — the multimodal queries now time decode
+    // against a real binary-column table, not payload synthesis).
+    try operators.MultimodalOps.warmPayloads(spark, sfDir)
+    catch { case _: Throwable => () }
     cleanup(spark)
     // Deterministic name order so per-query numbers are comparable
     // round-over-round (Map iteration order is arbitrary).
     // Optional comma-separated allowlist for local iteration on a few
     // queries (the driver never sets it → full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Two consecutive in-JVM repetitions per query, report the MIN
+    // (round-8 verdict item 6): the box-level variance of this VM is
+    // ±30% and single-shot totals made the round-over-round perf gate a
+    // coin flip — the min of two runs strips one-sided noise spikes
+    // (GC, page cache misses, sibling load) while staying honest about
+    // systematic cost. Caches are swept between reps, so rep 2 re-runs
+    // the full pipeline, not a cached shortcut.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      cleanup(spark)
-      name -> elapsed
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        cleanup(spark)
+        elapsed
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -63,14 +81,15 @@ object Bench {
     // ~2.4k chars, and the driver captures a 2,000-char stdout tail — a
     // per-query stdout line is unparsable no matter the float precision
     // (that truncation broke the bench artifact seven rounds running).
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
     // The LAST stdout line is a compact summary (~120 chars) that can
     // never outgrow the tail capture; it names the file holding the
     // per-query map so an auditor can recover it. summaryLine is
     // unit-tested to stay < 1900 chars even with pathological inputs.
-    println(summaryLine(total, results.size, sfDir, outPath))
+    println(summaryLine(total, results.size, sfDir, outPath, reps))
   }
 
   // Millisecond precision: box-level variance is ±30%, finer digits are noise.
@@ -81,8 +100,10 @@ object Bench {
     * driver's 2,000-char stdout tail capture; BenchSpec asserts the
     * bound. `detail` points at the file carrying the per-query map.
     */
-  def summaryLine(total: Double, n: Int, sfDir: String, outPath: String): String =
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"sf":"$sfDir","detail":"$outPath"}"""
+  def summaryLine(total: Double, n: Int, sfDir: String, outPath: String,
+      reps: Int = 1): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"reps":$reps,""" +
+      s""""sf":"$sfDir","detail":"$outPath"}"""
 
   /** Runs OUTSIDE the timed window — it is harness overhead, not query
     * cost. clearCache() alone unpersists ASYNCHRONOUSLY: over 70+ queries

@@ -18,12 +18,13 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("summary line is valid minimal JSON with the driver's expected fields") {
-    val line = Bench.summaryLine(12.5, 7, "/tmp/sfX", "/tmp/out.json")
+    val line = Bench.summaryLine(12.5, 7, "/tmp/sfX", "/tmp/out.json", reps = 2)
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.contains("\"metric\":\"total\""))
     assert(line.contains("\"value\":12.500"))
     assert(line.contains("\"unit\":\"sec\""))
     assert(line.contains("\"n\":7"))
+    assert(line.contains("\"reps\":2"))
     assert(line.contains("\"sf\":\"/tmp/sfX\""))
     assert(line.contains("\"detail\":\"/tmp/out.json\""))
     // exactly one line — a trailing newline would split the tail capture
