@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.TextOps
+import graft.streaming.ConsumerPipeline.RawEvent
+import graft.streaming.{StreamingAnomaly, StreamingCdc, StreamingDedup}
+
+/** Micro-batch throughput bench for the streaming half of the engine
+  * (round-8 verdict item 5: the streaming analogs carry bit-equality
+  * tests but no SCALING rows). Each path streams its REAL table through
+  * a file source in bounded micro-batches (`maxFilesPerTrigger`) — the
+  * deployment shape, unlike MemoryStream, and it never collects data to
+  * the driver, so the same main measures the 10× replica honestly.
+  *
+  * Prints one JSON line per path:
+  * `{"stream":name,"rows":N,"batches":B,"sec":S,"rows_per_sec":R,...}`.
+  * Env: `SPARK_GRAFT_SF_DIR` (default sf0.1), `SPARK_GRAFT_CPUS`,
+  * `SPARK_GRAFT_STREAM_FILES` (input file count, default 20),
+  * `SPARK_GRAFT_STREAM_FPT` (files per trigger, default 2).
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "20").toInt
+    val fpt = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "2")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft_streambench").toString
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    def fileStream(path: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", fpt).parquet(path)
+    def dirBytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(path))
+    }
+    def report(name: String, rows: Long, sec: Double, extra: String = ""): Unit =
+      println(f"""{"stream":"$name","rows":$rows,"files":$nFiles,"fpt":$fpt,""" +
+        f""""sec":$sec%.2f,"rows_per_sec":${rows / sec}%.0f$extra,"sf":"$sfDir"}""")
+
+    // ---- streaming dedup: new docs vs the corpus signature index ------
+    locally {
+      val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 =!= 9)
+      val bands = TextOps.signatureIndex(corpus).persist()
+      bands.count()
+      val newDocs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 === 9).select("doc_id", "text")
+      newDocs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/dedup_in")
+      val n = spark.read.parquet(s"$stage/dedup_in").count()
+      val in = fileStream(s"$stage/dedup_in", newDocs.schema)
+      val q = StreamingDedup.start(in, bands, s"$stage/dedup_ckpt", s"$stage/dedup_out")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val outRows = spark.read.parquet(s"$stage/dedup_out").count()
+      require(outRows == n, s"dedup verdicts $outRows != streamed $n")
+      report("dedup", n, sec)
+      bands.unpersist(blocking = true)
+      api.Caches.release(spark)
+    }
+
+    // ---- streaming cdc: events fold into a latest-wins snapshot -------
+    locally {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/cdc_in")
+      val n = spark.read.parquet(s"$stage/cdc_in").count()
+      val in = fileStream(s"$stage/cdc_in", evs.schema)
+      val q = StreamingCdc.start(in, s"$stage/cdc_state", s"$stage/cdc_ckpt")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val state = StreamingCdc.state(spark, s"$stage/cdc_state")
+      report("cdc", n, sec,
+        s""","state_rows":${state.count()},"state_bytes":${dirBytes(s"$stage/cdc_state")}""")
+      api.Caches.release(spark)
+    }
+
+    // ---- streaming anomaly: trailing z-score rings per event_type -----
+    locally {
+      // rate measurement only: file order does not reproduce the batch
+      // query's (ts, event_id) delivery contract (StreamingSpec covers
+      // parity; this main covers throughput and state size)
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/anom_in")
+      val n = spark.read.parquet(s"$stage/anom_in").count()
+      val nKeys = spark.read.parquet(s"$stage/anom_in")
+        .select(countDistinct(col("event_type"))).head().getLong(0)
+      val in = fileStream(s"$stage/anom_in", evs.schema).as[RawEvent]
+      val q = StreamingAnomaly.detect(in)
+        .writeStream.format("parquet")
+        .option("path", s"$stage/anom_out")
+        .option("checkpointLocation", s"$stage/anom_ckpt")
+        .outputMode("append").start()
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val outRows = spark.read.parquet(s"$stage/anom_out").count()
+      // state = one ring of ZscoreWindow doubles per key — constant
+      report("anomaly", n, sec,
+        s""","anomalies":$outRows,"state_keys":$nKeys,""" +
+          s""""state_doubles_per_key":${operators.AnalyticOps.ZscoreWindow}""")
+    }
+    spark.stop()
+  }
+}
