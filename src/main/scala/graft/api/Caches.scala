@@ -67,8 +67,12 @@ object Caches {
   /** Built scopes awaiting their terminal action. */
   private val live = ConcurrentHashMap.newKeySet[Scope]()
 
-  /** Sessions that already carry the release listener. */
-  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+  /** Sessions that already carry the release listener (weak keys — the
+    * registry must not pin a stopped session in a JVM that recreates
+    * sessions, e.g. long test runs). */
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Register a just-persisted intermediate with the enclosing [[scoped]]
     * build (no-op outside one — direct operator calls keep the old
@@ -123,7 +127,11 @@ object Caches {
     while (it.hasNext) {
       val scope = it.next()
       val rp = scope.resultPlan
-      if (rp != null && qe.analyzed.exists(n => (n eq rp) || n.sameResult(rp))) {
+      // identity first; the sameResult fallback is gated on the node
+      // CLASS so the canonicalization cost is paid only for the handful
+      // of candidate nodes, not every node of every completed action
+      if (rp != null && qe.analyzed.exists(n =>
+          (n eq rp) || (n.getClass == rp.getClass && n.sameResult(rp)))) {
         it.remove()
         scope.cached.foreach { df =>
           try df.unpersist(blocking = false)
