@@ -337,20 +337,29 @@ object TextOps {
   private def decontamFrom(spark: SparkSession, sfDir: String)(
       prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val bucket = PipelineOps.keyHash("spl") % 1000
-    // ONE persisted base (round-9 restructure — the round-8 shape chained
-    // two eager persists, `sh` then `rare` = sh ⋈ df-agg(sh), so the
-    // 15M-shingle pipeline materialized TWICE back-to-back; under memory
-    // pressure that double residency made the decontam pair the round-8
-    // bench's only regression). The per-shingle document frequency is
-    // computed INSIDE the same sh-keyed exchange with an unordered count
-    // window, so distinct → df-filter is one extra exchange — no groupBy
-    // + join-back, no intermediate cache, exactly one materialization.
-    val rare = shinglesOf(normed(spark, sfDir), 3).distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= DecontamMaxDf)
-      .select(col("doc_id"), col("sh"))
+    // ONE long-lived cache, ONE pass over the shingle pipeline. The
+    // round-8 shape held TWO eager persists (`sh`, then `rare` derived
+    // from it) for the whole query — that double residency under memory
+    // pressure made the decontam pair the round-8 bench's only
+    // regression. The distinct-shingle base still needs a cache (its two
+    // consumers — the df aggregate and the semi-join probe — are
+    // separate plan branches, and AQE does not stage-reuse across them:
+    // verified, the probe branch re-ran the scan+normalize+explode when
+    // unpersisted), but it is TRANSIENT now: dropped the moment `rare`
+    // materializes, so only `rare` stays resident for the query's
+    // lifetime. Deliberately a groupBy + semi-join, NOT a
+    // count-over-window: the count aggregates with map-side partials and
+    // a skewed probe partition is AQE-splittable, while a window group
+    // on a boilerplate shingle (10⁸ docs at 100 TB) is one unsplittable
+    // task.
+    val dsh = shinglesOf(normed(spark, sfDir), 3).distinct().persist()
+    dsh.count() // deterministic fill-before-branch (round-2 discipline)
+    val rareSh = dsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DecontamMaxDf).select(col("sh"))
+    val rare = dsh.join(rareSh, Seq("sh"), "left_semi")
       .withColumn("bucket", bucket).persist().transform(graft.api.Caches.tracked)
     rare.count()
+    dsh.unpersist(blocking = false) // transient: dead once rare is built
     val evalSh = rare.filter(col("bucket") >= 950)
     val trainSh = prefilter(evalSh, rare.filter(col("bucket") < 900))
     val overlaps = evalSh.as("e")
