@@ -61,20 +61,13 @@ object Bench {
     // systematic cost. Caches are swept between reps, so rep 2 re-runs
     // the full pipeline, not a cached shortcut.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        cleanup(spark)
-        elapsed
-      }
-      name -> times.min
-    }
+    val (results, failed) = runQueries(spark, sfDir,
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) },
+      reps)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
     // Full per-query map goes to a FILE only: at 105 queries the map is
@@ -82,18 +75,44 @@ object Bench {
     // per-query stdout line is unparsable no matter the float precision
     // (that truncation broke the bench artifact seven rounds running).
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
     // The LAST stdout line is a compact summary (~120 chars) that can
     // never outgrow the tail capture; it names the file holding the
     // per-query map so an auditor can recover it. summaryLine is
     // unit-tested to stay < 1900 chars even with pathological inputs.
-    println(summaryLine(total, results.size, sfDir, outPath, reps))
+    println(summaryLine(total, results.size, sfDir, outPath, reps, failed.size))
   }
 
   // Millisecond precision: box-level variance is ±30%, finer digits are noise.
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Timed min-of-`reps` loop over `queries`, with per-query cache sweep.
+    * A query that throws must not masquerade as a fast one (round-9
+    * verdict item 3): failures are NAMED in the returned error list (the
+    * artifact's "errors" array and the stdout summary's count), and the
+    * failed query's elapsed-to-failure still counts toward the total —
+    * honest cost, visibly marked broken. */
+  private[graft] def runQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      reps: Int): (Seq[(String, Double)], Seq[String]) = {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => failed += name }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        cleanup(spark)
+        elapsed
+      }
+      name -> times.min
+    }
+    (results, failed.toSeq)
+  }
 
   /** The single stdout line the driver parses. Kept total-only (no
     * per-query map) so query-count growth can never push it past the
@@ -101,9 +120,9 @@ object Bench {
     * bound. `detail` points at the file carrying the per-query map.
     */
   def summaryLine(total: Double, n: Int, sfDir: String, outPath: String,
-      reps: Int = 1): String =
+      reps: Int = 1, errors: Int = 0): String =
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"reps":$reps,""" +
-      s""""sf":"$sfDir","detail":"$outPath"}"""
+      s""""errors":$errors,"sf":"$sfDir","detail":"$outPath"}"""
 
   /** Runs OUTSIDE the timed window — it is harness overhead, not query
     * cost. clearCache() alone unpersists ASYNCHRONOUSLY: over 70+ queries
@@ -115,7 +134,13 @@ object Bench {
     * fresh-JVM-per-query, which is the number a per-job cluster
     * deployment would actually see. */
   private def cleanup(spark: SparkSession): Unit = {
-    graft.api.Caches.release(spark)
+    // Guarded belt-and-braces on top of release's own per-RDD NonFatal
+    // guards: cleanup sits OUTSIDE the per-query try/catch, so any throw
+    // here would kill the whole run (that is exactly how the round-9
+    // driver bench died — an async listener-sweep block removal landed
+    // between release's registry snapshot and its blocking unpersist).
+    try graft.api.Caches.release(spark)
+    catch { case scala.util.control.NonFatal(_) => () }
     System.gc()
   }
 }

@@ -45,15 +45,51 @@ object Caches {
     * queries in one JVM the departing blocks and GC debris land on
     * whichever queries run next (round-3 verdict: trivial queries
     * inflated 10-20×) — so sweep the RDD registry with blocking
-    * unpersist as well. */
+    * unpersist as well.
+    *
+    * Every step is guarded with NonFatal: the listener [[sweep]] and the
+    * builders' transient drops unpersist NON-blocking, so their block
+    * removals complete asynchronously inside the BlockManager — an async
+    * removal can land between this method's `getPersistentRDDs` snapshot
+    * and the blocking unpersist of that entry, and Spark then throws
+    * `Block rdd_N_M does not exist` from `BlockManager.removeRdd`
+    * (round-9 driver bench died exactly this way, rc=1). A code-level
+    * lock between release and sweep cannot close that window — the
+    * non-blocking removals outlive the lock — so tolerating the
+    * already-gone block is the correct fix, mirroring the listener's own
+    * guard below. */
   def release(spark: SparkSession): Unit = {
     live.clear() // scope bookkeeping for anything the sweep is about to drop
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    try spark.catalog.clearCache()
+    catch { case NonFatal(_) => () }
+    spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
+      try rdd.unpersist(blocking = true)
+      catch { case NonFatal(_) => () }
+    }
   }
 
-  /** One query's registered caches + (once built) its result plan. */
-  private final class Scope {
+  /** Guarded unpersist for a TRANSIENT build-internal cache (one that
+    * dies before the builder returns, so scope tracking would hold it
+    * too long). The single audited drop path for operator builders — no
+    * bare `.unpersist` calls in operator code. Non-blocking by default;
+    * pass `blocking = true` where the builder needs the memory back
+    * before its next heavy stage (e.g. the CC fixpoint loop). */
+  def dropTransient(df: DataFrame, blocking: Boolean = false): Unit =
+    try df.unpersist(blocking)
+    catch { case NonFatal(_) => () }
+
+  /** One query's registered caches + (once built) its result plan, owned
+    * by the session that built it: a sweep triggered by ANOTHER
+    * session's action must not release it, else two sessions running the
+    * same query (sameResult plans) would sweep each other's scopes on
+    * whichever action finishes first. Block STORAGE isolation is out of
+    * scope — Spark's CacheManager is plan-keyed and context-global, so
+    * identical plans share one cache entry regardless; the owner check
+    * guarantees each scope's bookkeeping releases exactly on its own
+    * session's terminal action (no premature removal, no scope leak),
+    * and a scope whose shared blocks were already dropped simply
+    * no-ops its guarded unpersist. */
+  private final class Scope(val session: SparkSession) {
     val cached = mutable.ArrayBuffer.empty[DataFrame]
     @volatile var resultPlan: LogicalPlan = _
   }
@@ -83,10 +119,21 @@ object Caches {
   }
 
   /** Run `build`, collecting every [[tracked]] persist into a scope that
-    * auto-releases when an action over the returned plan completes. */
+    * auto-releases when an action over the returned plan completes.
+    *
+    * CONTRACT — one terminal action: the scope releases as soon as the
+    * FIRST action whose plan contains the scope's result plan completes
+    * (a `count()` wraps the result in an Aggregate, so the match must be
+    * containment, not root-only). A caller running a second action on the
+    * returned DataFrame still gets correct results — the plan is lazy and
+    * simply recomputes without the internal caches. Callers that need
+    * repeated actions at cached speed should `.persist()` the returned
+    * DataFrame themselves (their persist, their lifecycle) — exactly what
+    * the bench/verify harnesses' per-query single-action pattern avoids
+    * needing. */
   def scoped(spark: SparkSession)(build: => DataFrame): DataFrame = {
     ensureListener(spark)
-    val scope = new Scope
+    val scope = new Scope(spark)
     building.set(scope :: building.get())
     val df =
       try build
@@ -127,11 +174,15 @@ object Caches {
     while (it.hasNext) {
       val scope = it.next()
       val rp = scope.resultPlan
-      // identity first; the sameResult fallback is gated on the node
-      // CLASS so the canonicalization cost is paid only for the handful
-      // of candidate nodes, not every node of every completed action
-      if (rp != null && qe.analyzed.exists(n =>
-          (n eq rp) || (n.getClass == rp.getClass && n.sameResult(rp)))) {
+      // Same-session only: two sessions running the same query build
+      // sameResult plans, and a cross-session match would release the
+      // OTHER session's still-needed caches mid-flight. Then identity
+      // first; the sameResult fallback is gated on the node CLASS so the
+      // canonicalization cost is paid only for the handful of candidate
+      // nodes, not every node of every completed action.
+      if ((scope.session eq qe.sparkSession) && rp != null &&
+          qe.analyzed.exists(n =>
+            (n eq rp) || (n.getClass == rp.getClass && n.sameResult(rp)))) {
         it.remove()
         scope.cached.foreach { df =>
           try df.unpersist(blocking = false)

@@ -203,7 +203,7 @@ object CorpusOps {
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("token")).limit(CmsTopK)
       .as[(String, Long)].collect() // k rows — metadata-sized, like ann_recall
-    toks.unpersist()
+    graft.api.Caches.dropTransient(toks)
     top.toSeq.map { case (t, c) => (t, c, cms.estimateCount(t)) }
       .toDF("token", "true_cnt", "est_cnt")
       .orderBy(col("true_cnt").desc, col("token"))

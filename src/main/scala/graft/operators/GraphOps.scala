@@ -91,7 +91,7 @@ object GraphOps {
       "spark.graft.cc.localMaxEdges", LocalMaxEdgesDefault)
     if (edgeCount <= localMax) {
       val labels = localUnionFind(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
-      edges.unpersist(blocking = true)
+      graft.api.Caches.dropTransient(edges, blocking = true)
       val spark = pairs.sparkSession
       import spark.implicits._
       return labels.toSeq.toDF("node_id", "group_id")
@@ -130,7 +130,7 @@ object GraphOps {
     }
     // labels is a projection over a checkpointed leaf — it no longer
     // references edges
-    edges.unpersist(blocking = true)
+    graft.api.Caches.dropTransient(edges, blocking = true)
     labels
   }
 

@@ -359,7 +359,7 @@ object TextOps {
     val rare = dsh.join(rareSh, Seq("sh"), "left_semi")
       .withColumn("bucket", bucket).persist().transform(graft.api.Caches.tracked)
     rare.count()
-    dsh.unpersist(blocking = false) // transient: dead once rare is built
+    graft.api.Caches.dropTransient(dsh) // transient: dead once rare is built
     val evalSh = rare.filter(col("bucket") >= 950)
     val trainSh = prefilter(evalSh, rare.filter(col("bucket") < 900))
     val overlaps = evalSh.as("e")

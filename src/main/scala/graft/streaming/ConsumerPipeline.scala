@@ -114,7 +114,7 @@ object ConsumerPipeline {
           routed.filter(col("outcome") =!= "ok")
             .withColumn("queue", concat(lit("event:"), col("name")))
             .write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
-        } finally routed.unpersist()
+        } finally graft.api.Caches.dropTransient(routed)
       }
       .start()
   }

@@ -36,7 +36,7 @@ object StreamingDedup {
         val b = batch.persist()
         try TextOps.matchVerdicts(b, corpusBands)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        finally b.unpersist()
+        finally graft.api.Caches.dropTransient(b)
       }
       .start()
 }

@@ -9,12 +9,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * query growth can never re-break it, and this spec enforces the
   * bound against worst-case inputs.
   */
-class BenchSpec extends AnyFunSuite {
+class BenchSpec extends AnyFunSuite with SparkTest {
 
   test("summary line stays far under the driver's 2000-char tail capture") {
     val line = Bench.summaryLine(89.942, 105, "/root/testdata/sf0.1", "/root/repo/BENCH_LAST.json")
     assert(line.length < 1900, s"summary line is ${line.length} chars")
     assert(line.length < 300, s"expected a compact line, got ${line.length} chars")
+  }
+
+  test("a throwing query is named in the error list, not masked as fast") {
+    // round-9 verdict item 3: the old `catch { _ => -1L }` let a broken
+    // query contribute a near-zero time and nothing marked it failed
+    val ok = (s: org.apache.spark.sql.SparkSession, _: String) => s.range(5).toDF("id")
+    val boom = (_: org.apache.spark.sql.SparkSession, _: String) =>
+      sys.error("boom"): org.apache.spark.sql.DataFrame
+    val (results, failed) =
+      Bench.runQueries(spark, sf, Seq("ok" -> ok, "boom" -> boom), reps = 1)
+    assert(failed == Seq("boom"))
+    assert(results.map(_._1) == Seq("ok", "boom"))
+    // and the summary line carries the count without growing unboundedly
+    val line = Bench.summaryLine(1.0, 2, sf, "/tmp/out.json", reps = 1, errors = failed.size)
+    assert(line.contains("\"errors\":1"))
+    assert(line.length < 1900)
   }
 
   test("summary line is valid minimal JSON with the driver's expected fields") {

@@ -39,6 +39,66 @@ class CacheScopeSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("concurrent harness release vs listener sweep never throws (round-9 race)") {
+    // The round-9 driver bench died rc=1 when an async listener-sweep
+    // block removal landed between release's getPersistentRDDs snapshot
+    // and its blocking unpersist (`Block rdd_N_M does not exist`). This
+    // soak reproduces that interleaving: a tight release loop on one
+    // thread while scoped queries build, act, and async-sweep on the
+    // other. With the NonFatal guards in place, neither side may throw.
+    graft.api.Caches.release(spark)
+    @volatile var stop = false
+    val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val releaser = new Thread(() => {
+      while (!stop) {
+        try graft.api.Caches.release(spark)
+        catch { case t: Throwable => thrown.compareAndSet(null, t) }
+      }
+    }, "cache-release-soak")
+    releaser.start()
+    try {
+      for (_ <- 1 to 3; name <- Seq("decontaminate", "dedup_canonical")) {
+        // builds persist eagerly; count() completes an action that the
+        // listener sweeps asynchronously — all while release() spins
+        SparkEntry.queries(name)(spark, sf).count()
+      }
+    } finally { stop = true; releaser.join(10000) }
+    assert(thrown.get() == null,
+      s"Caches.release threw under concurrent sweep: ${thrown.get()}")
+  }
+
+  test("a sibling session's action does not sweep this session's scope") {
+    // Two sessions over one SparkContext running the SAME query have
+    // sameResult plans — without the owner check, whichever action
+    // completed first swept BOTH scopes, so the slower session's scope
+    // was gone before its own terminal action (round-9 verdict item 6).
+    // NOTE the achievable contract: block STORAGE for identical plans is
+    // inherently shared (Spark's CacheManager is plan-keyed and
+    // context-global — session B's persist of A's plan registers no new
+    // RDD, and B's release drops the shared entry; A then recomputes,
+    // correctly but cold). What the owner check guarantees is scope
+    // BOOKKEEPING isolation: each scope releases exactly on its own
+    // session's terminal action — no premature removal, no scope leak.
+    graft.api.Caches.release(spark)
+    def awaitScopes(n: Int, label: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (graft.api.Caches.pendingScopes > n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(graft.api.Caches.pendingScopes == n, label)
+    }
+    val other = spark.newSession()
+    val dfA = SparkEntry.queries("ngram_jaccard")(spark, sf)
+    assert(graft.api.Caches.pendingScopes == 1, "session A scope not registered")
+    val dfB = SparkEntry.queries("ngram_jaccard")(other, sf)
+    assert(graft.api.Caches.pendingScopes == 2, "session B scope not registered")
+    dfB.count()
+    awaitScopes(1, "B's own action must release exactly B's scope — " +
+      "0 means B's sweep crossed sessions and took A's scope too")
+    dfA.count()
+    awaitScopes(0, "A's terminal action failed to release A's scope")
+    awaitEmpty("cross-session scope isolation")
+  }
+
   test("a direct operator call outside a scope keeps the old swept behavior") {
     graft.api.Caches.release(spark)
     val df = operators.TextOps.ngramJaccard(spark, sf)
