@@ -49,13 +49,52 @@ object MultimodalOps {
     * that is fine: a missing `_SUCCESS` marker rebuilds on demand, and
     * the bench warm-up ([[warmPayloads]]) builds them outside the timed
     * window. */
+  /** Cheap content fingerprint of the source documents table (row count
+    * + max doc_id), folded into the cache directory name so test data
+    * REGENERATED at the same path invalidates the cache automatically —
+    * a /tmp cache keyed on path alone would silently serve payloads for
+    * a doc_id set that no longer exists. Memoized per JVM: the bench
+    * warm-up pays the one footer-stats aggregate job, timed queries hit
+    * the map; cross-JVM staleness is exactly the case the fingerprint
+    * catches (a driver that rewrites sf* data starts a fresh JVM). */
+  private val payloadFp = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fingerprint(spark: SparkSession, sfDir: String): String =
+    payloadFp.computeIfAbsent(sfDir, _ => {
+      val r = Tables.documents(spark, sfDir)
+        .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(-1L))).head()
+      s"${r.getLong(0)}x${r.getLong(1)}"
+    })
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec); f.delete(); ()
+  }
+
   private def payloadCached(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      fingerprint(spark, sfDir)
     val dir = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_media_$tag"), name)
-    if (!new java.io.File(dir, "_SUCCESS").isFile)
-      build.write.mode("overwrite").parquet(dir.toString)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      // Concurrent JVMs (bench + verify) warming the same (sf, table)
+      // must not interleave `mode("overwrite")` writes into one shared
+      // directory — a reader could observe the window between the
+      // overwrite's delete and its _SUCCESS. Build into a process-unique
+      // temp sibling and rename into place: POSIX directory rename is
+      // atomic, so readers see either nothing (→ they build their own)
+      // or a complete table. If a sibling process renamed first, keep
+      // theirs and drop ours.
+      val tmp = new java.io.File(dir.getParentFile,
+        s".$name.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          deleteRec(tmp)
+          if (!new java.io.File(dir, "_SUCCESS").isFile) throw e
+      }
+    }
     spark.read.parquet(dir.toString)
   }
 

@@ -340,7 +340,8 @@ private[sources] class GraftTopicTable(dir: String, topic: String,
   *                      proportionally to backlog, clamped to record
   *                      boundaries
   */
-class GraftTopicProvider extends TableProvider {
+class GraftTopicProvider extends TableProvider
+    with org.apache.spark.internal.Logging {
 
   private def required(options: CaseInsensitiveStringMap, key: String): String = {
     val v = options.get(key)
@@ -358,11 +359,22 @@ class GraftTopicProvider extends TableProvider {
     val topic = required(options, "topic")
     // option > session conf (with env:VAR[:default] indirection, the
     // reference's {:system, VAR} form — lib/hivent/config.ex:21-38) >
-    // built-in default, mirroring the reference's partition_count lookup
+    // built-in default, mirroring the reference's partition_count lookup.
+    // getActiveSession first (the session that issued this read), then
+    // the JVM default session: getTable can run on threads with no
+    // active session set (scheduler/listener contexts), and silently
+    // dropping to the built-in default there would ignore a session conf
+    // the user DID set. Log when even the default session is absent.
     val confCount = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(s => graft.api.GraftConfig.getInt(s,
         "spark.graft.partition.count", graft.model.Tables.DefaultPartitionCount))
-      .getOrElse(graft.model.Tables.DefaultPartitionCount)
+      .getOrElse {
+        logWarning("graft-topic: no active or default SparkSession on this " +
+          "thread; spark.graft.partition.count (if set) is not visible — " +
+          s"using built-in default ${graft.model.Tables.DefaultPartitionCount}")
+        graft.model.Tables.DefaultPartitionCount
+      }
     val count = options.getInt("partition.count", confCount)
     val partitions = Option(options.get("partitions")).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toInt).toSeq)
