@@ -529,16 +529,42 @@ object TextOps {
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashUnsorted(spark, sfDir).orderBy("doc_id")
 
+  /** Signature width. 60 bits (not the token hash's 28) because the
+    * band-bucket space must SCALE WITH THE CORPUS: banding collisions
+    * grow as n²/2^bandBits per band, so 4×7-bit bands (128 buckets per
+    * band) saturate at ~10⁴ docs and the candidate join degenerates
+    * quadratic — measured round 10: the 10× replica grew simhash_neardup
+    * 16× (24 s) under 7-bit bands vs 6.2× (8.8 s) under 15-bit bands
+    * (32,768 buckets/band; ~6× is the floor here — the clone-replica
+    * construction grows TRUE pair output 550×, same as the MinHash
+    * family). Rule of thumb: bandBits ≳ log2(n_docs); at
+    * petabyte corpus sizes widen further (two longs / 8×16-bit bands).
+    * 60 = 4×15 keeps every band power-of-two-aligned and the signature
+    * comfortably inside a signed long. */
+  private val SimhashBits = 60
+
+  /** SimHash-specific token hash: the first 15 md5 hex digits (60 bits).
+    * Deliberately NOT the shared 28-bit [[tokenHashes]] — the TF
+    * featurizer wants a small fixed dim space (hv % 64), while SimHash
+    * vote quality and band selectivity want every signature bit
+    * independent, which needs the full-width hash. */
+  private def simhashTokenHashes(spark: SparkSession, sfDir: String): DataFrame =
+    normed(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(norm, '[a-z0-9]+', 0)")).as("t"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("hv"))
+
   private def simhashUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashed = tokenHashes(spark, sfDir)
-    // one aggregation pass: 28 ±1-vote sums as separate aggregate
+    val hashed = simhashTokenHashes(spark, sfDir)
+    // one aggregation pass: 60 ±1-vote sums as separate aggregate
     // expressions (all codegen'd; single shuffle on doc_id) instead of a
-    // 28×-row explode
-    val votes = (0 until 28).map { b =>
+    // 60×-row explode
+    val votes = (0 until SimhashBits).map { b =>
       val p = 1L << b
       sum(expr(s"case when (hv div ${p}L) % 2 = 1 then 1 else -1 end")).as(s"s$b")
     }
-    val sig = (0 until 28).map { b =>
+    val sig = (0 until SimhashBits).map { b =>
       val p = 1L << b
       when(col(s"s$b") > 0, lit(p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -547,18 +573,19 @@ object TextOps {
       .select(col("doc_id"), sig.cast("long").as("simhash"))
   }
 
-  /** SimHash bands: 4 bands × 7 bits over the 28-bit signature. */
+  /** SimHash bands: 4 bands × 15 bits over the 60-bit signature (see
+    * [[SimhashBits]] for why the band space is this wide). */
   private val SimhashBands = 4
-  private val SimhashBandBits = 7
+  private val SimhashBandBits = 15
   /** Near-dup Hamming bound. With ≤ [[SimhashHammingMax]] differing bits
     * and [[SimhashBands]] bands, pigeonhole leaves at least one band
     * intact — so the band-bucket join is LOSSLESS for this bound: the
     * banded plan returns exactly the pairs a quadratic scan would. */
   private val SimhashHammingMax = SimhashBands - 1
 
-  /** SimHash near-duplicate pairs: Hamming distance ≤ 3 over the 28-bit
+  /** SimHash near-duplicate pairs: Hamming distance ≤ 3 over the 60-bit
     * signature. The scale path is the same candidate-generation shape as
-    * MinHash-LSH — a band-bucket equi-join (4 bands × 7 bits), then an
+    * MinHash-LSH — a band-bucket equi-join (4 bands × 15 bits), then an
     * exact `bit_count(xor)` filter on only the candidates — but here the
     * banding loses NOTHING (see [[SimhashHammingMax]]), so the oracle
     * can state the identical banded plan and the result is still the
@@ -951,14 +978,14 @@ object TextOps {
       |  6) AS quality
       | FROM m)""".stripMargin
 
-  /** Shared oracle CTE stack for the 28-bit SimHash signature (mirrors
+  /** Shared oracle CTE stack for the 60-bit SimHash signature (mirrors
     * [[simhashUnsorted]]); ends at `shsig` (doc_id, simhash). Declared
     * before [[oracles]] — object-init order. */
   private val simhashCtesSql: String =
     """tok AS (
       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
-      |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 7) AS INTEGER) AS BIGINT) AS hv FROM tok),
-      |bitdefs AS (SELECT unnest(generate_series(0, 27)) AS b),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM tok),
+      |bitdefs AS (SELECT unnest(generate_series(0, 59)) AS b),
       |bits AS (
       | SELECT doc_id, b, CAST(pow(2, b) AS BIGINT) AS p,
       |  sum(CASE WHEN (hv // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
@@ -1103,14 +1130,14 @@ object TextOps {
     "simhash" ->
       s"""WITH $simhashCtesSql
         |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,
-    // The IDENTICAL banded plan as the Scala side (4 bands × 7 bits;
+    // The IDENTICAL banded plan as the Scala side (4 bands × 15 bits;
     // lossless for Hamming ≤ 3, see simhashNeardup) — banded here too so
     // the oracle stays feasible at big SFs, not a quadratic self-join.
     "simhash_neardup" ->
       s"""WITH $simhashCtesSql,
         |shbands AS MATERIALIZED (
         | SELECT doc_id, simhash, bb.band_no,
-        |  (simhash // CAST(pow(2, 7 * bb.band_no) AS BIGINT)) % 128 AS bh
+        |  (simhash // CAST(pow(2, 15 * bb.band_no) AS BIGINT)) % 32768 AS bh
         | FROM shsig, (SELECT unnest(generate_series(0, 3)) AS band_no) bb),
         |shcand AS (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -220,9 +220,14 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(brute.except(banded).count() == 0)
   }
 
-  test("simhash values fit the 28-bit space") {
-    val s = TextOps.simhash(spark, sf)
-    assert(s.filter(col("simhash") < 0 || col("simhash") >= (1L << 28)).count() == 0)
+  test("simhash values fit the 60-bit space and use the high bands") {
+    val s = TextOps.simhash(spark, sf).cache()
+    assert(s.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
+    // the widened signature must actually populate the upper band —
+    // a regression to the old 28-bit hash would leave bits 28-59 as the
+    // all-below-majority default on every doc
+    assert(s.filter(col("simhash") >= (1L << 45)).count() > 0)
+    s.unpersist()
   }
 
   test("embed_quantize spans the full int8 range and never exceeds it") {
