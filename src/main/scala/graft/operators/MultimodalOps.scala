@@ -58,6 +58,12 @@ object MultimodalOps {
     * the map; cross-JVM staleness is exactly the case the fingerprint
     * catches (a driver that rewrites sf* data starts a fresh JVM). */
   private val payloadFp = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: forget memoized fingerprints, simulating the fresh JVM a
+    * driver that regenerated its test data would start — the scenario
+    * the fingerprinted cache directory exists for. */
+  private[graft] def resetPayloadFingerprints(): Unit = payloadFp.clear()
+
   private def fingerprint(spark: SparkSession, sfDir: String): String =
     payloadFp.computeIfAbsent(sfDir, _ => {
       val r = Tables.documents(spark, sfDir)

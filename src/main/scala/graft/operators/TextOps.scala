@@ -112,6 +112,13 @@ object TextOps {
     * reuse one persisted distinct-shingle base for signature, sizes, and
     * intersection instead of rebuilding the shingle pipeline per stage.
     *
+    * The string mins compile to SortAggregate (var-length buffers are
+    * not HashAggregate-eligible). Measured round 10 and deliberately
+    * KEPT: a conv(hex,16,10)-to-long variant does get HashAggregate but
+    * interleaved A/B at sf0.1 was a tie (string 0.60-0.75 s vs long
+    * 0.73-0.75 s) — the per-row conv parse costs what the per-partition
+    * sort saves, and the hex pieces feed md5 band concat directly.
+    *
     * The same groupBy also carries the per-doc shingle count as `sz` —
     * callers that need set sizes (ngramJaccard's |A|/|B|, fed distinct
     * shingles) get them from THIS shuffle instead of aggregating the

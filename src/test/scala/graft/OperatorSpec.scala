@@ -337,6 +337,24 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     meta.unpersist()
   }
 
+  test("payload cache invalidates when documents are regenerated at the same path") {
+    // ADVICE r9: a /tmp payload cache keyed on the sfDir path alone
+    // silently served stale payloads after the driver regenerated test
+    // data. The cache dir now carries a (row count, max doc_id)
+    // fingerprint; a fresh JVM (simulated via the reset hook — the
+    // fingerprint is memoized per JVM by design) must rebuild.
+    val dir = tempDir("mm_fp")
+    graft.model.Tables.documents(spark, sf).limit(20)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    MultimodalOps.resetPayloadFingerprints()
+    assert(MultimodalOps.mediaTable(spark, dir).toDF().count() == 20)
+    graft.model.Tables.documents(spark, sf).limit(35)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    MultimodalOps.resetPayloadFingerprints() // next driver run = next JVM
+    assert(MultimodalOps.mediaTable(spark, dir).toDF().count() == 35,
+      "stale payload cache served after the documents table changed")
+  }
+
   test("avi codec round-trips and rejects malformed payloads") {
     // synth → parse recovers exactly the parameters that built the bytes
     val (w, h, nf) = (7, 5, 3)
