@@ -73,7 +73,7 @@ object StreamBench {
       val outRows = spark.read.parquet(s"$stage/dedup_out").count()
       require(outRows == n, s"dedup verdicts $outRows != streamed $n")
       report("dedup", n, sec)
-      bands.unpersist(blocking = true)
+      api.Caches.dropTransient(bands, blocking = true)
       api.Caches.release(spark)
     }
 
