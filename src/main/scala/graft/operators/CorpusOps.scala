@@ -162,7 +162,12 @@ object CorpusOps {
     * vs the corpus — it broadcasts), one join-back scores tokens in
     * place, one doc_id groupBy reduces — the same two-shuffle profile as
     * vocab_topk + a map-side join. */
-  def perplexityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def perplexityScore(spark: SparkSession, sfDir: String): DataFrame =
+    docNll(spark, sfDir).orderBy("doc_id")
+
+  /** Per-doc unigram NLL (unsorted) — the shared base for
+    * [[perplexityScore]] and the CCNet-style [[pplBuckets]] cut. */
+  private def docNll(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.normed(spark, sfDir)
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -177,7 +182,41 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
           .as("mean_nll"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing: within each language, documents
+    * are cut into head / middle / tail thirds by ascending LM score
+    * (head = most fluent third — the slice CCNet keeps for training),
+    * reported as per-(lang, bucket) counts and mean NLL.
+    *
+    * The cut is RANK-based with integer boundary arithmetic
+    * (rn·3 ≤ n / rn·3 ≤ 2n — the quality_filter discipline), never a
+    * float quantile whose boundary could land differently per engine.
+    * The bucket means re-sum the round-6 per-doc scores through
+    * DECIMAL(18,6), so they are exact under any shuffle order.
+    *
+    * Scale note: the per-lang window ranks each language's docs in one
+    * task — fine while per-lang doc COUNTS fit a task's sort budget
+    * (score + id pairs, not text); at 100 TB the rank is replaced by
+    * approx-quantile score cutoffs (two scans, no window), which the
+    * oracle-exact rank stands in for here. */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val d = docNll(spark, sfDir).join(langs, Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_nll").asc, col("doc_id"))
+    val part = Window.partitionBy(col("lang"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), lit("head"))
+          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("mean_nll").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_nll"))
+      .orderBy("lang", "bucket")
   }
 
   // ----------------------------------------------------- CMS heavy hitters
@@ -400,9 +439,26 @@ object CorpusOps {
     "boilerplate_strip"   -> (boilerplateStrip _),
     "chunk_overlap"       -> (chunkOverlap _),
     "perplexity_score"    -> (perplexityScore _),
+    "ppl_buckets"         -> (pplBuckets _),
     "approx_topk"         -> (approxTopk _),
     "bm25_topk"           -> (bm25Topk _),
     "lang_source_pmi"     -> (langSourcePmi _))
+
+  /** Shared oracle CTE stack for the unigram-LM family, ending at `nll`
+    * (per-doc token count + round-6 mean surprisal): states the IDENTICAL
+    * pipeline as [[docNll]]. MATERIALIZED because `ppl_buckets` joins it
+    * against documents and DuckDB re-inlines multiply-referenced CTEs.
+    * Consumed by `perplexity_score` and `ppl_buckets`. */
+  private lazy val pplCtesSql: String =
+    s"""dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+      |toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
+      |vocab AS MATERIALIZED (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+      |nll AS MATERIALIZED (SELECT t.doc_id, count(*) AS n_tokens,
+      | round(CAST(sum(CAST(round(-ln(CAST(v.cnt AS DOUBLE) / n.total), 6)
+      |   AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+      | FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN n
+      | GROUP BY t.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "lang_source_pmi" ->
@@ -508,15 +564,21 @@ object CorpusOps {
         |FROM h LEFT JOIN bp b ON b.ph = h.ph
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "perplexity_score" ->
-      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
-        |toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
-        |vocab AS MATERIALIZED (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
-        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
-        |SELECT t.doc_id, count(*) AS n_tokens,
-        | round(CAST(sum(CAST(round(-ln(CAST(v.cnt AS DOUBLE) / n.total), 6)
-        |   AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nll
-        |FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN n
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      s"""WITH $pplCtesSql
+        |SELECT doc_id, n_tokens, mean_nll FROM nll ORDER BY doc_id""".stripMargin,
+    "ppl_buckets" ->
+      s"""WITH $pplCtesSql,
+        |r AS (SELECT d.lang, nll.mean_nll,
+        |  row_number() OVER (PARTITION BY d.lang ORDER BY nll.mean_nll, nll.doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY d.lang) AS n
+        | FROM nll JOIN documents d USING (doc_id))
+        |SELECT lang,
+        | CASE WHEN rn * 3 <= n THEN 'head'
+        |      WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(CAST(sum(CAST(mean_nll AS DECIMAL(18,6))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS avg_nll
+        |FROM r GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "chunk_overlap" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),

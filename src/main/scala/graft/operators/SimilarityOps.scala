@@ -498,6 +498,116 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------- product quantization
+  /** PQ geometry: [[PqSubspaces]] subspaces of [[PqSubDim]] dims each
+    * (4×16 = the 64-dim corpus), [[PqK]] centroids per sub-codebook. Both
+    * sides of the oracle are generated from these. */
+  private[graft] val PqSubspaces = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqK = 8
+
+  /** Per-(vector, subspace) whole-number sub-codes: each 64-dim quantized
+    * code split into 4 contiguous 16-dim slices. One narrow projection +
+    * explode — 4 rows per vector, no shuffle. */
+  private def subCodes(q: DataFrame): DataFrame =
+    q.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("sq"))
+
+  /** One exact Lloyd round per sub-codebook (the k-means discipline at
+    * subspace granularity): centroids seeded from the first [[PqK]]
+    * vectors' sub-codes, assignment via broadcast min-struct, per-dim
+    * mean as exact whole-number sum / count. Output: 4×8 rows of
+    * (sub, cid, c) — metadata-sized at any corpus size. */
+  private def pqCentroids(sc: DataFrame): DataFrame = {
+    val c0 = sc.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("cid"), col("sq").as("c"))
+    val assigned = sc.join(broadcast(c0), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sq"), col("cid"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"), col("sq"))).as("s"))
+      .select(col("sub"), col("s.cid").as("cid"), col("s.sq").as("sq"))
+    assigned.select(col("sub"), col("cid"), posexplode(col("sq")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).as("cd"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)")
+        .as("c"))
+  }
+
+  /** Nearest sub-centroid per (vector, subspace) under the once-updated
+    * codebooks — the PQ code assignment. Broadcast join + map-side-
+    * combined min-struct: one 4-row-per-vector shuffle, like
+    * [[assignNearest]]. */
+  private def pqAssign(sc: DataFrame, cents: DataFrame): DataFrame =
+    sc.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("s"))
+      .select(col("vec_id"), col("sub"), col("s.cid").as("code"),
+        col("s.dist").as("dist"))
+
+  /** Product quantization (Jégou et al., the IVF-PQ storage half): each
+    * vector compressed to [[PqSubspaces]] sub-codebook ids, one row per
+    * (vec_id, sub) with the code and its sub-quantization error. 64
+    * doubles become 4 small ints — the compression that lets a 100 TB
+    * ANN index hold every vector's code in executor memory while the
+    * float vectors stay in parquet for the final re-rank.
+    *
+    * Determinism is the k-means family's: whole-number quantized codes
+    * make the distributed sub-centroid update exact under any
+    * partitioning, distances are sequential-fold dot compositions
+    * rounded to 6 dp, ties break on cid. Scale shape: sub-codebooks are
+    * 32 rows (broadcast); the corpus is scanned, never self-joined; the
+    * only shuffles carry 4 narrow rows per vector. */
+  def productQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = subCodes(quantCodes(spark, sfDir))
+      .persist().transform(graft.api.Caches.tracked)
+    sc.count()
+    pqAssign(sc, pqCentroids(sc))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** PQ asymmetric-distance search (the IVF-PQ query half): the probe
+    * (vec_id 0) computes a 4×8 lookup table of sub-distances to every
+    * sub-centroid, and each vector's approximate distance is the sum of
+    * its 4 codes' table entries — the corpus is scored WITHOUT touching
+    * a single original vector. Top-5 nearest by ADC distance.
+    *
+    * The per-sub distances are rounded to 6 dp and summed as
+    * DECIMAL(18,6), so the 4-term sum is exact and shuffle-order
+    * independent; the single decimal→double cast is correctly rounded in
+    * both engines. Scale shape: the LUT is 32 rows (broadcast); scoring
+    * is one equi-join on (sub, code) + a map-side-combined 4-row-per-key
+    * sum; top-k is TakeOrderedAndProject. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = subCodes(quantCodes(spark, sfDir))
+      .persist().transform(graft.api.Caches.tracked)
+    sc.count()
+    // 32 rows, consumed twice (code assignment + probe LUT); recomputing
+    // would re-run the Lloyd round's corpus pass
+    val cents = pqCentroids(sc).persist().transform(graft.api.Caches.tracked)
+    cents.count()
+    val lut = sc.filter(col("vec_id") === 0)
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("sub"), col("cid").as("code"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .cast(DecimalType(18, 6)).as("pd"))
+    pqAssign(sc, cents)
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd")).as("sd"))
+      .select(col("vec_id"), col("sd").cast("double").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(5)
+  }
+
   private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val q = vecs(spark, sfDir)
       .select(col("vec_id"),
@@ -565,7 +675,9 @@ object SimilarityOps {
     "ann_lsh"            -> (annLsh _),
     "ann_ivf"            -> (annIvf _),
     "kmeans_assign"      -> (kmeansAssign _),
-    "semantic_dedup"     -> (semanticDedup _))
+    "semantic_dedup"     -> (semanticDedup _),
+    "product_quantize"   -> (productQuantize _),
+    "ann_pq"             -> (annPq _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -576,6 +688,14 @@ object SimilarityOps {
   private def distSql(a: String, b: String): String =
     s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b), 6)"
 
+  /** The integer-quantization CTE (the [[quantCodes]] formula) — shared
+    * by the k-means stack and the PQ stack. */
+  private val qqCteSql: String =
+    """qq AS MATERIALIZED (SELECT vec_id,
+      |  CASE WHEN m = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+      |   ELSE list_transform(v, x -> CAST(floor(x * 127 / m + 0.5) AS DOUBLE)) END AS qv
+      | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v) t)""".stripMargin
+
   /** Shared oracle CTE stack for the k-means family, ending at `c1` (the
     * once-updated centroids): states the IDENTICAL pipeline as
     * [[quantCodes]] + [[lloydCentroids]]. MATERIALIZED because both
@@ -583,10 +703,7 @@ object SimilarityOps {
     * multiply-referenced CTEs. Consumed by `kmeans_assign` and the
     * k-means-seeded `ann_ivf`. */
   private val kmeansCtesSql: String =
-    s"""qq AS MATERIALIZED (SELECT vec_id,
-      |  CASE WHEN m = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
-      |   ELSE list_transform(v, x -> CAST(floor(x * 127 / m + 0.5) AS DOUBLE)) END AS qv
-      | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v) t),
+    s"""$qqCteSql,
       |c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
       |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
       | SELECT qq.vec_id, c.cid,
@@ -856,5 +973,49 @@ object SimilarityOps {
         |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
         |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
         | FROM qq, c1 c) t WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin,
+    "product_quantize" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtesSql
+        |SELECT vec_id, CAST(sub AS INTEGER) AS sub, code, dist
+        |FROM pcode ORDER BY vec_id, sub""".stripMargin,
+    "ann_pq" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtesSql,
+        |lut AS (SELECT sv.sub, c.cid AS code,
+        |  CAST(${distSql("sv.sq", "c.c")} AS DECIMAL(18,6)) AS pd
+        | FROM sv JOIN pc1 c ON c.sub = sv.sub WHERE sv.vec_id = 0)
+        |SELECT p.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
+        |FROM pcode p JOIN lut l ON l.sub = p.sub AND l.code = p.code
+        |WHERE p.vec_id <> 0
+        |GROUP BY p.vec_id ORDER BY adist, p.vec_id LIMIT 5""".stripMargin)
+
+  /** Shared oracle CTE stack for the PQ family, ending at `pcode` (the
+    * per-(vector, subspace) code assignment): states the IDENTICAL
+    * pipeline as [[subCodes]] + [[pqCentroids]] + [[pqAssign]] — slice,
+    * seed from the first [[PqK]] vectors, one exact Lloyd round per
+    * sub-codebook, reassign. MATERIALIZED because sv and pc1 are each
+    * referenced more than once and DuckDB re-inlines multiply-referenced
+    * CTEs. Consumed by `product_quantize` and `ann_pq`. */
+  private lazy val pqCtesSql: String =
+    s"""$qqCteSql,
+      |sv AS MATERIALIZED (SELECT vec_id, m.sub,
+      |  qv[m.sub * $PqSubDim + 1 : m.sub * $PqSubDim + $PqSubDim] AS sq
+      | FROM qq, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) m),
+      |pc0 AS (SELECT sub, vec_id AS cid, sq AS c FROM sv WHERE vec_id < $PqK),
+      |pa1 AS MATERIALIZED (SELECT vec_id, sub, sq, cid FROM (
+      | SELECT sv.vec_id, sv.sub, sv.sq, c.cid,
+      |  row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+      |   ${distSql("sv.sq", "c.c")}, c.cid) AS rn
+      | FROM sv JOIN pc0 c ON c.sub = sv.sub) t WHERE rn = 1),
+      |pupd AS (SELECT sub, cid, i - 1 AS dim, sum(sq[i]) / count(*) AS cd
+      | FROM pa1, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) s
+      | GROUP BY sub, cid, i),
+      |pc1 AS MATERIALIZED (SELECT sub, cid, list(cd ORDER BY dim) AS c
+      | FROM pupd GROUP BY sub, cid),
+      |pcode AS MATERIALIZED (SELECT vec_id, sub, cid AS code, dist FROM (
+      | SELECT sv.vec_id, sv.sub, c.cid, ${distSql("sv.sq", "c.c")} AS dist,
+      |  row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+      |   ${distSql("sv.sq", "c.c")}, c.cid) AS rn
+      | FROM sv JOIN pc1 c ON c.sub = sv.sub) t WHERE rn = 1)""".stripMargin
 }

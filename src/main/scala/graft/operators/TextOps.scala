@@ -514,6 +514,21 @@ object TextOps {
       .select(col("group_id").as("doc_id"), col("group_sz"))
       .orderBy("doc_id")
 
+  /** Duplicate-cluster size histogram (the WIMBD-style corpus
+    * diagnostic): how many dedup components exist at each size, and how
+    * many documents they hold. Size 1 = unique docs; a heavy tail here
+    * means the corpus is dominated by a few huge clone families — the
+    * first chart any dedup run reports. Two integer aggregates over
+    * [[dedupGroups]]'s labels; the histogram itself is ≤ max-cluster-size
+    * rows — metadata-sized at any corpus scale. */
+  def dupClusterStats(spark: SparkSession, sfDir: String): DataFrame =
+    dedupGroupsUnsorted(spark, sfDir)
+      .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
+      .select(col("sz").as("group_sz"), col("n_groups"),
+        (col("sz") * col("n_groups")).as("n_docs"))
+      .orderBy("group_sz")
+
   // -------------------------------------------------------------- SimHash
   /** Word tokens hashed to 28 bits (first 7 md5 hex digits) — shared by
     * SimHash and the TF featurizer so the two can never drift apart. */
@@ -886,6 +901,7 @@ object TextOps {
     "decontaminate"       -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_groups"        -> (dedupGroups _),
+    "dup_cluster_stats"   -> (dupClusterStats _),
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
     "minhash_containment" -> (minhashContainment _),
@@ -1093,6 +1109,19 @@ object TextOps {
         |groups AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id)
         |SELECT group_id AS doc_id, CAST(count(*) AS BIGINT) AS group_sz
         |FROM groups GROUP BY group_id ORDER BY doc_id""".stripMargin,
+    "dup_cluster_stats" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r),
+        |groups AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+        |gs AS (SELECT group_id, count(*) AS sz FROM groups GROUP BY group_id)
+        |SELECT sz AS group_sz, CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM gs GROUP BY sz ORDER BY group_sz""".stripMargin,
     "edit_distance_pairs" ->
       s"""WITH $candCtesSql,
         |pre AS (SELECT doc_id, substr($normSql, 1, $EditPrefix) AS prefix FROM documents)

@@ -819,4 +819,76 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(rows("li_quantity_range") == 0L && rows("orders_customer_ri") == 0L &&
       rows("events_event_id_unique") == 0L && rows("docs_nchars_consistent") == 0L)
   }
+
+  test("product_quantize codes every (vector, subspace) from the seed codebook") {
+    val rows = operators.SimilarityOps.productQuantize(spark, sf).collect()
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    assert(rows.length == nVecs * operators.SimilarityOps.PqSubspaces,
+      "one code per (vector, subspace)")
+    for (r <- rows) {
+      assert(r.getInt(1) >= 0 && r.getInt(1) < operators.SimilarityOps.PqSubspaces)
+      assert(r.getLong(2) >= 0L && r.getLong(2) < operators.SimilarityOps.PqK,
+        s"code outside the seed codebook: $r")
+      assert(r.getDouble(3) >= 0.0, s"negative quantization error: $r")
+    }
+    // a Lloyd update can only empty a cell, never invent one
+    val perSub = rows.groupBy(_.getInt(1)).map { case (_, g) => g.map(_.getLong(2)).distinct.size }
+    assert(perSub.forall(_ <= operators.SimilarityOps.PqK))
+  }
+
+  test("ann_pq returns 5 ADC-nearest vectors that are genuinely near the probe") {
+    val got = operators.SimilarityOps.annPq(spark, sf).collect()
+    assert(got.length == 5)
+    val dists = got.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted, "not in ascending ADC distance order")
+    assert(dists.forall(_ >= 0.0))
+    // accuracy bound (the ann_recall discipline): every ADC winner must sit
+    // in the closer HALF of the corpus by exact full-vector distance
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val dp = graft.functions.VectorFunctions.dot_product(col("v"), col("v")) -
+      lit(2.0) * graft.functions.VectorFunctions.dot_product(col("v"), col("p")) +
+      graft.functions.VectorFunctions.dot_product(col("p"), col("p"))
+    val exact = e.crossJoin(broadcast(probe)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), dp.as("d")).collect()
+      .sortBy(_.getDouble(1)).map(_.getLong(0))
+    val closerHalf = exact.take(exact.length / 2).toSet
+    val hits = got.map(_.getLong(0)).count(closerHalf)
+    assert(hits == 5, s"ADC returned far vectors: $hits/5 in the closer half")
+  }
+
+  test("ppl_buckets cuts each language into balanced thirds with ordered means") {
+    val rows = operators.CorpusOps.pplBuckets(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    val docsPerLang = graft.model.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == docsPerLang.keySet)
+    for ((lang, g) <- perLang) {
+      val byBucket = g.map(r => r.getString(1) -> r).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      assert(g.map(_.getLong(2)).sum == docsPerLang(lang), s"$lang docs not partitioned")
+      // rank tertiles: bucket sizes differ by at most 1
+      val sizes = g.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang buckets unbalanced: ${sizes.toSeq}")
+      // head = most fluent (lowest NLL) third
+      for (hi <- byBucket.get("head"); mid <- byBucket.get("middle"); ta <- byBucket.get("tail")) {
+        assert(hi.getDouble(3) <= mid.getDouble(3) + 1e-9)
+        assert(mid.getDouble(3) <= ta.getDouble(3) + 1e-9)
+      }
+    }
+  }
+
+  test("dup_cluster_stats histogram accounts for every document and every group") {
+    val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    val nGroups = operators.TextOps.dedupCanonical(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "documents not all accounted")
+    assert(rows.map(_.getLong(1)).sum == nGroups, "groups not all accounted")
+    for (r <- rows)
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), s"n_docs ≠ sz·n_groups: $r")
+    val sizes = rows.map(_.getLong(0)).toSeq
+    assert(sizes == sizes.sorted && sizes.distinct == sizes, "histogram keys not strictly ascending")
+  }
 }
