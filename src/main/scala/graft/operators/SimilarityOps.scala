@@ -608,6 +608,40 @@ object SimilarityOps {
       .limit(5)
   }
 
+  /** The PQ family's quality gate, completing the recall triptych next
+    * to [[annRecall]] (LSH) and [[ivfRecall]] (IVF): recall@5 of the
+    * ADC ranking against the exact full-vector L2² top-5 — the metric
+    * ADC approximates (the cosine gates compare against cosine; each
+    * gate scores its index against its own target metric). Like its
+    * siblings, every tie and rounding step is pinned, so even this
+    * quality metric is deterministic and oracle-checkable.
+    *
+    * Expect a LOW number here on this corpus (0.2 at sf0.01): 4×8
+    * codebooks give 4096 distinct representable points, and the
+    * synthetic vectors carry no cluster structure for the codebooks to
+    * exploit — exactly the situation the gate exists to expose. A real
+    * deployment raises K (256 per sub is standard), encodes RESIDUALS
+    * against IVF centroids, and re-ranks ADC survivors with the exact
+    * floats ([[annIvf]]'s re-rank stage) — this gate is the measurement
+    * that tells you when those steps are needed. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val exact5 = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .orderBy(col("d").asc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"))
+    val adc5 = annPq(spark, sfDir).select(col("vec_id"))
+    exact5.join(adc5, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(5).as("k"), col("hits"),
+        round(col("hits").cast("double") / 5.0, 6).as("recall"))
+  }
+
   private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val q = vecs(spark, sfDir)
       .select(col("vec_id"),
@@ -677,7 +711,8 @@ object SimilarityOps {
     "kmeans_assign"      -> (kmeansAssign _),
     "semantic_dedup"     -> (semanticDedup _),
     "product_quantize"   -> (productQuantize _),
-    "ann_pq"             -> (annPq _))
+    "ann_pq"             -> (annPq _),
+    "pq_recall"          -> (pqRecall _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -988,7 +1023,26 @@ object SimilarityOps {
         |SELECT p.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
         |FROM pcode p JOIN lut l ON l.sub = p.sub AND l.code = p.code
         |WHERE p.vec_id <> 0
-        |GROUP BY p.vec_id ORDER BY adist, p.vec_id LIMIT 5""".stripMargin)
+        |GROUP BY p.vec_id ORDER BY adist, p.vec_id LIMIT 5""".stripMargin,
+    "pq_recall" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtesSql,
+        |lut AS (SELECT sv.sub, c.cid AS code,
+        |  CAST(${distSql("sv.sq", "c.c")} AS DECIMAL(18,6)) AS pd
+        | FROM sv JOIN pc1 c ON c.sub = sv.sub WHERE sv.vec_id = 0),
+        |pv AS (SELECT v AS p FROM v WHERE vec_id = 0),
+        |e5 AS (SELECT vec_id FROM (
+        | SELECT v.vec_id, ${distSql("v.v", "pv.p")} AS d
+        | FROM v, pv WHERE vec_id <> 0
+        | ORDER BY d, vec_id LIMIT 5) ee),
+        |a5 AS (SELECT vec_id FROM (
+        | SELECT p.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
+        | FROM pcode p JOIN lut l ON l.sub = p.sub AND l.code = p.code
+        | WHERE p.vec_id <> 0
+        | GROUP BY p.vec_id ORDER BY adist, p.vec_id LIMIT 5) aa)
+        |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
+        | round(count(*) / 5.0, 6) AS recall
+        |FROM e5 WHERE vec_id IN (SELECT vec_id FROM a5)""".stripMargin)
 
   /** Shared oracle CTE stack for the PQ family, ending at `pcode` (the
     * per-(vector, subspace) code assignment): states the IDENTICAL

@@ -858,6 +858,15 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(hits == 5, s"ADC returned far vectors: $hits/5 in the closer half")
   }
 
+  test("pq_recall reports a consistent one-row recall@5 of ADC vs exact L2") {
+    val r = operators.SimilarityOps.pqRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val (k, hits, recall) = (r(0).getInt(0), r(0).getLong(1), r(0).getDouble(2))
+    assert(k == 5)
+    assert(hits >= 0L && hits <= 5L)
+    assert(math.abs(recall - hits / 5.0) < 1e-9, "recall ≠ hits/k")
+  }
+
   test("ppl_buckets cuts each language into balanced thirds with ordered means") {
     val rows = operators.CorpusOps.pplBuckets(spark, sf).collect()
     val perLang = rows.groupBy(_.getString(0))
