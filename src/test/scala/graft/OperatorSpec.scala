@@ -693,7 +693,8 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       // fixed-row-count by design, and their DuckDB oracles return the
       // same rows on empty input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
-          name == "ann_recall" || name == "ivf_recall" || name == "funnel_steps" ||
+          name == "ann_recall" || name == "ivf_recall" || name == "pq_recall" ||
+          name == "funnel_steps" ||
           name == "triangle_count" || name == "dq_audit",
         s"$name returned $n rows on empty input")
     }
