@@ -219,6 +219,62 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("product_quantize matches a single-threaded reference PQ round exactly") {
+    // independent plain-Scala PQ: quantize → slice into 4×16-dim
+    // sub-vectors → seed 8 sub-centroids per subspace → assign → exact
+    // mean update → reassign. The distributed version must land on the
+    // SAME (code, dist) per (vector, subspace) under any partitioning —
+    // the kmeans reference-Lloyd argument at subspace granularity.
+    import graft.operators.SimilarityOps
+    val raw = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val subs = 0 until SimilarityOps.PqSubspaces
+    val sq = raw.map { case (id, v) =>
+      val m = v.map(math.abs).max
+      val qv = if (m == 0.0) v.map(_ => 0.0)
+               else v.map(x => math.floor(x * 127 / m + 0.5))
+      id -> subs.map(s =>
+        qv.slice(s * SimilarityOps.PqSubDim, (s + 1) * SimilarityOps.PqSubDim)).toArray
+    }
+    def assign(cents: Map[Int, Seq[(Long, Array[Double])]])
+        : Map[(Long, Int), (Long, Double)] =
+      sq.flatMap { case (id, sv) =>
+        subs.map { s =>
+          (id, s) -> cents(s).map { case (cid, c) =>
+            (round6(dot(sv(s), sv(s)) - 2 * dot(sv(s), c) + dot(c, c)), cid)
+          }.min.swap
+        }
+      }.toMap
+    val c0 = subs.map(s => s ->
+      sq.filter(_._1 < SimilarityOps.PqK).map { case (id, sv) => (id, sv(s)) }.toSeq).toMap
+    val a1 = assign(c0)
+    val c1 = subs.map { s =>
+      // toSeq BEFORE collect: collecting key->value pairs straight off a
+      // Map would rebuild a Map and silently drop same-cid members
+      s -> a1.toSeq.collect { case ((id, `s`), (cid, _)) => cid -> id }
+        .groupBy(_._1).map { case (cid, members) =>
+          val vs = members.map(m => sq.find(_._1 == m._2).get._2(s))
+          cid -> vs.transpose.map(ds => ds.sum / ds.length).toArray
+        }.toSeq
+    }.toMap
+    val expected = assign(c1)
+    val got = SimilarityOps.productQuantize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (code, dist)) =>
+      assert((code, dist) == expected(k),
+        s"(vec, sub) $k: got ($code, $dist), reference ${expected(k)}")
+    }
+  }
+
   test("lang_source_pmi: cells cover the corpus and mutual information is non-negative") {
     val rows = graft.operators.CorpusOps.langSourcePmi(spark, sf).collect()
     val total = graft.model.Tables.documents(spark, sf).count()
