@@ -642,6 +642,66 @@ object SimilarityOps {
         round(col("hits").cast("double") / 5.0, 6).as("recall"))
   }
 
+  /** IVF-ADC composite — the production ANN read path at 100 TB,
+    * assembled from the pieces this file already proves out: the probe
+    * selects its 2 nearest k-means IVF lists, ONLY those lists' members
+    * are ADC-scored from their PQ codes (a LUT join — no original
+    * vector is touched), and the top-10 ADC shortlist is re-ranked by
+    * exact full-vector L2² to a final top-5. Three data volumes, each
+    * right-sized: the coarse index and codebooks are broadcast
+    * (8 + 32 rows), the scored fraction is ~probes/K of the corpus's
+    * CODE table, and exact distance is computed for exactly 10 vectors.
+    *
+    * This is Jégou et al.'s IVFADC minus residual encoding (codes here
+    * quantize the vectors themselves; encoding the residual against the
+    * list centroid — finer codes, same machinery — is the documented
+    * upgrade, per [[pqRecall]]'s scaladoc). Deterministic end-to-end:
+    * quantized assignment, round-6 decimal ADC sums, id tie-breaks. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantCodes(spark, sfDir)
+    val sc = subCodes(q).persist().transform(graft.api.Caches.tracked)
+    sc.count()
+    val cents = lloydCentroids(q).persist().transform(graft.api.Caches.tracked)
+    cents.count()
+    val pqc = pqCentroids(sc).persist().transform(graft.api.Caches.tracked)
+    pqc.count()
+    val probeLists = q.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("pdist"))
+      .orderBy(col("pdist").asc, col("cid"))
+      .limit(2)
+      .select(col("cid").as("probe_cid"))
+    // members of the probed lists — the only vectors ADC ever scores
+    val probed = assignNearest(q, cents, keepQ = false)
+      .join(broadcast(probeLists), col("cid") === col("probe_cid"))
+      .select(col("vec_id"))
+    val lut = sc.filter(col("vec_id") === 0)
+      .join(broadcast(pqc), Seq("sub"))
+      .select(col("sub"), col("cid").as("code"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .cast(DecimalType(18, 6)).as("pd"))
+    val shortlist = pqAssign(sc, pqc)
+      .filter(col("vec_id") =!= 0)
+      .join(probed, Seq("vec_id"), "left_semi")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd")).as("sd"))
+      .select(col("vec_id"), col("sd").cast("double").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(10)
+    val e = vecs(spark, sfDir)
+    val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    shortlist.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .orderBy(col("d").asc, col("vec_id"))
+      .limit(5)
+  }
+
   private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val q = vecs(spark, sfDir)
       .select(col("vec_id"),
@@ -712,7 +772,8 @@ object SimilarityOps {
     "semantic_dedup"     -> (semanticDedup _),
     "product_quantize"   -> (productQuantize _),
     "ann_pq"             -> (annPq _),
-    "pq_recall"          -> (pqRecall _))
+    "pq_recall"          -> (pqRecall _),
+    "ann_ivfpq"          -> (annIvfPq _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -737,9 +798,8 @@ object SimilarityOps {
     * consumers reference qq and c1 more than once and DuckDB re-inlines
     * multiply-referenced CTEs. Consumed by `kmeans_assign` and the
     * k-means-seeded `ann_ivf`. */
-  private val kmeansCtesSql: String =
-    s"""$qqCteSql,
-      |c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
+  private val kmeansTailSql: String =
+    s"""c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
       |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
       | SELECT qq.vec_id, c.cid,
       |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
@@ -751,6 +811,8 @@ object SimilarityOps {
       | WHERE i <= array_length(qv)
       | GROUP BY cid, i),
       |c1 AS MATERIALIZED (SELECT cid, list(cd ORDER BY dim) AS c FROM upd GROUP BY cid)""".stripMargin
+
+  private val kmeansCtesSql: String = s"$qqCteSql,\n$kmeansTailSql"
 
   /** Shared oracle CTE stack for the near-dup grid, ending at `pairs` —
     * states the IDENTICAL LSH grid as the Scala side: 16 bands ×
@@ -1042,7 +1104,33 @@ object SimilarityOps {
         | GROUP BY p.vec_id ORDER BY adist, p.vec_id LIMIT 5) aa)
         |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
         | round(count(*) / 5.0, 6) AS recall
-        |FROM e5 WHERE vec_id IN (SELECT vec_id FROM a5)""".stripMargin)
+        |FROM e5 WHERE vec_id IN (SELECT vec_id FROM a5)""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$qqCteSql,
+        |$kmeansTailSql,
+        |$pqTailSql,
+        |probe_lists AS (
+        | SELECT c.cid AS probe_cid
+        | FROM (SELECT qv FROM qq WHERE vec_id = 0) p, c1 c
+        | ORDER BY ${distSql("p.qv", "c.c")}, c.cid LIMIT 2),
+        |probed AS (SELECT vec_id FROM (
+        | SELECT qq.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c) t JOIN probe_lists pl ON t.cid = pl.probe_cid
+        | WHERE rn = 1),
+        |lut AS (SELECT sv.sub, c.cid AS code,
+        |  CAST(${distSql("sv.sq", "c.c")} AS DECIMAL(18,6)) AS pd
+        | FROM sv JOIN pc1 c ON c.sub = sv.sub WHERE sv.vec_id = 0),
+        |short AS (SELECT p.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
+        | FROM pcode p JOIN lut l ON l.sub = p.sub AND l.code = p.code
+        | WHERE p.vec_id <> 0 AND p.vec_id IN (SELECT vec_id FROM probed)
+        | GROUP BY p.vec_id ORDER BY adist, p.vec_id LIMIT 10),
+        |pv AS (SELECT v AS p FROM v WHERE vec_id = 0)
+        |SELECT s.vec_id, ${distSql("vv.v", "pv.p")} AS d
+        |FROM short s JOIN v vv ON vv.vec_id = s.vec_id, pv
+        |ORDER BY d, s.vec_id LIMIT 5""".stripMargin)
 
   /** Shared oracle CTE stack for the PQ family, ending at `pcode` (the
     * per-(vector, subspace) code assignment): states the IDENTICAL
@@ -1051,9 +1139,8 @@ object SimilarityOps {
     * sub-codebook, reassign. MATERIALIZED because sv and pc1 are each
     * referenced more than once and DuckDB re-inlines multiply-referenced
     * CTEs. Consumed by `product_quantize` and `ann_pq`. */
-  private lazy val pqCtesSql: String =
-    s"""$qqCteSql,
-      |sv AS MATERIALIZED (SELECT vec_id, m.sub,
+  private lazy val pqTailSql: String =
+    s"""sv AS MATERIALIZED (SELECT vec_id, m.sub,
       |  qv[m.sub * $PqSubDim + 1 : m.sub * $PqSubDim + $PqSubDim] AS sq
       | FROM qq, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) m),
       |pc0 AS (SELECT sub, vec_id AS cid, sq AS c FROM sv WHERE vec_id < $PqK),
@@ -1072,4 +1159,6 @@ object SimilarityOps {
       |  row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
       |   ${distSql("sv.sq", "c.c")}, c.cid) AS rn
       | FROM sv JOIN pc1 c ON c.sub = sv.sub) t WHERE rn = 1)""".stripMargin
+
+  private lazy val pqCtesSql: String = s"$qqCteSql,\n$pqTailSql"
 }

@@ -868,6 +868,19 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(recall - hits / 5.0) < 1e-9, "recall ≠ hits/k")
   }
 
+  test("ann_ivfpq returns exact-ranked survivors drawn from at most 2 IVF lists") {
+    val got = operators.SimilarityOps.annIvfPq(spark, sf).collect()
+    assert(got.length == 5)
+    val ds = got.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted && ds.forall(_ >= 0.0), "not ascending exact distances")
+    // every survivor must live in one of the probe's 2 probed IVF lists —
+    // kmeans_assign shares the identical centroids/assignment machinery
+    val clusters = operators.SimilarityOps.kmeansAssign(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = got.map(r => clusters(r.getLong(0))).distinct
+    assert(hit.length <= 2, s"results span ${hit.length} IVF lists: ${hit.toSeq}")
+  }
+
   test("ppl_buckets cuts each language into balanced thirds with ordered means") {
     val rows = operators.CorpusOps.pplBuckets(spark, sf).collect()
     val perLang = rows.groupBy(_.getString(0))
