@@ -174,6 +174,52 @@ object AnalyticOps {
       .orderBy("event_type")
   }
 
+  /** Exact heavy keys kept by [[heavyHitters]]. */
+  private[operators] val HeavyHittersK = 5
+
+  /** EXACT heavy-hitter report for a planned shuffle key: the top
+    * [[HeavyHittersK]] `user_id`s by event count with their share of the
+    * table — the numbers that decide whether a join/groupBy on this key
+    * needs salting ([[saltedAgg]]) or an AQE skew hint. The exact twin of
+    * the `approx_topk` sketch (same pairing as distinct_count ↔
+    * approx_distinct): at 100 TB you run the sketch first and this exact
+    * pass only over the sketch's candidates; at audit time you run this.
+    *
+    * Scale shape: one map-side-combined count per key (the key space,
+    * not the event space, shuffles), a 1-row total broadcast back, and
+    * the top-k is TakeOrderedAndProject — per-partition heaps, never a
+    * global sort. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val total = ev.agg(count(lit(1)).cast("double").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_events"),
+        round(col("n_events") * 100.0 / col("total"), 6).as("pct"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(HeavyHittersK)
+  }
+
+  /** Decade width of the [[keySkewProfile]] histogram buckets. */
+  private val SkewBucketWidth = 10L
+
+  /** Count-of-counts key-skew histogram: bucket `user_id`s by how many
+    * events they carry (width-[[SkewBucketWidth]] buckets) — the
+    * second-order profile (how UNEVEN is the key distribution) that
+    * complements [[heavyHitters]]' point report, and the standard
+    * pre-shuffle diagnostic at 100 TB: a long right tail here says the
+    * key needs salting before it becomes a reducer hot-spot. Two
+    * cascaded hash aggregates, both map-side combinable; the second
+    * input is one row per DISTINCT key, so the histogram costs the key
+    * space, not the event space. */
+  def keySkewProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy((expr(s"c div $SkewBucketWidth") * SkewBucketWidth).as("events_lo"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("c")).as("min_events"), max(col("c")).as("max_events"))
+      .orderBy("events_lo")
+
   /** Sketch percentiles (t-digest-style) — the 100 TB path where exact
     * percentiles would sort every group; like approx_distinct, sketch
     * outputs aren't portable to DuckDB, so rows-only check. */
@@ -569,6 +615,8 @@ object AnalyticOps {
     "range_join"       -> (rangeJoin _),
     "above_avg_filter" -> (aboveAvgFilter _),
     "salted_agg"       -> (saltedAgg _),
+    "heavy_hitters"    -> (heavyHitters _),
+    "key_skew_profile" -> (keySkewProfile _),
     "approx_percentiles" -> (approxPercentiles _),
     "date_pack"        -> (datePack _),
     "pattern_filter"   -> (patternFilter _),
@@ -698,6 +746,20 @@ object AnalyticOps {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+        |SELECT user_id, n_events,
+        | round(n_events * 100.0 / total, 6) AS pct
+        |FROM c, t ORDER BY n_events DESC, user_id LIMIT $HeavyHittersK""".stripMargin,
+    "key_skew_profile" ->
+      s"""SELECT (c // $SkewBucketWidth) * $SkewBucketWidth AS events_lo,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | min(c) AS min_events, max(c) AS max_events
+        |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |      FROM events GROUP BY user_id) t
+        |GROUP BY events_lo ORDER BY events_lo""".stripMargin,
     "stats_pack" ->
       s"""WITH m AS (
         | SELECT event_type, count(*) AS n,

@@ -54,6 +54,69 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- quota sample
+  /** Docs kept per source by [[quotaSample]]. */
+  private[operators] val QuotaPerSource = 10
+
+  /** Salt buckets for the local top-k phase — parallelism during the
+    * first pass is sources × salts, not just sources. */
+  private val QuotaSalts = 4
+
+  /** EXACT per-group quota sampling: the [[QuotaPerSource]] docs with the
+    * smallest `md5(seed:doc_id)` per source — uniform-without-replacement
+    * with an exact group budget, where [[sampleStratified]]'s Bernoulli
+    * filter only hits its rate in expectation. The complement pair every
+    * corpus builder needs: rates when proportions matter, quotas when
+    * budgets do.
+    *
+    * Scale shape: a window partitioned by source alone would bound
+    * parallelism at the source count (the trailing-window lesson), so
+    * rank runs in TWO phases — local top-k per (source, salt) keeps
+    * ≤ quota rows per bucket, the global rank sees at most
+    * sources × salts × quota survivors. Any doc in a source's true
+    * top-k is also in its salt bucket's top-k, so the two-phase result
+    * is exactly the one-window result — which is what the oracle
+    * states. */
+  def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val local = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(QuotaSalts.toLong)))
+      .orderBy(col("hk"), col("doc_id"))
+    val global = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), keyHash("qta").as("hk"))
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= QuotaPerSource)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= QuotaPerSource)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy("source", "rank")
+  }
+
+  // ---------------------------------------------------- dp stats release
+  /** Laplace scale for [[dpCounts]] — sensitivity 1 (one doc moves one
+    * per-source count by one) over ε = 0.1. */
+  private[operators] val DpLaplaceScale = 10.0
+
+  /** Differentially-private corpus stats release: per-source doc counts
+    * with Laplace(Δ/ε) noise — the shape a data owner publishes about a
+    * 100 TB corpus without exposing exact membership. The noise is
+    * DETERMINISTIC — inverse-CDF over a hash-uniform
+    * `u = (md5₂₈(seed:source) + 0.5) / 2²⁸` — because at scale a noisy
+    * release must be reproducible under task retries and re-runs (a
+    * re-sampled release would leak through averaging, the classic DP
+    * failure); that also makes it oracle-checkable. u is a dyadic
+    * rational, so every step before the final `ln` is exact in double
+    * on both engines. One map-side-combined aggregate (one row per
+    * source shuffles) + a per-row noise expression. */
+  def dpCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("u", (keyHash("dp", "source") + lit(0.5)) / lit(268435456.0))
+      .select(col("source"),
+        round(col("n") - lit(DpLaplaceScale) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6).as("dp_n_docs"))
+      .orderBy("source")
+
   // -------------------------------------------------------------- splits
   /** Hash-based train/val/test assignment (900/50/50 per mille) with
     * per-split counts — membership is a function of doc_id alone, so a
@@ -175,6 +238,8 @@ object PipelineOps {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
+    "quota_sample"      -> (quotaSample _),
+    "dp_counts"         -> (dpCounts _),
     "dataset_split"     -> (datasetSplit _),
     "split_leakage"     -> (splitLeakage _),
     "tfidf_embedding"   -> (tfidfEmbedding _),
@@ -192,6 +257,22 @@ object PipelineOps {
         s"""SELECT doc_id, lang FROM documents
           |WHERE ${keyHashSql("smp")} % 100 < $rateCase
           |ORDER BY doc_id""".stripMargin,
+      "quota_sample" ->
+        s"""SELECT doc_id, source, rank FROM (
+          | SELECT doc_id, source,
+          |  CAST(row_number() OVER (PARTITION BY source
+          |   ORDER BY ${keyHashSql("qta")}, doc_id) AS BIGINT) AS rank
+          | FROM documents) t
+          |WHERE rank <= $QuotaPerSource ORDER BY source, rank""".stripMargin,
+      "dp_counts" ->
+        s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+          |           FROM documents GROUP BY source),
+          |u AS (SELECT source, n,
+          |  (${keyHashSql("dp", "source")} + 0.5) / 268435456.0 AS u FROM c)
+          |SELECT source,
+          | round(n - $DpLaplaceScale * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+          |  AS dp_n_docs
+          |FROM u ORDER BY source""".stripMargin,
       "dataset_split" ->
         s"""SELECT CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
           |  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs

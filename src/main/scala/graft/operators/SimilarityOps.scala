@@ -231,6 +231,81 @@ object SimilarityOps {
         round(col("hits").cast("double") / 5.0, 6).as("recall"))
   }
 
+  /** Output dimensionality of the [[jlProject]] sketch. */
+  private[operators] val JlDims = 16
+
+  /** Plane-index namespace for the JL matrix — disjoint from the
+    * ann_lsh planes (0..5) and the near-dup grid (band·bits+bit < 384),
+    * which share the same md5-parity sign rule. */
+  private val JlPlaneBase = 2000
+
+  /** √[[JlDims]] — exact in double (16 → 4.0), so the 1/√k JL scaling
+    * divides by an exact constant on both engines. */
+  private val JlScale = math.sqrt(JlDims.toDouble)
+
+  /** Johnson–Lindenstrauss sketch: project every 64-dim embedding onto
+    * [[JlDims]] md5-seeded ±1 hyperplanes (Achlioptas' database-friendly
+    * construction — signs, not Gaussians) scaled by 1/√k, so expected
+    * pairwise L2 distances are preserved. The 4× shrink a 100 TB
+    * embedding store runs before indexing when int8 quantization
+    * ([[embedQuantize]]) isn't lossy enough a cut: both shrink storage,
+    * this one shrinks DIMENSION.
+    *
+    * Scale shape: the k planes are constant literal vectors, so all k
+    * coordinates are codegen dot products inside ONE projection over the
+    * scan — no explode before the arithmetic, no join, no shuffle; the
+    * long (vec_id, j, proj) layout is the same explode-last presentation
+    * as [[embedQuantize]]. Deterministic: fixed fold order per dot,
+    * division by an exact power of two, round(…, 6). */
+  def jlProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val projArr = array((0 until JlDims).map { j =>
+      val plane = array((0 until 64).map(d => lit(planeSign(JlPlaneBase + j, d))): _*)
+      round(graft.functions.VectorFunctions.dot_product(col("v"), plane) / JlScale, 6)
+    }: _*)
+    vecs(spark, sfDir)
+      .select(col("vec_id"), posexplode(projArr))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("proj"))
+      .orderBy("vec_id", "j")
+  }
+
+  /** Packed JL sketch (vec_id, 16-dim array) — shared by [[jlRecall]]. */
+  private def jlVecs(spark: SparkSession, sfDir: String): DataFrame = {
+    val projArr = array((0 until JlDims).map { j =>
+      val plane = array((0 until 64).map(d => lit(planeSign(JlPlaneBase + j, d))): _*)
+      round(graft.functions.VectorFunctions.dot_product(col("v"), plane) / JlScale, 6)
+    }: _*)
+    vecs(spark, sfDir).select(col("vec_id"), projArr.as("pv"))
+  }
+
+  /** [[annRecall]]'s twin for the JL sketch: recall@5 of the top-5 by
+    * L2² in [[jlProject]]'s 16-dim space against the exact top-5 by L2²
+    * in the original 64-dim space — JL's own target metric (it preserves
+    * L2, not cosine), the same each-gate-scores-its-own-metric rule as
+    * `pq_recall`. Deterministic end-to-end (rounded coordinates, fixed
+    * fold order, id tie-breaks), so the quality metric itself
+    * oracle-checks. Both rankings are broadcast-probe scans with
+    * TakeOrderedAndProject top-5s — no shuffle of the corpus. */
+  def jlRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val probeV = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val exact5 = e.crossJoin(broadcast(probeV))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id")).limit(5).select("vec_id")
+    val pv = jlVecs(spark, sfDir)
+    val probeP = pv.filter(col("vec_id") === 0).select(col("pv").as("pp"))
+    val jl5 = pv.crossJoin(broadcast(probeP))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot("pv", "pv") - lit(2.0) * dot("pv", "pp") + dot("pp", "pp"), 6).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id")).limit(5).select("vec_id")
+    exact5.join(jl5, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(5).as("k"), col("hits"),
+        round(col("hits").cast("double") / 5.0, 6).as("recall"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding table — the
     * 4×-storage-cut step a 100 TB embedding pipeline runs before
     * indexing. Per-vector scale = max|x| (so codes span the full ±127
@@ -762,6 +837,8 @@ object SimilarityOps {
     "embedding_neardup"  -> (embeddingNeardup _),
     "embed_dedup_groups" -> (embedDedupGroups _),
     "embed_quantize"     -> (embedQuantize _),
+    "jl_project"         -> (jlProject _),
+    "jl_recall"          -> (jlRecall _),
     "embed_dim_stats"    -> (embedDimStats _),
     "dim_corr_topk"      -> (dimCorrTopk _),
     "ann_recall"         -> (annRecall _),
@@ -851,7 +928,44 @@ object SimilarityOps {
       | FROM cand c JOIN u a ON a.vec_id = c.vec_a JOIN u b ON b.vec_id = c.vec_b
       | WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4)""".stripMargin
 
+  /** Shared oracle CTE stack for the JL sketch, ending at `jl` (the long
+    * (vec_id, j, proj) table) — states the IDENTICAL md5-parity ±1
+    * planes, 1/√k scaling, and round(…, 6) as [[jlProject]]. Consumed by
+    * `jl_project` and `jl_recall` (which re-packs it into lists, so the
+    * recall gate ranks the same ROUNDED coordinates as the Scala side).
+    */
+  private val jlCtesSql: String =
+    s"""v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+      |jpl AS (SELECT p.pl, dd.d,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(p.pl AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 1
+      |   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+      | FROM (SELECT unnest(generate_series($JlPlaneBase, ${JlPlaneBase + JlDims - 1})) AS pl) p,
+      |      (SELECT unnest(generate_series(0, 63)) AS d) dd),
+      |jplanes AS (SELECT pl, list(s ORDER BY d) AS pvec FROM jpl GROUP BY pl),
+      |jl AS MATERIALIZED (SELECT vec_id, pl - $JlPlaneBase AS j,
+      |  round(list_dot_product(v, pvec) / $JlScale, 6) AS proj
+      | FROM v, jplanes)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "jl_project" ->
+      s"""WITH $jlCtesSql
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, proj
+        |FROM jl ORDER BY vec_id, j""".stripMargin,
+    "jl_recall" ->
+      s"""WITH $jlCtesSql,
+        |jv AS MATERIALIZED (SELECT vec_id, list(proj ORDER BY j) AS pv
+        | FROM jl GROUP BY vec_id),
+        |pr AS (SELECT v AS p FROM v WHERE vec_id = 0),
+        |e5 AS (SELECT vec_id FROM (
+        | SELECT vec_id, ${distSql("v", "p")} AS d2 FROM v, pr WHERE vec_id <> 0
+        | ORDER BY d2 ASC, vec_id LIMIT 5) t),
+        |jp AS (SELECT pv AS pp FROM jv WHERE vec_id = 0),
+        |j5 AS (SELECT vec_id FROM (
+        | SELECT vec_id, ${distSql("pv", "pp")} AS d2 FROM jv, jp WHERE vec_id <> 0
+        | ORDER BY d2 ASC, vec_id LIMIT 5) t)
+        |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
+        | round(count(*) / 5.0, 6) AS recall
+        |FROM e5 WHERE vec_id IN (SELECT vec_id FROM j5)""".stripMargin,
     "embed_norms" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings)
         |SELECT vec_id, array_length(v) AS dim,

