@@ -44,6 +44,30 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabTopK)
 
+  // ------------------------------------------------------- BPE merge step
+  /** Pairs reported by [[bpeMergeTopk]]. */
+  private[operators] val BpeTopK = 20
+
+  /** First BPE merge iteration (Sennrich et al.): the top
+    * [[BpeTopK]] adjacent character pairs by corpus frequency — the
+    * statistic a tokenizer trainer computes (and re-computes per merge)
+    * over a 100 TB corpus. The op exploits BPE's defining shortcut: pair
+    * counting runs over the WORD VOCABULARY weighted by word count, not
+    * over the corpus — so after the one vocab aggregate (shuffles words,
+    * reduce side is vocabulary-sized), the pair explode + aggregate
+    * touches |vocab| rows regardless of corpus size, and the cut is a
+    * TakeOrderedAndProject. Deterministic tiebreak on the pair text. */
+  def bpeMergeTopk(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.normed(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopK)
+
   // -------------------------------------------------- composition PMI
   /** Pointwise mutual information between the `lang` and `source`
     * columns — the dataset-composition association probe (a strongly
@@ -432,6 +456,7 @@ object CorpusOps {
   // ----------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_topk"    -> (vocabTopk _),
+    "bpe_merge_topk" -> (bpeMergeTopk _),
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
     "source_mix"    -> (sourceMix _),
@@ -508,6 +533,17 @@ object CorpusOps {
         |SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
         |FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT $VocabTopK""".stripMargin,
+    "bpe_merge_topk" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        | SELECT unnest(string_split(norm, ' ')) AS word FROM dn) t
+        | WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT substr(word, i, 2) AS pair, cnt
+        | FROM w, (SELECT unnest(generate_series(1,
+        |    (SELECT max(length(word)) FROM w) - 1)) AS i) s
+        | WHERE i <= length(word) - 1)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
     "bigram_counts" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),

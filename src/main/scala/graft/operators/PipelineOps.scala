@@ -211,6 +211,28 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency report over [[sequencePack]]'s layout: per
+    * shard, how many packs, how full they are against [[PackBudget]],
+    * and the worst overflow — the batch-utilization numbers a training
+    * job reports (fill percent IS the fraction of non-padding compute;
+    * concat-and-chunk packs can overrun the budget by their tail doc,
+    * and `max_pack_tokens` bounds that overrun). Two cascaded map-side-
+    * combinable aggregates downstream of the pack assignment; output is
+    * [[PackShards]] rows. All-integer operands into one double division,
+    * round-6. */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    sequencePack(spark, sfDir)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("docs"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("docs")).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        max(col("tok")).as("max_pack_tokens"),
+        round(sum(col("tok")).cast("double") * 100.0 /
+          (count(lit(1)) * lit(PackBudget.toLong)).cast("double"), 6).as("fill_pct"))
+      .orderBy("shard")
+
   /** Shard count for the deterministic corpus shuffle. Sized like
     * [[PackShards]]: at 100 TB this would be O(cluster parallelism) so
     * each shard's window sorts executor-memory-sized data. */
@@ -244,7 +266,23 @@ object PipelineOps {
     "split_leakage"     -> (splitLeakage _),
     "tfidf_embedding"   -> (tfidfEmbedding _),
     "sequence_pack"     -> (sequencePack _),
+    "pack_efficiency"   -> (packEfficiency _),
     "corpus_shuffle"    -> (corpusShuffle _))
+
+  /** Shared oracle CTE for the packing family — the IDENTICAL shard /
+    * token-count / running-offset / pack-assignment pipeline as
+    * [[sequencePack]]; consumed by `sequence_pack` and
+    * `pack_efficiency`. */
+  private val packCteSql: String =
+    s"""sp AS (SELECT doc_id, shard, n_tokens,
+      |  shard * 1000000 + (start_tokens // $PackBudget) AS pack_id
+      | FROM (
+      |  SELECT doc_id, doc_id % $PackShards AS shard,
+      |   CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |   CAST(coalesce(sum(CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+      |    OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tokens
+      |  FROM documents) t)""".stripMargin
 
   /** Shared TF CTE text lives in TextOps (tfCtesSql); the sampling CASE
     * and packing constants are generated from the Scala values above. */
@@ -300,16 +338,21 @@ object PipelineOps {
           |FROM tf t JOIN df USING (dim) CROSS JOIN n
           |ORDER BY doc_id, dim""".stripMargin,
       "sequence_pack" ->
-        s"""SELECT doc_id, shard, n_tokens,
-          | shard * 1000000 + (start_tokens // $PackBudget) AS pack_id
-          |FROM (
-          | SELECT doc_id, doc_id % $PackShards AS shard,
-          |  CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-          |  CAST(coalesce(sum(CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
-          |   OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id
-          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tokens
-          | FROM documents) t
-          |ORDER BY doc_id""".stripMargin,
+        s"""WITH $packCteSql
+          |SELECT doc_id, shard, n_tokens, pack_id
+          |FROM sp ORDER BY doc_id""".stripMargin,
+      "pack_efficiency" ->
+        s"""WITH $packCteSql,
+          |pk AS (SELECT shard, pack_id, CAST(sum(n_tokens) AS BIGINT) AS tok,
+          |        CAST(count(*) AS BIGINT) AS docs
+          |       FROM sp GROUP BY shard, pack_id)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+          | CAST(sum(docs) AS BIGINT) AS n_docs,
+          | CAST(sum(tok) AS BIGINT) AS total_tokens,
+          | max(tok) AS max_pack_tokens,
+          | round(CAST(sum(tok) AS DOUBLE) * 100.0 /
+          |  CAST(count(*) * $PackBudget AS DOUBLE), 6) AS fill_pct
+          |FROM pk GROUP BY shard ORDER BY shard""".stripMargin,
       "corpus_shuffle" ->
         s"""SELECT doc_id, shard,
           | CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos

@@ -1004,6 +1004,41 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r(0).getDouble(2) - hits / 5.0) < 1e-9)
   }
 
+  test("bpe_merge_topk matches a driver-side replay of the first BPE merge count") {
+    val rows = CorpusOps.bpeMergeTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // independent replay: corpus-wide adjacent-pair counts over normalized words
+    val norm = graft.model.Tables.documents(spark, sf)
+      .select(regexp_replace(lower(col("text")), "\\s+", " ").as("n"))
+      .collect().map(_.getString(0).trim)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (doc <- norm; w <- doc.split(" ") if w.length >= 2; i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1L
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(rows.toSeq == expect)
+  }
+
+  test("pack_efficiency reconciles with sequence_pack and its fill formula") {
+    val packs = PipelineOps.sequencePack(spark, sf).cache()
+    val eff = PipelineOps.packEfficiency(spark, sf).collect()
+    // every shard appears once; docs and tokens reconcile with the pack layout
+    val byShard = packs.groupBy("shard")
+      .agg(count(lit(1)).as("d"), sum("n_tokens").as("t"),
+        countDistinct("pack_id").as("p")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(eff.map(_.getLong(0)).toSet == byShard.keySet)
+    for (r <- eff) {
+      val (d, t, p) = byShard(r.getLong(0))
+      assert(r.getLong(1) == p && r.getLong(2) == d && r.getLong(3) == t, s"mismatch: $r")
+      val fill = BigDecimal(t.toDouble * 100.0 / (p.toDouble * 2048.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - fill) < 1e-6, s"fill formula: $r vs $fill")
+      // a pack never exceeds budget by more than one doc's tail
+      assert(r.getLong(4) >= 1L)
+    }
+    packs.unpersist()
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
