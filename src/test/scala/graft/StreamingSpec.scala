@@ -470,4 +470,77 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == expected)
     assert(got.nonEmpty, "fixture produced no anomalies")
   }
+
+  test("streaming top-k: ample capacity reproduces the batch heavy-hitter counts exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.model.Tables.events(spark, sf)
+      .orderBy("ts", "event_id").as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    // capacity 64 ≥ distinct users per shard → decrements never fire
+    val q = graft.streaming.StreamingTopK.track(stream.toDS(), shards = 4, capacity = 64)
+      .writeStream.format("memory").queryName("topk_exact")
+      .option("checkpointLocation", tempDir("topk_ckpt"))
+      .outputMode("update").start()
+    try {
+      val half = all.length / 2
+      stream.addData(all.take(half): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(half): _*)
+      q.processAllAvailable() // summaries must carry across the boundary
+    } finally q.stop()
+    // latest view: each shard's max-n_seen emission
+    val rows = spark.table("topk_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val maxSeen = rs.map(_._4).max
+      rs.filter(_._4 == maxSeen).toSeq
+    }
+    val est = latest.map(t => t._2 -> t._3).toMap
+    val exact = all.groupBy(_.user_id).map { case (u, es) => u -> es.length.toLong }
+    assert(est == exact, "ample-capacity summary must be the exact count map")
+    // and the global top-5 from the union of shard summaries matches the batch query
+    val top5 = est.toSeq.sortBy { case (u, n) => (-n, u) }.take(5)
+    val batch = graft.operators.AnalyticOps.heavyHitters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(top5 == batch)
+  }
+
+  test("streaming top-k: tight capacity keeps the Misra-Gries undercount bound per shard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.model.Tables.events(spark, sf)
+      .orderBy("ts", "event_id").as[RawEvent].collect().toSeq
+    val cap = 2
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingTopK.track(stream.toDS(), shards = 4, capacity = cap)
+      .writeStream.format("memory").queryName("topk_tight")
+      .option("checkpointLocation", tempDir("topk_ckpt2"))
+      .outputMode("update").start()
+    try {
+      stream.addData(all: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("topk_tight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val latest = rows.groupBy(_._1).map { case (shard, rs) =>
+      val maxSeen = rs.map(_._4).max
+      shard -> rs.filter(_._4 == maxSeen)
+    }
+    val exact = all.groupBy(_.user_id).map { case (u, es) => u -> es.length.toLong }
+    for ((shard, rs) <- latest) {
+      assert(rs.length <= cap, s"shard $shard state exceeded capacity")
+      val nShard = rs.head._4
+      val bound = nShard / (cap + 1)
+      for ((_, u, est, _) <- rs) {
+        assert(est <= exact(u), s"user $u overcounted: $est > ${exact(u)}")
+        assert(exact(u) - est <= bound, s"user $u undercount beyond MG bound")
+      }
+      // MG guarantee: every key with true count > bound survives in the summary
+      val present = rs.map(_._2).toSet
+      for ((u, n) <- exact
+           if java.lang.Math.floorMod(u, 4L) == shard && n > bound)
+        assert(present.contains(u), s"guaranteed heavy key $u missing from shard $shard")
+    }
+  }
 }
