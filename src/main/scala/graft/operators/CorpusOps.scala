@@ -44,6 +44,48 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabTopK)
 
+  // -------------------------------------------------------- Zipf fit
+  /** Vocabulary terms entering the [[zipfSlope]] regression. */
+  private[operators] val ZipfTopK = 100
+
+  /** Zipf's-law fit: OLS slope of ln(count) on ln(rank) over the top
+    * [[ZipfTopK]] vocabulary terms — the corpus-health scalar (natural
+    * language sits near −1; a slope collapsing toward 0 flags template /
+    * boilerplate floods, strongly below −1 flags a vocabulary crush).
+    *
+    * Determinism: x = ln(rank) and y = ln(count) are each round-6
+    * DECIMAL(18,6), so Σx, Σy, Σxy, Σx² are exact under any shuffle
+    * order (the stats_pack discipline); the closing OLS chain is one
+    * identical double expression in both engines. Scale shape: the rank
+    * window runs AFTER the top-k cut, over ≤ [[ZipfTopK]] rows —
+    * metadata-sized by construction, so the single-partition window is
+    * free; everything corpus-sized is the one vocab aggregate. Fewer
+    * than 3 points → no row (slope undefined). */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val topv = TextOps.normed(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(ZipfTopK)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val xy = topv.withColumn("rank", row_number().over(w))
+      .select(
+        round(log(col("rank").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("cnt").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 3)
+      .select(col("n").as("n_terms"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / nd, 6).as("intercept"))
+  }
+
   // ------------------------------------------------------- BPE merge step
   /** Pairs reported by [[bpeMergeTopk]]. */
   private[operators] val BpeTopK = 20
@@ -457,6 +499,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_topk"    -> (vocabTopk _),
     "bpe_merge_topk" -> (bpeMergeTopk _),
+    "zipf_slope"    -> (zipfSlope _),
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
     "source_mix"    -> (sourceMix _),
@@ -533,6 +576,24 @@ object CorpusOps {
         |SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
         |FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT $VocabTopK""".stripMargin,
+    "zipf_slope" -> {
+      val slopeSql = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        | SELECT unnest(string_split(norm, ' ')) AS token FROM dn) t
+        | WHERE length(token) >= 1 GROUP BY token
+        | ORDER BY cnt DESC, token LIMIT $ZipfTopK),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM v),
+        |q AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |             CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |       sum(x * y) AS sxy, sum(x * x) AS sxx FROM q)
+        |SELECT n AS n_terms,
+        | round($slopeSql, 6) AS slope,
+        | round((CAST(sy AS DOUBLE) - ($slopeSql) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s WHERE n >= 3""".stripMargin
+    },
     "bpe_merge_topk" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -718,6 +718,33 @@ object TextOps {
         size(split(trim(col("text")), "\\s+")).cast("double"), 6).as("avg_word_len"))
       .orderBy("doc_id")
 
+  /** Per-document character-level Shannon entropy (nats) — the classic
+    * cheap gibberish detector (random byte soup scores near ln(alphabet),
+    * repeated-character spam near 0; natural text sits in a narrow band
+    * a filter can gate on). Complements [[qualityScore]]'s lexical
+    * signals with a distributional one.
+    *
+    * Determinism: each term −(c/n)·ln(c/n) is rounded to 6 dp and summed
+    * as DECIMAL(18,6) — exact under any shuffle order (the BM25/NLL
+    * discipline). Scale shape: char explode → (doc, char) aggregate with
+    * map-side partials (≤ alphabet-size rows per doc), per-doc totals by
+    * a doc-keyed aggregate joined back on the same key — both sides
+    * already co-partitioned — then one more doc-keyed aggregate. */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = normed(spark, sfDir)
+      .select(col("doc_id"), explode(expr("regexp_extract_all(norm, '.', 0)")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val tot = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("nc"))
+    val p = col("c").cast("double") / col("nc").cast("double")
+    cc.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("nc"),
+        round(-p * log(p), 6).cast("decimal(18,6)").as("term"))
+      .groupBy(col("doc_id"), col("nc"))
+      .agg(sum(col("term")).cast("double").as("entropy"))
+      .select(col("doc_id"), col("nc").as("n_chars"), col("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus language distribution. */
   def langDist(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -911,6 +938,7 @@ object TextOps {
     "tf_embedding"        -> (tfEmbedding _),
     "doc_embed_similarity" -> (docEmbedSimilarity _),
     "text_stats"          -> (textStats _),
+    "char_entropy"        -> (charEntropy _),
     "lang_dist"           -> (langDist _),
     "lang_id"             -> (langId _),
     "token_count"         -> (tokenCount _),
@@ -1211,6 +1239,18 @@ object TextOps {
         | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
         |   CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "char_entropy" ->
+      s"""WITH dn AS (SELECT doc_id, $normSql AS norm FROM documents),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+        | SELECT doc_id, unnest(regexp_extract_all(norm, '.')) AS ch FROM dn) t
+        | GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nc FROM cc GROUP BY doc_id)
+        |SELECT doc_id, nc AS n_chars,
+        | CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)) *
+        |   ln(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS entropy
+        |FROM cc JOIN tot USING (doc_id) GROUP BY doc_id, nc
+        |ORDER BY doc_id""".stripMargin,
     "lang_dist" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars

@@ -1039,6 +1039,54 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     packs.unpersist()
   }
 
+  test("char_entropy matches a driver-side replay and stays in [0, ln(alphabet)]") {
+    val out = operators.TextOps.charEntropy(spark, sf).cache()
+    val norm = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), regexp_replace(lower(col("text")), "\\s+", " ").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == norm.filter(_._2.nonEmpty).keySet)
+    for ((id, text) <- norm if text.nonEmpty) {
+      val counts = text.groupBy(identity).map { case (_, cs) => cs.length.toLong }
+      val n = text.length.toLong
+      val expect = counts.map { c =>
+        val p = c.toDouble / n.toDouble
+        BigDecimal(-p * math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val (gn, ge) = got(id)
+      assert(gn == n, s"doc $id char count")
+      assert(math.abs(ge - expect) < 1e-9, s"doc $id entropy $ge vs $expect")
+      assert(ge >= 0.0 && ge <= math.log(counts.size.toDouble) + 1e-6)
+    }
+    out.unpersist()
+  }
+
+  test("zipf_slope reports a negative log-log slope matching a driver-side OLS replay") {
+    val rows = CorpusOps.zipfSlope(spark, sf).collect()
+    assert(rows.length == 1)
+    val (n, slope, intercept) = (rows(0).getLong(0), rows(0).getDouble(1), rows(0).getDouble(2))
+    assert(slope < 0.0, s"rank-frequency slope must be negative, got $slope")
+    // replay: same vocab cut, same round-6 quantization, same OLS chain
+    val norm = graft.model.Tables.documents(spark, sf)
+      .select(regexp_replace(lower(col("text")), "\\s+", " ").as("n"))
+      .collect().map(_.getString(0).trim)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (doc <- norm; t <- doc.split(" ") if t.nonEmpty)
+      counts(t) = counts.getOrElse(t, 0L) + 1L
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    assert(n == top.length.toLong)
+    def q6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val xs = top.indices.map(i => q6(math.log((i + 1).toDouble)))
+    val ys = top.map { case (_, c) => q6(math.log(c.toDouble)) }
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val nd = top.length.toDouble
+    val sl = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    assert(math.abs(slope - q6(sl).toDouble) < 1e-9, s"$slope vs $sl")
+    assert(math.abs(intercept - q6((sy - sl * sx) / nd).toDouble) < 1e-9)
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
