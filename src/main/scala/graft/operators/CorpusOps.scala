@@ -110,6 +110,41 @@ object CorpusOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(BpeTopK)
 
+  // ------------------------------------------------ bigram predictability
+  /** Corpus conditional next-token entropy H(V|U) = −Σ p(u,v)·ln p(v|u)
+    * over adjacent-token bigrams — the one-scalar predictability probe
+    * (LOW says the corpus is template-/boilerplate-ridden: the next
+    * token is nearly determined; natural prose sits markedly higher).
+    * Complements [[zipfSlope]] (marginal distribution shape) with a
+    * sequential-structure signal, and the unigram-LM `perplexity_score`
+    * (per-doc) with a corpus-level bigram statistic.
+    *
+    * Determinism: each term −(c_uv/N)·ln(c_uv/c_u) is round-6
+    * DECIMAL(18,6) before the sum (the established discipline).
+    * Scale shape: one bigram explode → (u,v) aggregate with map-side
+    * partials; prefix counts derive from the BIGRAM table (vocabulary²-
+    * bounded, not corpus-bounded), the 1-row total broadcasts. */
+  def bigramEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = TextOps.normed(spark, sfDir)
+      .select(split(col("norm"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tokens) - 1), i -> struct(tokens[i-1] AS u, tokens[i] AS v))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val cuv = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val cu = cuv.groupBy(col("u")).agg(sum(col("c")).as("cu"))
+    val nb = cuv.agg(sum(col("c")).as("nb"))
+    cuv.join(cu, Seq("u"))
+      .crossJoin(broadcast(nb))
+      .select(col("nb"),
+        round(-(col("c").cast("double") / col("nb").cast("double")) *
+          log(col("c").cast("double") / col("cu").cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("nb"))
+      .agg(count(lit(1)).as("n_types"), sum(col("term")).cast("double").as("cond_entropy"))
+      .select(col("nb").as("n_bigrams"), col("n_types"), col("cond_entropy"))
+  }
+
   // -------------------------------------------------- composition PMI
   /** Pointwise mutual information between the `lang` and `source`
     * columns — the dataset-composition association probe (a strongly
@@ -500,6 +535,7 @@ object CorpusOps {
     "vocab_topk"    -> (vocabTopk _),
     "bpe_merge_topk" -> (bpeMergeTopk _),
     "zipf_slope"    -> (zipfSlope _),
+    "bigram_entropy" -> (bigramEntropy _),
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
     "source_mix"    -> (sourceMix _),
@@ -594,6 +630,21 @@ object CorpusOps {
         | round((CAST(sy AS DOUBLE) - ($slopeSql) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
         |FROM s WHERE n >= 3""".stripMargin
     },
+    "bigram_entropy" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT string_split(norm, ' ') AS tokens FROM dn
+        |        WHERE array_length(string_split(norm, ' ')) >= 2),
+        |bg AS (SELECT tokens[i] AS u, tokens[i + 1] AS v FROM (
+        | SELECT tokens, unnest(generate_series(1, array_length(tokens) - 1)) AS i
+        | FROM dtk) t),
+        |cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY u, v),
+        |cu AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM cuv GROUP BY u),
+        |nbt AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cuv)
+        |SELECT nb AS n_bigrams, CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |   ln(CAST(c AS DOUBLE) / CAST(cu AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS cond_entropy
+        |FROM cuv JOIN cu USING (u), nbt GROUP BY nb""".stripMargin,
     "bpe_merge_topk" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -775,6 +775,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix: predicted vs labeled language with
+    * per-cell doc counts — the evaluation table a pipeline publishes for
+    * any classifier-shaped filter before trusting it at 100 TB (where a
+    * few-percent systematic misroute is millions of documents). Reuses
+    * [[langId]]'s scoring verbatim; the matrix aggregate is
+    * |langs|² cells — metadata-sized — with map-side partials. */
+  def langidConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
   /** Token counting: whitespace words plus a BPE-ish regex segmentation
     * (alnum runs | single non-alnum-non-space marks). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -941,6 +953,7 @@ object TextOps {
     "char_entropy"        -> (charEntropy _),
     "lang_dist"           -> (langDist _),
     "lang_id"             -> (langId _),
+    "langid_confusion"    -> (langidConfusion _),
     "token_count"         -> (tokenCount _),
     "quality_score"       -> (qualityScore _),
     "quality_filter"      -> (qualityFilter _),
@@ -948,6 +961,25 @@ object TextOps {
     "pii_scrub"           -> (piiScrub _))
 
   private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Shared oracle CTE stack for the stopword-profile language-ID,
+    * ending at `pred` (per-doc scores + argmax prediction) — states the
+    * IDENTICAL scoring and tie-break CASE as [[langId]]. Consumed by
+    * `lang_id` and `langid_confusion`. */
+  private lazy val langIdCtesSql: String =
+    s"""p AS (SELECT doc_id, lang, ' ' || $normSql || ' ' AS padded FROM documents),
+      |s AS (SELECT doc_id, lang,
+      | ${hitsSql(" the ")} + ${hitsSql(" and ")} + ${hitsSql(" a ")} + ${hitsSql(" of ")} AS score_en,
+      | ${hitsSql(" el ")} + ${hitsSql(" los ")} + ${hitsSql(" las ")} + ${hitsSql(" de ")} AS score_es,
+      | ${hitsSql(" le ")} + ${hitsSql(" et ")} + ${hitsSql(" les ")} + ${hitsSql(" une ")} AS score_fr,
+      | ${hitsSql(" der ")} + ${hitsSql(" und ")} + ${hitsSql(" die ")} + ${hitsSql(" das ")} AS score_de
+      |FROM p),
+      |pred AS (SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+      | CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+      |      WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+      |      WHEN score_fr >= score_de THEN 'fr'
+      |      ELSE 'de' END AS predicted_lang
+      |FROM s)""".stripMargin
   private def hitsSql(sub: String): String = {
     val esc = sub.replace("'", "''")
     s"CAST((length(padded) - length(replace(padded, '$esc', ''))) / ${sub.length} AS INTEGER)"
@@ -1256,19 +1288,14 @@ object TextOps {
         | CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lang_id" ->
-      s"""WITH p AS (SELECT doc_id, lang, ' ' || $normSql || ' ' AS padded FROM documents),
-        |s AS (SELECT doc_id, lang,
-        | ${hitsSql(" the ")} + ${hitsSql(" and ")} + ${hitsSql(" a ")} + ${hitsSql(" of ")} AS score_en,
-        | ${hitsSql(" el ")} + ${hitsSql(" los ")} + ${hitsSql(" las ")} + ${hitsSql(" de ")} AS score_es,
-        | ${hitsSql(" le ")} + ${hitsSql(" et ")} + ${hitsSql(" les ")} + ${hitsSql(" une ")} AS score_fr,
-        | ${hitsSql(" der ")} + ${hitsSql(" und ")} + ${hitsSql(" die ")} + ${hitsSql(" das ")} AS score_de
-        |FROM p)
-        |SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
-        | CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
-        |      WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
-        |      WHEN score_fr >= score_de THEN 'fr'
-        |      ELSE 'de' END AS predicted_lang
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $langIdCtesSql
+        |SELECT doc_id, lang, score_en, score_es, score_fr, score_de, predicted_lang
+        |FROM pred ORDER BY doc_id""".stripMargin,
+    "langid_confusion" ->
+      s"""WITH $langIdCtesSql
+        |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY lang, predicted_lang
+        |ORDER BY lang, predicted_lang""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         | array_length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

@@ -1087,6 +1087,39 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(intercept - q6((sy - sl * sx) / nd).toDouble) < 1e-9)
   }
 
+  test("langid_confusion cells reconcile with lang_id row by row") {
+    val cells = operators.TextOps.langidConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perDoc = operators.TextOps.langId(spark, sf)
+      .select("lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = perDoc.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(cells == expect)
+    assert(cells.values.sum == graft.model.Tables.documents(spark, sf).count())
+  }
+
+  test("bigram_entropy matches a driver-side replay of the conditional entropy") {
+    val rows = CorpusOps.bigramEntropy(spark, sf).collect()
+    assert(rows.length == 1)
+    val (nb, nt, h) = (rows(0).getLong(0), rows(0).getLong(1), rows(0).getDouble(2))
+    val norm = graft.model.Tables.documents(spark, sf)
+      .select(regexp_replace(lower(col("text")), "\\s+", " ").as("n"))
+      .collect().map(_.getString(0).trim)
+    val cuv = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (doc <- norm; toks = doc.split(" ") if toks.length >= 2;
+         i <- 0 until toks.length - 1)
+      cuv((toks(i), toks(i + 1))) = cuv.getOrElse((toks(i), toks(i + 1)), 0L) + 1L
+    val cu = cuv.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val total = cuv.values.sum
+    assert(nb == total && nt == cuv.size.toLong)
+    val expect = cuv.map { case ((u, _), c) =>
+      val term = -(c.toDouble / total.toDouble) * math.log(c.toDouble / cu(u).toDouble)
+      BigDecimal(term).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(h - expect) < 1e-9, s"$h vs $expect")
+    assert(h >= 0.0)
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
