@@ -182,6 +182,28 @@ object SimilarityOps {
       .filter(col("cos") >= 0.4)
   }
 
+  /** Neighbors kept per vector by [[knnGraph]]. */
+  private[operators] val KnnK = 3
+
+  /** Approximate k-NN graph over the LSH candidate pairs — the index
+    * artifact (NN-Descent's target, the diffusion/UMAP input) an
+    * embedding pipeline materializes once and reuses across dedup,
+    * clustering, and retrieval passes. Edges come from the near-dup
+    * grid's candidates (cosine ≥ 0.4 — the graph is honest about its
+    * approximation: isolated vectors simply have no rows), symmetrized
+    * and ranked per endpoint. The rank window partitions by vec_id over
+    * the PAIR table (linear in n by the adaptive grid), and Spark's
+    * WindowGroupLimit pushdown thins each side to k rows pre-shuffle. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = neardupPairsUnsorted(spark, sfDir)
+    val sym = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .orderBy("vec_id", "rank")
+  }
+
   /** Embedding-side dedup groups: connected components over the near-dup
     * pair graph ([[embeddingNeardup]]'s pairs as edges), every vector
     * labeled with the min vec_id reachable through cosine-≥0.4 links —
@@ -836,6 +858,7 @@ object SimilarityOps {
     "hard_negatives"     -> (hardNegatives _),
     "embedding_neardup"  -> (embeddingNeardup _),
     "embed_dedup_groups" -> (embedDedupGroups _),
+    "knn_graph"          -> (knnGraph _),
     "embed_quantize"     -> (embedQuantize _),
     "jl_project"         -> (jlProject _),
     "jl_recall"          -> (jlRecall _),
@@ -992,6 +1015,15 @@ object SimilarityOps {
     "embedding_neardup" ->
       s"""WITH $neardupCtesSql
         |SELECT vec_a, vec_b, cos FROM pairs ORDER BY vec_a, vec_b""".stripMargin,
+    "knn_graph" ->
+      s"""WITH $neardupCtesSql,
+        |sym AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos FROM pairs
+        | UNION ALL SELECT vec_b, vec_a, cos FROM pairs)
+        |SELECT vec_id, nbr, cos, rank FROM (
+        | SELECT vec_id, nbr, cos,
+        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
+        | FROM sym) t
+        |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "embed_dedup_groups" ->
       s"""WITH RECURSIVE $neardupCtesSql,
         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs

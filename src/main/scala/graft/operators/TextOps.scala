@@ -186,6 +186,28 @@ object TextOps {
   private[operators] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3))
 
+  /** Cross-source near-duplication matrix: MinHash-LSH candidate pairs
+    * whose endpoints live in DIFFERENT sources, counted per unordered
+    * source pair — the provenance diagnostic (which feeds syndicate /
+    * scrape each other) that decides source-level dedup order before a
+    * 100 TB crawl mix is finalized. Same candidate-bounded cost as the
+    * dedup family: the pair table is the LSH output (a vanishing
+    * fraction of the corpus), and the two doc-keyed joins ship only
+    * (doc_id, source) pairs; the matrix aggregate is ≤ |sources|²
+    * cells. */
+  def crossSourceNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    candidatePairs(spark, sfDir)
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's distinct
     * 3-grams whose FIRST owner (minimum doc_id corpus-wide) is the doc
     * itself — the corpus-novelty curve (Lee et al.'s dedup papers plot
@@ -944,6 +966,7 @@ object TextOps {
     "dedup_canonical"     -> (dedupCanonical _),
     "ngram_jaccard"       -> (ngramJaccard _),
     "minhash_containment" -> (minhashContainment _),
+    "cross_source_neardup" -> (crossSourceNeardup _),
     "edit_distance_pairs" -> (editDistancePairs _),
     "simhash"             -> (simhash _),
     "simhash_neardup"     -> (simhashNeardup _),
@@ -1124,6 +1147,16 @@ object TextOps {
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "cross_source_neardup" ->
+      s"""WITH $candCtesSql,
+        |xs AS (SELECT least(da.source, db.source) AS source_a,
+        |        greatest(da.source, db.source) AS source_b
+        |       FROM cand JOIN documents da ON da.doc_id = cand.doc_a
+        |                 JOIN documents db ON db.doc_id = cand.doc_b
+        |       WHERE da.source <> db.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM xs GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "ngram_novelty" ->
       s"""WITH $shingleCtesSql,
         |ds AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),

@@ -1120,6 +1120,38 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(h >= 0.0)
   }
 
+  test("cross_source_neardup reconciles with the candidate pair table and source labels") {
+    val cells = operators.TextOps.crossSourceNeardup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcOf = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = operators.TextOps.dedupMinhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) => (srcOf(a), srcOf(b)) }
+      .filter { case (sa, sb) => sa != sb }
+      .map { case (sa, sb) => (Seq(sa, sb).min, Seq(sa, sb).max) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(cells == expect)
+  }
+
+  test("knn_graph ranks each vector's candidate neighbors by cosine, dense from 1") {
+    val out = SimilarityOps.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val pairs = SimilarityOps.embeddingNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val adj = (pairs.map(p => (p._1, (p._2, p._3))) ++ pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2).sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+          .map { case ((n, c), i) => (n, c, (i + 1).toLong) }.toSeq
+      }
+    val got = out.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+    }
+    assert(got == adj)
+    assert(out.nonEmpty, "fixture produced no neighbor edges")
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
