@@ -42,6 +42,19 @@ object StreamingTopK {
   /** Bounded per-shard state: candidate counts + events seen. */
   case class MgState(counts: Map[Long, Long], seen: Long)
 
+  /** One Misra–Gries update — the pure kernel [[track]] folds per event,
+    * exposed for property testing: increment a tracked key, admit a new
+    * key while under capacity, otherwise run a decrement-all round
+    * (every candidate pays one, zeros drop — the move that buys the
+    * n/(capacity+1) undercount bound). */
+  private[graft] def mgUpdate(counts: Map[Long, Long], capacity: Int,
+      key: Long): Map[Long, Long] =
+    counts.get(key) match {
+      case Some(c) => counts.updated(key, c + 1)
+      case None if counts.size < capacity => counts + (key -> 1L)
+      case None => counts.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+    }
+
   def track(events: Dataset[RawEvent], shards: Int = 4,
       capacity: Int = 16): Dataset[TopCand] = {
     import events.sparkSession.implicits._
@@ -54,14 +67,7 @@ object StreamingTopK {
           var seen = state.getOption.map(_.seen).getOrElse(0L)
           for (e <- sorted) {
             seen += 1
-            counts.get(e.user_id) match {
-              case Some(c) => counts = counts.updated(e.user_id, c + 1)
-              case None if counts.size < capacity =>
-                counts = counts + (e.user_id -> 1L)
-              case None =>
-                // decrement-all round: every candidate pays one, zeros drop
-                counts = counts.view.mapValues(_ - 1).filter(_._2 > 0).toMap
-            }
+            counts = mgUpdate(counts, capacity, e.user_id)
           }
           state.update(MgState(counts, seen))
           counts.iterator.map { case (u, c) => TopCand(shard, u, c, seen) }

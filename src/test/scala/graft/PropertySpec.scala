@@ -85,4 +85,29 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       assert(labels == expected, s"pairs=$pairs")
     } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
+
+  test("Misra-Gries kernel holds its bounds on arbitrary streams and capacities") {
+    val streamGen = for {
+      n <- Gen.choose(1, 400)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 20L))
+    } yield keys
+    for (cap <- Seq(1, 2, 5, 25); keys <- samples(streamGen, 8)) {
+      val fin = keys.foldLeft(Map.empty[Long, Long]) { (m, k) =>
+        val next = graft.streaming.StreamingTopK.mgUpdate(m, cap, k)
+        assert(next.size <= cap, s"capacity breached: ${next.size} > $cap")
+        next
+      }
+      val exact = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val bound = keys.length.toLong / (cap + 1)
+      for ((k, est) <- fin) {
+        assert(est <= exact(k), s"overcount $k: $est > ${exact(k)}")
+        assert(exact(k) - est <= bound, s"undercount beyond n/(c+1) for $k")
+      }
+      // completeness: any key strictly heavier than the bound must survive
+      for ((k, c) <- exact if c > bound)
+        assert(fin.contains(k), s"guaranteed heavy key $k evicted (cap=$cap)")
+      // exactness when capacity covers the key space
+      if (cap >= exact.size) assert(fin == exact)
+    }
+  }
 }
