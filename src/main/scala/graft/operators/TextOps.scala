@@ -471,7 +471,14 @@ object TextOps {
   /** Shared exact-overlap kernel behind [[ngramJaccard]] and
     * [[minhashContainment]]: LSH candidate pairs with the exact shingle
     * intersection count `i` and set sizes `sa`/`sb`. */
-  private def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pairOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlapWithSig(spark, sfDir)._2
+
+  /** [[pairOverlap]] plus the persisted signature table it already
+    * builds internally — so [[minhashEstError]] can score the sketch
+    * against the exact overlap WITHOUT a second shingle/signature pass
+    * (the one-base-per-query rule). */
+  private def pairOverlapWithSig(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val s3 = shingles(spark, sfDir, 3).distinct().persist().transform(graft.api.Caches.tracked)
     s3.count()
     // ONE groupBy over the distinct-shingle base yields both the MinHash
@@ -497,11 +504,39 @@ object TextOps {
       .join(ys.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
-    inter
+    val overlap = inter
       .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("i"),
         col("sa.sz").as("sa"), col("sb.sz").as("sb"))
+    (sig, overlap)
+  }
+
+  /** MinHash sketch-accuracy audit: per LSH candidate pair, the
+    * signature's Jaccard ESTIMATE (matching pieces / [[MinhashPieces]])
+    * against the exact Jaccard, summarized as mean/max absolute error —
+    * the number that justifies the sketch's piece count before a 100 TB
+    * dedup run trusts it (the analytic stderr at 8 pieces is
+    * √(J(1−J)/8) ≈ 0.17 worst-case; the audit measures the real
+    * corpus). Reuses [[pairOverlapWithSig]]'s one persisted base for
+    * BOTH the exact overlap and the signatures — no second shingle
+    * pass; per-pair errors are round-6 DECIMAL so the mean is
+    * shuffle-order exact. */
+  def minhashEstError(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sig, po) = pairOverlapWithSig(spark, sfDir)
+    val matches = (1 to MinhashPieces).map(k =>
+      when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0)).reduce(_ + _)
+    val jtrue = round(col("i").cast("double") /
+      (col("sa") + col("sb") - col("i")).cast("double"), 6)
+    po.join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+      .select(round(abs(matches.cast("double") / lit(MinhashPieces.toDouble) - jtrue), 6)
+        .cast("decimal(18,6)").as("err"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("err")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_abs_err"),
+        max(col("err")).cast("double").as("max_abs_err"))
+      .filter(col("n_pairs") >= 1)
   }
 
   /** Connected components over the LSH candidate-pair graph: every doc
@@ -535,6 +570,23 @@ object TextOps {
       .agg(count(lit(1)).as("group_sz"))
       .select(col("group_id").as("doc_id"), col("group_sz"))
       .orderBy("doc_id")
+
+  /** Per-source dedup dashboard: of each source's documents, how many a
+    * global keep-min dedup would REMOVE (their component representative
+    * lives elsewhere) — the table that tells a crawl operator which
+    * feeds are mostly clones before the mix is finalized. One doc-keyed
+    * join of the shared CC labels against (doc_id, source), then a
+    * sources-sized aggregate with map-side partials. */
+  def dedupRateBySource(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(dedupGroupsUnsorted(spark, sfDir), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("group_id"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") * 100.0 / col("n_docs").cast("double"), 6)
+          .as("dup_pct"))
+      .orderBy("source")
 
   /** Duplicate-cluster size histogram (the WIMBD-style corpus
     * diagnostic): how many dedup components exist at each size, and how
@@ -967,6 +1019,8 @@ object TextOps {
     "ngram_jaccard"       -> (ngramJaccard _),
     "minhash_containment" -> (minhashContainment _),
     "cross_source_neardup" -> (crossSourceNeardup _),
+    "minhash_est_error"   -> (minhashEstError _),
+    "dedup_rate_by_source" -> (dedupRateBySource _),
     "edit_distance_pairs" -> (editDistancePairs _),
     "simhash"             -> (simhash _),
     "simhash_neardup"     -> (simhashNeardup _),
@@ -1240,6 +1294,48 @@ object TextOps {
         | JOIN sizes sa ON sa.doc_id = i.doc_a
         | JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "minhash_est_error" -> {
+      val matchSql = (1 to MinhashPieces)
+        .map(k => s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $candCtesSql,
+        |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS i
+        | FROM cand c
+        |  JOIN s3 x ON x.doc_id = c.doc_a
+        |  JOIN s3 y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        | GROUP BY c.doc_a, c.doc_b),
+        |pe AS (SELECT
+        |  CAST(round(abs(CAST($matchSql AS DOUBLE) / $MinhashPieces.0 -
+        |    round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6)), 6)
+        |   AS DECIMAL(18,6)) AS err
+        | FROM inter i
+        |  JOIN sig a ON a.doc_id = i.doc_a
+        |  JOIN sig b ON b.doc_id = i.doc_b
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_err,
+        | CAST(max(err) AS DOUBLE) AS max_abs_err
+        |FROM pe HAVING count(*) >= 1""".stripMargin
+    },
+    "dedup_rate_by_source" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r),
+        |lbl AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN l.group_id <> l.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        | round(CAST(sum(CASE WHEN l.group_id <> l.doc_id THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 /
+        |  CAST(count(*) AS DOUBLE), 6) AS dup_pct
+        |FROM lbl l JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "minhash_containment" ->
       s"""WITH $candCtesSql,
         |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),

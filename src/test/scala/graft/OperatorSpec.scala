@@ -1152,6 +1152,38 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(out.nonEmpty, "fixture produced no neighbor edges")
   }
 
+  test("minhash_est_error reconciles with a driver-side estimate-vs-exact replay") {
+    val rows = operators.TextOps.minhashEstError(spark, sf).collect()
+    assert(rows.length == 1)
+    val (np, mean, mx) = (rows(0).getLong(0), rows(0).getDouble(1), rows(0).getDouble(2))
+    val jac = operators.TextOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(np == jac.size.toLong, "one error row per candidate pair")
+    val sig = operators.TextOps.minhashSignature(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val errs = jac.map { case ((a, b), j) =>
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / 8.0
+      BigDecimal(math.abs(est - j)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(math.abs(mean - (errs.sum.toDouble / errs.size)) < 1e-6)
+    assert(math.abs(mx - errs.max.toDouble) < 1e-9)
+    assert(mean >= 0.0 && mean <= 1.0 && mx <= 1.0)
+  }
+
+  test("dedup_rate_by_source totals reconcile with the dedup components") {
+    val rows = operators.TextOps.dedupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    val nGroups = operators.TextOps.dedupCanonical(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "per-source docs must sum to the corpus")
+    assert(rows.map(_._3).sum == nDocs - nGroups,
+      "removed docs must equal docs minus components")
+    for ((src, d, dup, pct) <- rows) {
+      assert(dup <= d, s"$src dups exceed docs")
+      assert(math.abs(pct - dup.toDouble * 100.0 / d.toDouble) < 1e-6)
+    }
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
