@@ -116,6 +116,31 @@ object StreamBench {
         s""","anomalies":$outRows,"state_keys":$nKeys,""" +
           s""""state_doubles_per_key":${operators.AnalyticOps.ZscoreWindow}""")
     }
+    // ---- streaming top-k: Misra-Gries heavy hitters, bounded state ----
+    locally {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/topk_in")
+      val n = spark.read.parquet(s"$stage/topk_in").count()
+      val shards = 4
+      val capacity = 64
+      val in = fileStream(s"$stage/topk_in", evs.schema).as[RawEvent]
+      // Update-mode stateful op: parquet sinks are append-only, so each
+      // micro-batch's summary rows land via foreachBatch (same
+      // no-driver-collection rule as the other paths)
+      val q = graft.streaming.StreamingTopK.track(in, shards, capacity)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingTopK.TopCand], _: Long) =>
+          batch.write.mode("append").parquet(s"$stage/topk_out")
+        }
+        .option("checkpointLocation", s"$stage/topk_ckpt")
+        .outputMode("update").start()
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      // state = at most capacity (key, count) entries per shard — the
+      // bound that distinguishes this from an exact streaming count
+      report("topk", n, sec,
+        s""","shards":$shards,"max_state_entries":${shards * capacity}""")
+    }
     spark.stop()
   }
 }
