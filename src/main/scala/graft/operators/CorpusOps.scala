@@ -131,7 +131,17 @@ object CorpusOps {
       .select(explode(expr(
         "transform(sequence(1, size(tokens) - 1), i -> struct(tokens[i-1] AS u, tokens[i] AS v))")).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
+    // Eager persist: cuv feeds THREE consumers (itself, the prefix
+    // aggregate, the total) and the static plan carries three full
+    // scan+explode+aggregate pipelines (graft.Explain). AQE's runtime
+    // exchange reuse CAN coalesce identical exchanges, but that is a
+    // runtime optimization of one execution — the persist makes the
+    // one-bigram-pass guarantee explicit and engine-version-independent
+    // (measured a wash at these SFs, where reuse does kick in).
+    // Released by the Caches scope like its siblings.
     val cuv = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .persist().transform(graft.api.Caches.tracked)
+    cuv.count()
     val cu = cuv.groupBy(col("u")).agg(sum(col("c")).as("cu"))
     val nb = cuv.agg(sum(col("c")).as("nb"))
     cuv.join(cu, Seq("u"))

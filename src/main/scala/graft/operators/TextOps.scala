@@ -805,9 +805,18 @@ object TextOps {
     * a doc-keyed aggregate joined back on the same key — both sides
     * already co-partitioned — then one more doc-keyed aggregate. */
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    // Eager persist: cc feeds both the totals aggregate and the term
+    // join; the static plan carries the char explode twice
+    // (graft.Explain). AQE's runtime exchange reuse can coalesce the
+    // identical exchanges, but the persist makes the one-explode
+    // guarantee explicit and engine-version-independent (measured a
+    // wash at these SFs, where reuse does kick in). Released by the
+    // Caches scope like its siblings.
     val cc = normed(spark, sfDir)
       .select(col("doc_id"), explode(expr("regexp_extract_all(norm, '.', 0)")).as("ch"))
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .persist().transform(graft.api.Caches.tracked)
+    cc.count()
     val tot = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("nc"))
     val p = col("c").cast("double") / col("nc").cast("double")
     cc.join(tot, Seq("doc_id"))
