@@ -220,11 +220,21 @@ object CorpusOps {
     * terms and the two one-row stat frames broadcast; term selection is
     * a TakeOrderedAndProject (per-partition heaps), not a global sort;
     * the final top-k likewise. */
-  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25From(spark, sfDir, tokBase(spark, sfDir))
+
+  /** The one persisted token-explode base the retrieval family shares
+    * ([[bm25Topk]], [[tfidfCosineTopk]], and [[rrfFusion]], which feeds
+    * BOTH rankers from a single base — the one-base-per-query rule). */
+  private def tokBase(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.normed(spark, sfDir)
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
       .persist().transform(graft.api.Caches.tracked)
     toks.count()
+    toks
+  }
+
+  private def bm25From(spark: SparkSession, sfDir: String, toks: DataFrame): DataFrame = {
     val dfv = toks.groupBy(col("token"))
       .agg(count_distinct(col("doc_id")).as("df"))
     val terms = dfv.orderBy(col("df").desc, col("token"))
@@ -251,6 +261,114 @@ object CorpusOps {
       .agg(sum(col("c")).cast("double").as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
+  }
+
+  // ------------------------------------------- dense retrieval + fusion
+  /** Docs kept by the dense ranker (matches [[Bm25TopK]] so the fusion
+    * sees equal-depth lists). */
+  private[graft] val DenseTopK = 20
+
+  /** RRF's rank-discount constant (Cormack et al.'s standard 60). */
+  private[operators] val RrfK = 60
+
+  /** Dense-retrieval counterpart of [[bm25Topk]]: rank documents by
+    * TF-IDF cosine against the SAME derived mid-df query terms (each
+    * query term weighted by its idf, the standard ltc.ltc scheme with
+    * [[tfidfEmbedding]]'s smoothed idf). Completes the retrieval pair a
+    * RAG stack runs — lexical BM25 and vector-space cosine — over one
+    * shared token base.
+    *
+    * Determinism: idf is one identical double chain from exact-int
+    * operands; dot contributions and squared norms are round-6
+    * DECIMAL(18,6) before their sums (shuffle-order exact); the closing
+    * cosine is one double expression, round-6, ranked with a doc_id
+    * tie-break. Scale shape: tf ⋈ idf joins on the TOKEN key (both
+    * sides token-keyed — never a broadcast of the vocabulary); the
+    * 5-term query and the two 1-row norms broadcast; both top-k cuts
+    * are TakeOrderedAndProject. */
+  def tfidfCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
+    denseFrom(spark, sfDir, tokBase(spark, sfDir))
+
+  private def denseFrom(spark: SparkSession, sfDir: String, toks: DataFrame): DataFrame = {
+    val dfv = toks.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val idf = dfv.crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0)
+          .as("idf"))
+    val terms = dfv.orderBy(col("df").desc, col("token"))
+      .offset(Bm25TermOffset).limit(Bm25Terms)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val w = tf.join(idf, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * col("idf")).as("w"))
+    val n2d = w.select(col("doc_id"),
+        round(col("w") * col("w"), 6).cast(DecimalType(18, 6)).as("w2"))
+      .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2d"))
+    val qw = idf.join(broadcast(terms.select(col("token"))), Seq("token"))
+    val n2q = qw.select(round(col("idf") * col("idf"), 6)
+        .cast(DecimalType(18, 6)).as("q2"))
+      .agg(sum(col("q2")).as("n2q"))
+    val dot = w.join(broadcast(qw.withColumnRenamed("idf", "qidf")), Seq("token"))
+      .select(col("doc_id"),
+        round(col("w") * col("qidf"), 6).cast(DecimalType(18, 6)).as("d"))
+      .groupBy(col("doc_id")).agg(sum(col("d")).as("dot"))
+    val scored = dot.join(n2d, Seq("doc_id"))
+      .crossJoin(broadcast(n2q))
+      .select(col("doc_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2d").cast("double")) * sqrt(col("n2q").cast("double"))), 6)
+          .as("cos"))
+    // Top-k via two-phase rank FILTERS, not orderBy().limit(): on this
+    // plan (TakeOrderedAndProject over a cached-base multi-stage join
+    // tree) AQE's replanning DROPPED the fused sort+limit on the
+    // collect/write path — count() saw 20 rows, collect() saw the whole
+    // corpus (reproduced deterministically; AQE off, or this rank-filter
+    // shape, is correct). Row-number filters survive replanning, and the
+    // salted local phase keeps the pattern scale-safe: the global window
+    // sees ≤ salts × k rows.
+    val local = Window.partitionBy(pmod(col("doc_id"), lit(16L)))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val global = Window.orderBy(col("cos").desc, col("doc_id"))
+    scored
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= DenseTopK)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= DenseTopK)
+      .select(col("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of the lexical
+    * [[bm25Topk]] and vector-space [[tfidfCosineTopk]] rankings —
+    * THE standard hybrid-retrieval merge a RAG stack ships:
+    * score(d) = Σ_lists 1/(k + rank_list(d)) over the lists that
+    * retrieved d, k = [[RrfK]]. Both rankers feed off ONE persisted
+    * token base; the rank windows run over ≤20 rows post-top-k
+    * (metadata-sized by construction), and the fusion is a full outer
+    * join of two 20-row lists. Score arithmetic is two correctly-
+    * rounded double divisions over exact integer denominators, summed
+    * and round-6, doc_id tie-broken. */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokBase(spark, sfDir)
+    val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wb = Window.orderBy(col("cos").desc, col("doc_id"))
+    val a = bm25From(spark, sfDir, toks)
+      .withColumn("ra", row_number().over(wa)).select("doc_id", "ra")
+    val b = denseFrom(spark, sfDir, toks)
+      .withColumn("rb", row_number().over(wb)).select("doc_id", "rb")
+    val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)), 6).as("rrf"))
+      // rank filter, not orderBy().limit() — same AQE-replanning hazard
+      // as denseFrom's tail; the window input is ≤ 40 fused rows
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
   }
 
   // ------------------------------------------------- unigram LM perplexity
@@ -556,7 +674,58 @@ object CorpusOps {
     "ppl_buckets"         -> (pplBuckets _),
     "approx_topk"         -> (approxTopk _),
     "bm25_topk"           -> (bm25Topk _),
+    "tfidf_cosine_topk"   -> (tfidfCosineTopk _),
+    "rrf_fusion"          -> (rrfFusion _),
     "lang_source_pmi"     -> (langSourcePmi _))
+
+  /** Shared oracle CTE stack for the RETRIEVAL family, ending at
+    * `bm25s` (BM25 doc scores) and `dcos` (TF-IDF cosine doc scores) —
+    * states the IDENTICAL pipelines as [[bm25From]] and [[denseFrom]]
+    * over one token CTE. Consumed by `bm25_topk`, `tfidf_cosine_topk`,
+    * and `rrf_fusion`; DuckDB prunes whichever half a query does not
+    * reference. */
+  private lazy val retrievalCtesSql: String =
+    s"""dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+      |tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
+      |dfv AS MATERIALIZED (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      | FROM tok GROUP BY token),
+      |terms AS MATERIALIZED (SELECT token, df FROM dfv
+      | ORDER BY df DESC, token LIMIT $Bm25Terms OFFSET $Bm25TermOffset),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      | FROM tok GROUP BY doc_id),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |st AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl, CAST(count(*) AS BIGINT) AS ndl FROM dl),
+      |tfq AS (SELECT tok.doc_id, tok.token, CAST(count(*) AS BIGINT) AS tf
+      | FROM tok JOIN terms ON terms.token = tok.token GROUP BY tok.doc_id, tok.token),
+      |contrib AS (SELECT tfq.doc_id, CAST(round(
+      |  ln((CAST(nd.n AS DOUBLE) - CAST(terms.df AS DOUBLE) + 0.5) /
+      |     (CAST(terms.df AS DOUBLE) + 0.5) + 1.0)
+      |  * (CAST(tfq.tf AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + 1.0))
+      |  / (CAST(tfq.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE) * (1.0 - $Bm25B + $Bm25B *
+      |      CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.ndl AS DOUBLE)))),
+      |  6) AS DECIMAL(18,6)) AS c
+      | FROM tfq JOIN terms ON terms.token = tfq.token
+      |  JOIN dl ON dl.doc_id = tfq.doc_id, nd, st),
+      |bm25s AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25
+      | FROM contrib GROUP BY doc_id),
+      |idf AS MATERIALIZED (SELECT token,
+      |  ln(CAST(nd.n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf FROM dfv, nd),
+      |tff AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      | FROM tok GROUP BY doc_id, token),
+      |w AS MATERIALIZED (SELECT tff.doc_id, tff.token,
+      |  CAST(tff.tf AS DOUBLE) * idf.idf AS w
+      | FROM tff JOIN idf ON idf.token = tff.token),
+      |n2d AS (SELECT doc_id, sum(CAST(round(w * w, 6) AS DECIMAL(18,6))) AS n2d
+      | FROM w GROUP BY doc_id),
+      |qw AS MATERIALIZED (SELECT idf.token, idf.idf
+      | FROM idf JOIN terms ON terms.token = idf.token),
+      |n2q AS (SELECT sum(CAST(round(idf * idf, 6) AS DECIMAL(18,6))) AS n2q FROM qw),
+      |dotd AS (SELECT w.doc_id, sum(CAST(round(w.w * qw.idf, 6) AS DECIMAL(18,6))) AS dot
+      | FROM w JOIN qw ON qw.token = w.token GROUP BY w.doc_id),
+      |dcos AS MATERIALIZED (SELECT dotd.doc_id,
+      |  round(CAST(dot AS DOUBLE) /
+      |   (sqrt(CAST(n2d.n2d AS DOUBLE)) * sqrt(CAST(n2q.n2q AS DOUBLE))), 6) AS cos
+      | FROM dotd JOIN n2d ON n2d.doc_id = dotd.doc_id, n2q)""".stripMargin
 
   /** Shared oracle CTE stack for the unigram-LM family, ending at `nll`
     * (per-doc token count + round-6 mean surprisal): states the IDENTICAL
@@ -592,30 +761,23 @@ object CorpusOps {
     // agree bit-for-bit; per-term round-6 + DECIMAL(18,6) makes the sum
     // order-independent (the tfidf/perplexity discipline)
     "bm25_topk" ->
-      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
-        |tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
-        |dfv AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        | FROM tok GROUP BY token),
-        |terms AS MATERIALIZED (SELECT token, df FROM dfv
-        | ORDER BY df DESC, token LIMIT $Bm25Terms OFFSET $Bm25TermOffset),
-        |dl AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        | FROM tok GROUP BY doc_id),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl, CAST(count(*) AS BIGINT) AS ndl FROM dl),
-        |tfq AS (SELECT tok.doc_id, tok.token, CAST(count(*) AS BIGINT) AS tf
-        | FROM tok JOIN terms ON terms.token = tok.token GROUP BY tok.doc_id, tok.token),
-        |contrib AS (SELECT tfq.doc_id, CAST(round(
-        |  ln((CAST(nd.n AS DOUBLE) - CAST(terms.df AS DOUBLE) + 0.5) /
-        |     (CAST(terms.df AS DOUBLE) + 0.5) + 1.0)
-        |  * (CAST(tfq.tf AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + 1.0))
-        |  / (CAST(tfq.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE) * (1.0 - $Bm25B + $Bm25B *
-        |      CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.ndl AS DOUBLE)))),
-        |  6) AS DECIMAL(18,6)) AS c
-        | FROM tfq JOIN terms ON terms.token = tfq.token
-        |  JOIN dl ON dl.doc_id = tfq.doc_id, nd, st)
-        |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25
-        |FROM contrib GROUP BY doc_id
+      s"""WITH $retrievalCtesSql
+        |SELECT doc_id, bm25 FROM bm25s
         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    "tfidf_cosine_topk" ->
+      s"""WITH $retrievalCtesSql
+        |SELECT doc_id, cos FROM dcos
+        |ORDER BY cos DESC, doc_id LIMIT $DenseTopK""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $retrievalCtesSql,
+        |la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS ra
+        |       FROM (SELECT doc_id, bm25 FROM bm25s ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK) t),
+        |lb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS rb
+        |       FROM (SELECT doc_id, cos FROM dcos ORDER BY cos DESC, doc_id LIMIT $DenseTopK) t)
+        |SELECT doc_id,
+        | round(coalesce(1.0 / ($RrfK + ra), 0.0) + coalesce(1.0 / ($RrfK + rb), 0.0), 6) AS rrf
+        |FROM la FULL OUTER JOIN lb USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "vocab_topk" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn)

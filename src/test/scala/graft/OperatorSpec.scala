@@ -1184,6 +1184,41 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("tfidf_cosine_topk ranks docs that actually contain query terms, cosine in range") {
+    val rows = CorpusOps.tfidfCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    val cosines = rows.map(_._2)
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "not descending")
+    assert(cosines.forall(c => c > 0.0 && c <= 1.0 + 1e-6), s"cosine out of range")
+    // the query terms are the same mid-df derivation bm25 uses: every
+    // ranked doc must contain at least one of them
+    val norm = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), regexp_replace(lower(col("text")), "\\s+", " ").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSet).toMap
+    val dfCounts = norm.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val terms = dfCounts.toSeq.sortBy { case (t, d) => (-d, t) }.slice(10, 15).map(_._1)
+    for ((id, _) <- rows)
+      assert(terms.exists(norm(id).contains), s"doc $id holds no query term")
+  }
+
+  test("rrf_fusion scores equal the reciprocal-rank sum over the two top-20 lists") {
+    val fused = CorpusOps.rrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fused.length == 10)
+    val ra = CorpusOps.bm25Topk(spark, sf).collect().map(_.getLong(0))
+      .zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val rb = CorpusOps.tfidfCosineTopk(spark, sf).collect().map(_.getLong(0))
+      .zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val expect = (ra.keySet ++ rb.keySet).toSeq.map { d =>
+      val s = ra.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      d -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (d, s) => (-s, d) }.take(10)
+    assert(fused.toSeq == expect)
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
