@@ -701,6 +701,27 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("limit-bearing queries: collect() row count equals count() (AQE replanning guard)") {
+    // The round-10 AQE hazard (PLANS.md): replanning dropped a fused
+    // sort+limit on the collect/write path while count() still saw the
+    // limited plan — collect-vs-count is the discriminating probe, so
+    // every query whose plan carries a Limit gets swept here.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Offset}
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      val limited = df.queryExecution.analyzed.collectFirst {
+        case _: GlobalLimit => (); case _: LocalLimit => (); case _: Offset => ()
+      }.nonEmpty
+      if (limited) {
+        val collected = df.collect().length.toLong
+        val counted = fn(spark, sf).count()
+        assert(collected == counted,
+          s"$name: collect()=$collected but count()=$counted — limit lost in execution")
+      }
+      graft.api.Caches.release(spark)
+    }
+  }
+
   test("entry flagship returns rows (driver t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
