@@ -366,6 +366,26 @@ object RelationalOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-user engagement rollup over [[sessionize]]'s sessions: session
+    * count, events, mean events per session, and total engaged seconds —
+    * the user-level activity table a product-analytics pipeline
+    * publishes daily. One more user-keyed aggregate downstream of the
+    * session windows (already partitioned by user — no extra shuffle);
+    * durations are exact integer epoch-micros differences through one
+    * double division, round-6. */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("us"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_sessions").cast("double"), 6)
+          .as("events_per_session"),
+        round(col("us").cast("double") / 1000000.0, 6).as("engaged_sec"))
+      .orderBy("user_id")
+
   // ----------------------------------------------------------------set ops
   /** INTERSECT: users who clicked AND purchased. */
   def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
@@ -551,6 +571,7 @@ object RelationalOps {
     "tumbling_counts"  -> (tumblingCounts _),
     "sliding_counts"   -> (slidingCounts _),
     "sessionize"       -> (sessionize _),
+    "session_stats"    -> (sessionStats _),
     "set_intersect"    -> (setIntersect _),
     "set_except"       -> (setExcept _),
     "set_intersect_all" -> (setIntersectAll _),
@@ -560,6 +581,29 @@ object RelationalOps {
     "doc_length_histogram" -> (docLengthHistogram _),
     "q3_sql"           -> (q3Sql _),
     "lateral_topk"     -> (lateralTopk _))
+
+  /** Shared oracle CTE stack for the 30-minute-gap sessionization,
+    * ending at `sess` (per-session rollups) — states the IDENTICAL
+    * lag/flag/running-sum pipeline as [[sessionize]]. Consumed by
+    * `sessionize` and `session_stats`. */
+  private lazy val sessCtesSql: String =
+    """g AS (
+      | SELECT user_id, event_id, ts,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      | FROM events),
+      |s AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      | FROM g),
+      |ids AS (
+      | SELECT user_id, event_id, ts,
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM s),
+      |sess AS MATERIALIZED (
+      | SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      | FROM ids GROUP BY user_id, session_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // money maths through DECIMAL(18,2) on both sides: the round-2
@@ -745,22 +789,17 @@ object RelationalOps {
         |SELECT make_timestamp(ws * 1800000000) AS window_start, event_type, count(*) AS n
         |FROM wins GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
     "sessionize" ->
-      """WITH g AS (
-        | SELECT user_id, event_id, ts,
-        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        | FROM events),
-        |s AS (
-        | SELECT user_id, event_id, ts,
-        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
-        | FROM g),
-        |ids AS (
-        | SELECT user_id, event_id, ts,
-        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        | FROM s)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        | min(ts) AS session_start, max(ts) AS session_end
-        |FROM ids GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      s"""WITH $sessCtesSql
+        |SELECT user_id, session_id, n_events, session_start, session_end
+        |FROM sess ORDER BY user_id, session_id""".stripMargin,
+    "session_stats" ->
+      s"""WITH $sessCtesSql
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(n_events) AS BIGINT) AS n_events,
+        | round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS events_per_session,
+        | round(CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE) / 1000000.0, 6)
+        |  AS engaged_sec
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "set_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT

@@ -512,6 +512,23 @@ object TextOps {
     (sig, overlap)
   }
 
+  /** Dedup threshold-tuning curve: candidate pairs bucketed by exact
+    * Jaccard decile — the histogram a dedup operator reads to PLACE the
+    * keep/drop threshold (a bimodal curve separates true clones from
+    * band noise; mass piling just under a proposed cutoff warns it is
+    * about to split clone families). Integer bucket arithmetic
+    * (`floor(j·10)` via int cast of round-6 values scaled — stated
+    * identically in SQL), candidate-bounded like the whole family;
+    * output ≤ 11 rows. */
+  def jaccardBandHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlap(spark, sfDir)
+      .select((floor(round(col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")).cast("double"), 6) * 10.0) / 10.0)
+        .as("band_lo"))
+      .groupBy(col("band_lo"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band_lo")
+
   /** MinHash sketch-accuracy audit: per LSH candidate pair, the
     * signature's Jaccard ESTIMATE (matching pieces / [[MinhashPieces]])
     * against the exact Jaccard, summarized as mean/max absolute error —
@@ -1029,6 +1046,7 @@ object TextOps {
     "minhash_containment" -> (minhashContainment _),
     "cross_source_neardup" -> (crossSourceNeardup _),
     "minhash_est_error"   -> (minhashEstError _),
+    "jaccard_band_histogram" -> (jaccardBandHistogram _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "edit_distance_pairs" -> (editDistancePairs _),
     "simhash"             -> (simhash _),
@@ -1330,6 +1348,23 @@ object TextOps {
         | CAST(max(err) AS DOUBLE) AS max_abs_err
         |FROM pe HAVING count(*) >= 1""".stripMargin
     },
+    "jaccard_band_histogram" ->
+      s"""WITH $candCtesSql,
+        |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS i
+        | FROM cand c
+        |  JOIN s3 x ON x.doc_id = c.doc_a
+        |  JOIN s3 y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        | GROUP BY c.doc_a, c.doc_b),
+        |jb AS (SELECT
+        |  floor(round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) * 10.0) / 10.0 AS band_lo
+        | FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+        |SELECT band_lo, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM jb GROUP BY band_lo ORDER BY band_lo""".stripMargin,
     "dedup_rate_by_source" ->
       s"""WITH RECURSIVE $candCtesSql,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand

@@ -1240,6 +1240,34 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(fused.toSeq == expect)
   }
 
+  test("session_stats rolls up sessionize per user exactly") {
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val sess = RelationalOps.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        us(r.getTimestamp(4)) - us(r.getTimestamp(3))))
+    val stats = RelationalOps.sessionStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val expect = sess.groupBy(_._1).map { case (u, ss) =>
+      val n = ss.length.toLong
+      val ev = ss.map(_._2).sum
+      u -> (n, ev,
+        BigDecimal(ev.toDouble / n.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ss.map(_._3).sum.toDouble / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(stats == expect)
+  }
+
+  test("jaccard_band_histogram buckets exactly the ngram_jaccard pair scores") {
+    val hist = operators.TextOps.jaccardBandHistogram(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val jac = operators.TextOps.ngramJaccard(spark, sf).collect().map(_.getDouble(2))
+    val expect = jac.map(j => math.floor(j * 10.0) / 10.0)
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    assert(hist == expect)
+    assert(hist.values.sum == jac.length.toLong)
+  }
+
   test("dup_cluster_stats histogram accounts for every document and every group") {
     val rows = operators.TextOps.dupClusterStats(spark, sf).collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
