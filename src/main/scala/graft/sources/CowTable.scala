@@ -139,4 +139,23 @@ object CowTable {
     writeManifest(root, cur + 1, untouched ++ newNames)
     cur + 1
   }
+
+  /** Garbage-collect history: keep the newest `keepVersions` manifests,
+    * delete older manifests and every data file no kept manifest
+    * references — the VACUUM every COW table needs, since upserts only
+    * ever ADD files. Pure metadata work (manifest set arithmetic) plus
+    * file deletes; returns (versions dropped, files deleted). Time
+    * travel remains exact for every kept version because a file is
+    * deleted only when NO kept manifest lists it. */
+  def vacuum(root: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the newest version")
+    val versions = listVersions(root)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep.flatMap(v => manifest(root, v)).toSet
+    val deleted = Files.list(Paths.get(filesDir(root))).iterator().asScala
+      .filter(p => !referenced.contains(p.getFileName.toString))
+      .map { p => Files.delete(p); 1 }.sum
+    drop.foreach(v => Files.delete(Paths.get(manifestDir(root), s"v$v.list")))
+    (drop.size, deleted)
+  }
 }

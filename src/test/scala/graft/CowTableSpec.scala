@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,5 +60,19 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     assert(v3 == expect + (2000000L -> (-3L, 5.0)))
     // insert-only: EVERY v2 file survives into v3
     assert(CowTable.manifest(root, 2).toSet.subsetOf(CowTable.manifest(root, 3).toSet))
+
+    // vacuum to the newest 2 versions: v1 gone, v2/v3 still exact, and
+    // only files referenced by a kept manifest remain on disk
+    val (droppedV, deletedF) = CowTable.vacuum(root, keepVersions = 2)
+    assert(droppedV == 1)
+    assert(CowTable.read(spark, root).count() == expect.size + 1)
+    assert(CowTable.readVersion(spark, root, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap == expect)
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/files"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    val referenced = (CowTable.manifest(root, 2) ++ CowTable.manifest(root, 3)).toSet
+    assert(onDisk == referenced, "vacuum left orphans or deleted referenced files")
+    assert(deletedF >= 1, "the v1-only rewritten files should have been deleted")
+    intercept[Exception](CowTable.readVersion(spark, root, 1).collect())
   }
 }
