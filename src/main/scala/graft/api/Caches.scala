@@ -1,6 +1,6 @@
 package graft.api
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
 
 import scala.collection.mutable
 import scala.util.control.NonFatal
@@ -37,33 +37,79 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     (unit tests call operator functions without the SparkEntry
   *     wrapper) and for the timing-isolation GC discipline the bench
   *     needs anyway.
+  *
+  * == Why one sweeper thread owns every unpersist (round 11) ==
+  *
+  * Two removal paths racing on the same RDD is what produced the
+  * round-9/10 `Block rdd_N_M does not exist` failures: one path snapshots
+  * the block list while the other's removal is still in flight inside the
+  * BlockManager, and the loser's per-block remove finds the block gone
+  * (Spark logs an executor-side ERROR even when the caller swallows the
+  * exception, which is why round 10's NonFatal guards fixed the crash but
+  * not the log tail, and why the in-flight stall still landed inside
+  * timed bench windows). A lock around the *calls* cannot close that
+  * window when any call is non-blocking — the removal outlives the lock.
+  * So round 11 removes the concurrency itself: every unpersist in the
+  * library (listener sweep, [[dropTransient]], [[release]]) executes ON a
+  * single daemon sweeper thread and BLOCKS there until its block
+  * removals complete. With one thread and blocking semantics, no removal
+  * is ever in flight when the next begins; callers that don't need to
+  * wait get asynchrony by enqueueing, not by overlapping removals. The
+  * NonFatal guards remain as defense in depth (e.g. blocks evicted by
+  * memory pressure between snapshot and removal), but the library no
+  * longer creates the race it is guarding against.
   */
 object Caches {
+
+  /** The single thread that performs EVERY unpersist issued by this
+    * library. Daemon so it never pins a shutting-down JVM. */
+  private val sweeper = Executors.newSingleThreadExecutor(new ThreadFactory {
+    override def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "graft-cache-sweeper")
+      t.setDaemon(true)
+      t
+    }
+  })
+
+  @volatile private var sweeperThread: Thread = _
+
+  /** Run `body` on the sweeper thread and wait for it. Re-entrant: a call
+    * already on the sweeper runs inline (submitting and waiting from the
+    * sweeper's own single thread would deadlock). */
+  private def onSweeperAwait(body: => Unit): Unit =
+    if (Thread.currentThread() eq sweeperThread) body
+    else sweeper.submit(new Runnable {
+      override def run(): Unit = { sweeperThread = Thread.currentThread(); body }
+    }).get()
+
+  /** Enqueue `body` on the sweeper thread without waiting. The caller
+    * gets asynchrony; the removals themselves still serialize. */
+  private def onSweeperAsync(body: => Unit): Unit =
+    if (Thread.currentThread() eq sweeperThread) body
+    else sweeper.execute(new Runnable {
+      override def run(): Unit = { sweeperThread = Thread.currentThread(); body }
+    })
 
   /** Blocking release of every cached plan and persisted RDD in the
     * session. `clearCache()` alone unpersists ASYNCHRONOUSLY — over 70+
     * queries in one JVM the departing blocks and GC debris land on
     * whichever queries run next (round-3 verdict: trivial queries
     * inflated 10-20×) — so sweep the RDD registry with blocking
-    * unpersist as well.
-    *
-    * Every step is guarded with NonFatal: the listener [[sweep]] and the
-    * builders' transient drops unpersist NON-blocking, so their block
-    * removals complete asynchronously inside the BlockManager — an async
-    * removal can land between this method's `getPersistentRDDs` snapshot
-    * and the blocking unpersist of that entry, and Spark then throws
-    * `Block rdd_N_M does not exist` from `BlockManager.removeRdd`
-    * (round-9 driver bench died exactly this way, rc=1). A code-level
-    * lock between release and sweep cannot close that window — the
-    * non-blocking removals outlive the lock — so tolerating the
-    * already-gone block is the correct fix, mirroring the listener's own
-    * guard below. */
+    * unpersist as well, ON the sweeper thread so it cannot overlap any
+    * listener-initiated removal. Order matters: the blocking per-RDD
+    * unpersist runs FIRST (fully draining block storage), and
+    * `clearCache()` runs after only to clear the CacheManager's
+    * plan-keyed bookkeeping — its internally non-blocking removal
+    * messages then target RDDs that no longer hold blocks, which the
+    * BlockManager treats as a no-op instead of a racing removal. */
   def release(spark: SparkSession): Unit = {
     live.clear() // scope bookkeeping for anything the sweep is about to drop
-    try spark.catalog.clearCache()
-    catch { case NonFatal(_) => () }
-    spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
-      try rdd.unpersist(blocking = true)
+    onSweeperAwait {
+      spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
+        try rdd.unpersist(blocking = true)
+        catch { case NonFatal(_) => () }
+      }
+      try spark.catalog.clearCache()
       catch { case NonFatal(_) => () }
     }
   }
@@ -71,12 +117,17 @@ object Caches {
   /** Guarded unpersist for a TRANSIENT build-internal cache (one that
     * dies before the builder returns, so scope tracking would hold it
     * too long). The single audited drop path for operator builders — no
-    * bare `.unpersist` calls in operator code. Non-blocking by default;
+    * bare `.unpersist` calls in operator code. The removal itself is
+    * always blocking ON the sweeper thread (serialization is what kills
+    * the race); `blocking` only selects whether the CALLER waits for it —
     * pass `blocking = true` where the builder needs the memory back
     * before its next heavy stage (e.g. the CC fixpoint loop). */
-  def dropTransient(df: DataFrame, blocking: Boolean = false): Unit =
-    try df.unpersist(blocking)
-    catch { case NonFatal(_) => () }
+  def dropTransient(df: DataFrame, blocking: Boolean = false): Unit = {
+    def drop(): Unit =
+      try df.unpersist(blocking = true)
+      catch { case NonFatal(_) => () }
+    if (blocking) onSweeperAwait(drop()) else onSweeperAsync(drop())
+  }
 
   /** One query's registered caches + (once built) its result plan, owned
     * by the session that built it: a sweep triggered by ANOTHER
@@ -88,7 +139,7 @@ object Caches {
     * guarantees each scope's bookkeeping releases exactly on its own
     * session's terminal action (no premature removal, no scope leak),
     * and a scope whose shared blocks were already dropped simply
-    * no-ops its guarded unpersist. */
+    * no-ops its unpersist. */
   private final class Scope(val session: SparkSession) {
     val cached = mutable.ArrayBuffer.empty[DataFrame]
     @volatile var resultPlan: LogicalPlan = _
@@ -151,6 +202,11 @@ object Caches {
     * assert on cache state right after an action should spin briefly. */
   private[graft] def pendingScopes: Int = live.size()
 
+  /** Wait until every removal enqueued so far has fully completed —
+    * the sweeper is single-threaded, so an awaited no-op barrier proves
+    * the queue ahead of it has drained. Test/diagnostic hook. */
+  private[graft] def drainSweeper(): Unit = onSweeperAwait(())
+
   private def ensureListener(spark: SparkSession): Unit =
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
@@ -165,10 +221,11 @@ object Caches {
     * completed action's plan. Identity check first (actions on the very
     * DataFrame the builder returned reuse its plan subtree by reference);
     * `sameResult` covers analyzer rewrites (e.g. self-join exprId
-    * deduplication). Unpersist is non-blocking here — this runs on the
-    * listener bus; the registry entry is removed synchronously either
-    * way, and the harness's blocking sweep remains available where block
-    * eviction must complete before timing starts. */
+    * deduplication). Scope matching runs here on the listener bus (cheap
+    * plan comparison); the unpersists are handed to the sweeper thread so
+    * the bus is never blocked and the removals serialize with every other
+    * removal in the library. The registry entry is removed synchronously
+    * either way. */
   private def sweep(qe: QueryExecution): Unit = {
     val it = live.iterator()
     while (it.hasNext) {
@@ -184,9 +241,12 @@ object Caches {
           qe.analyzed.exists(n =>
             (n eq rp) || (n.getClass == rp.getClass && n.sameResult(rp)))) {
         it.remove()
-        scope.cached.foreach { df =>
-          try df.unpersist(blocking = false)
-          catch { case NonFatal(_) => () }
+        val toDrop = scope.cached.toList
+        onSweeperAsync {
+          toDrop.foreach { df =>
+            try df.unpersist(blocking = true)
+            catch { case NonFatal(_) => () }
+          }
         }
       }
     }

