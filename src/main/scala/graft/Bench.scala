@@ -93,7 +93,8 @@ object Bench {
     * verdict item 3): failures are NAMED in the returned error list (the
     * artifact's "errors" array and the stdout summary's count), and the
     * failed query's elapsed-to-failure still counts toward the total —
-    * honest cost, visibly marked broken. */
+    * honest cost, visibly marked broken. Per-query settling is adaptive:
+    * see [[settle]]. */
   private[graft] def runQueries(
       spark: SparkSession,
       sfDir: String,
@@ -101,7 +102,7 @@ object Bench {
       reps: Int): (Seq[(String, Double)], Seq[String]) = {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case scala.util.control.NonFatal(_) => failed += name }
@@ -109,9 +110,27 @@ object Bench {
         cleanup(spark)
         elapsed
       }
-      name -> times.min
+      name -> settle(() => rep(), reps)
     }
     (results, failed.toSeq)
+  }
+
+  /** Settle one query's reported time from `reps` timed repetitions.
+    * Agreeing reps (max ≤ 2× min) report the MIN — the round-8 rationale:
+    * this box's variance is ±30%, and the min strips one-sided noise
+    * (GC, page cache, sibling load) while staying honest about
+    * systematic cost. When the reps DISAGREE by more than 2×, something
+    * external stalled one of them (round-10 driver run: a multi-second
+    * environment stall printed `bigram_counts` at 7.8× its same-code
+    * time); one extra rep is run and the MEDIAN of all reps reported, so
+    * a single stalled — or single anomalously fast — repetition cannot
+    * decide the official artifact by itself. */
+  private[graft] def settle(runRep: () => Double, reps: Int): Double = {
+    val times = (1 to math.max(1, reps)).map(_ => runRep()).toVector
+    if (times.size >= 2 && times.max > 2 * times.min) {
+      val all = (times :+ runRep()).sorted
+      all(all.size / 2)
+    } else times.min
   }
 
   /** The single stdout line the driver parses. Kept total-only (no

@@ -33,6 +33,30 @@ class BenchSpec extends AnyFunSuite with SparkTest {
     assert(line.length < 1900)
   }
 
+  test("disagreeing reps trigger a third and the median is reported") {
+    // round-10 verdict item 2: a stalled rep printed bigram_counts at
+    // 7.8× its same-code time into the official artifact. When the two
+    // reps disagree >2×, a third must run and the median win, so one
+    // stalled (or one anomalously fast) repetition cannot decide the
+    // artifact alone.
+    val stalled = Iterator(4.03, 0.52, 0.50) // rep1 stalled, rep2+3 honest
+    assert(Bench.settle(() => stalled.next(), reps = 2) == 0.52)
+    assert(stalled.isEmpty, "the disagreement must consume exactly three reps")
+    val fastGlitch = Iterator(0.10, 0.52, 0.50) // rep1 anomalously fast
+    assert(Bench.settle(() => fastGlitch.next(), reps = 2) == 0.50)
+  }
+
+  test("agreeing reps keep the min-of-2 contract and run no extra rep") {
+    var calls = 0
+    val agreeing = () => { calls += 1; if (calls == 1) 0.60 else 0.55 }
+    assert(Bench.settle(agreeing, reps = 2) == 0.55)
+    assert(calls == 2, s"agreeing reps must not pay a third repetition, ran $calls")
+    // single-rep mode (SPARK_GRAFT_BENCH_REPS=1) can never disagree
+    var single = 0
+    assert(Bench.settle(() => { single += 1; 1.23 }, reps = 1) == 1.23)
+    assert(single == 1)
+  }
+
   test("summary line is valid minimal JSON with the driver's expected fields") {
     val line = Bench.summaryLine(12.5, 7, "/tmp/sfX", "/tmp/out.json", reps = 2)
     assert(line.startsWith("{") && line.endsWith("}"))
