@@ -55,6 +55,24 @@ object GraftConfig {
   def getLong(spark: SparkSession, key: String, default: Long): Long =
     parseLeadingLong(get(spark, key, default.toString), default)
 
+  /** Row-count ceiling for the library's DATA-DEPENDENT forced
+    * broadcasts (the candidate-doc semi-filter lists in the MinHash
+    * family, the hard-negative anchor table). Spark's own
+    * `autoBroadcastJoinThreshold` only governs the optimizer's choice —
+    * an explicit `broadcast()` hint bypasses it, so a hinted side whose
+    * size is corpus-dependent (LSH output on a clone-dense corpus
+    * approaches corpus scale) could OOM the driver at 100 TB with no
+    * gate. Sites count their already-materialized base, broadcast at or
+    * under the gate, and fall back to a shuffle join above it — the same
+    * adaptivity as the CC local-ceiling (`spark.graft.cc.localMaxEdges`):
+    * pick the physical strategy AFTER the size is known. 1M id rows
+    * ≈ 16 MB broadcast — comfortably executor-sized. */
+  val BroadcastGateKey = "spark.graft.broadcastMaxRows"
+  val BroadcastGateDefault = 1000000L
+
+  def broadcastGateRows(spark: SparkSession): Long =
+    getLong(spark, BroadcastGateKey, BroadcastGateDefault)
+
   private[graft] def parseLeadingInt(s: String, default: Int): Int =
     parseLeadingLong(s, default.toLong).toInt
 

@@ -86,7 +86,18 @@ object SimilarityOps {
     val anchors = e.filter(col("vec_id") < HardNegAnchors)
       .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
         col("v").as("av"))
-    val scored = e.crossJoin(broadcast(anchors))
+    // The anchor table is bounded at HardNegAnchors rows by construction
+    // (vec_id is unique), so the shared broadcast gate is checked against
+    // that static bound — no counting job. A library caller raising the
+    // anchor count past the gate gets a distributed cartesian (both
+    // sides partitioned) instead of an executor-OOMing forced broadcast
+    // (round-10 verdict #3); at that size the right index is the ANN
+    // family anyway, and the gate makes the memory cliff impossible
+    // rather than implicit.
+    val anchorSide =
+      if (HardNegAnchors <= graft.api.GraftConfig.broadcastGateRows(spark)) broadcast(anchors)
+      else anchors
+    val scored = e.crossJoin(anchorSide)
       .filter(col("label") =!= col("a_label"))
       .select(col("anchor_id"), col("vec_id"),
         round(cosine("v", "av"), 6).as("cos"))

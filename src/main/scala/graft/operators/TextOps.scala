@@ -488,17 +488,26 @@ object TextOps {
     sig.count()
     val sizes = sig.select(col("doc_id"), col("sz"))
     val cand = candidatePairsFromSig(sig).persist().transform(graft.api.Caches.tracked)
-    cand.count()
+    val candCount = cand.count()
     // Candidates ≪ corpus at scale: semi-filter each side of the
     // intersection join down to the docs that actually appear in a pair
     // BEFORE the (doc, shingle) shuffle — without this the pair join
     // shuffles the whole corpus-wide shingle set, which at 100 TB is the
-    // dominant cost. The candidate doc lists are broadcast (they are the
-    // LSH output, bounded by design).
+    // dominant cost. The candidate doc lists are broadcast only under
+    // the shared row gate (round-10 verdict #3: LSH output is
+    // corpus-dependent — a clone-dense 100 TB corpus can push the pair
+    // table toward corpus scale, and a forced broadcast hint bypasses
+    // Spark's own threshold); above the gate the semi-join runs as a
+    // shuffle, correct either way. The pair count from the persisted
+    // cand materialization bounds both doc lists (≤ 2·pairs distinct
+    // ids), so the gate costs no extra job.
+    val gate = graft.api.GraftConfig.broadcastGateRows(spark)
+    def sideFilter(docs: DataFrame): DataFrame =
+      if (candCount <= gate) broadcast(docs) else docs
     val aDocs = cand.select(col("doc_a").as("doc_id")).distinct()
     val bDocs = cand.select(col("doc_b").as("doc_id")).distinct()
-    val xs = s3.join(broadcast(aDocs), Seq("doc_id"), "left_semi")
-    val ys = s3.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
+    val xs = s3.join(sideFilter(aDocs), Seq("doc_id"), "left_semi")
+    val ys = s3.join(sideFilter(bDocs), Seq("doc_id"), "left_semi")
     val inter = cand
       .join(xs.as("x"), col("x.doc_id") === col("doc_a"))
       .join(ys.as("y"), col("y.doc_id") === col("doc_b") && col("y.sh") === col("x.sh"))
@@ -768,15 +777,20 @@ object TextOps {
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val cand = candidatePairsFrom(shinglesOf(base, 3)).persist().transform(graft.api.Caches.tracked)
-    cand.count()
+    val candCount = cand.count()
     // Semi-filter the corpus-wide TF table down to docs that appear in a
     // candidate pair before the sparse-dim join — same 100 TB argument as
     // ngramJaccard: never shuffle the full corpus into a join whose left
-    // side is the (bounded) LSH candidate set.
+    // side is the (bounded) LSH candidate set. Same broadcast row gate
+    // as pairOverlapWithSig: the candidate lists are corpus-dependent,
+    // so the hint only applies under the gate (shuffle semi-join above).
+    val gate = graft.api.GraftConfig.broadcastGateRows(spark)
+    def sideFilter(docs: DataFrame): DataFrame =
+      if (candCount <= gate) broadcast(docs) else docs
     val aDocs = cand.select(col("doc_a").as("doc_id")).distinct()
     val bDocs = cand.select(col("doc_b").as("doc_id")).distinct()
-    val xs = tf.join(broadcast(aDocs), Seq("doc_id"), "left_semi")
-    val ys = tf.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
+    val xs = tf.join(sideFilter(aDocs), Seq("doc_id"), "left_semi")
+    val ys = tf.join(sideFilter(bDocs), Seq("doc_id"), "left_semi")
     val dots = cand
       .join(xs.as("x"), col("x.doc_id") === col("doc_a"))
       .join(ys.as("y"), col("y.doc_id") === col("doc_b") && col("y.dim") === col("x.dim"))

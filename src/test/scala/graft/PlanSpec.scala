@@ -251,6 +251,40 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected the two-phase top-k windows:\n$p")
   }
 
+  test("data-dependent broadcasts fall back to shuffle above the row gate (round-10 #3)") {
+    // The candidate-doc semi-filter lists and the hard-negative anchors
+    // are the library's only forced broadcasts whose size is
+    // corpus-dependent; they must adopt the CC local-ceiling pattern —
+    // broadcast under the conf gate, shuffle above it. Spark's
+    // autoBroadcastJoinThreshold is disabled for both shapes so the
+    // assertion sees OUR hint (or its absence), not the optimizer's own
+    // small-table choice at toy SF.
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val autoPrev = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "-1")
+    try {
+      // under the gate (default 1M rows): the hint fires
+      val pOn = plan(TextOps.ngramJaccard(spark, sf))
+      assert(pOn.contains("BroadcastExchange"),
+        s"candidate lists not broadcast under the gate:\n$pOn")
+      val hOn = plan(SimilarityOps.hardNegatives(spark, sf))
+      assert(hOn.contains("BroadcastNestedLoopJoin") || hOn.contains("BroadcastHashJoin"),
+        s"anchors not broadcast under the gate:\n$hOn")
+      // gate forced to 0: no forced broadcast anywhere — the semi-joins
+      // shuffle, the anchor cross join distributes both sides
+      spark.conf.set(graft.api.GraftConfig.BroadcastGateKey, "0")
+      val pOff = plan(TextOps.ngramJaccard(spark, sf))
+      assert(!pOff.contains("BroadcastExchange"),
+        s"gate=0 must strip the candidate-list broadcast:\n$pOff")
+      val hOff = plan(SimilarityOps.hardNegatives(spark, sf))
+      assert(!hOff.contains("BroadcastNestedLoopJoin") && !hOff.contains("BroadcastExchange"),
+        s"gate=0 must strip the anchor broadcast:\n$hOff")
+    } finally {
+      spark.conf.unset(graft.api.GraftConfig.BroadcastGateKey)
+      spark.conf.set(autoKey, autoPrev)
+    }
+  }
+
   test("cdc_chunk is map-only: the only exchange is the presentation sort") {
     val p = plan(graft.operators.MiningOps.cdcChunk(spark, sf))
     assert(exchanges(p) == 1, s"expected only the sort exchange, plan:\n$p")
