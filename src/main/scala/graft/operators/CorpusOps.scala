@@ -426,26 +426,84 @@ object CorpusOps {
     *
     * Scale note: the per-lang window ranks each language's docs in one
     * task — fine while per-lang doc COUNTS fit a task's sort budget
-    * (score + id pairs, not text); at 100 TB the rank is replaced by
-    * approx-quantile score cutoffs (two scans, no window), which the
-    * oracle-exact rank stands in for here. */
+    * (score + id pairs, not text). At 100 TB set
+    * [[ApproxCuts.EnabledKey]]: the rank is replaced by approx-quantile
+    * score cutoffs (two scans, no per-language window) with an exact
+    * boundary tie-split — bit-equal to this path while the sketch's rank
+    * error is under one rank (OperatorSpec), deviating by ≤ n/accuracy
+    * boundary docs beyond that. */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val langs = docs(spark, sfDir).select(col("doc_id"), col("lang"))
     val d = docNll(spark, sfDir).join(langs, Seq("doc_id"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("mean_nll").asc, col("doc_id"))
-    val part = Window.partitionBy(col("lang"))
-    d.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(part))
-      .withColumn("bucket",
-        when(col("rn") * 3 <= col("n"), lit("head"))
-          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
-          .otherwise(lit("tail")))
+    val bucketed =
+      if (ApproxCuts.enabled(spark)) pplBucketsApprox(spark, d)
+      else {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("mean_nll").asc, col("doc_id"))
+        val part = Window.partitionBy(col("lang"))
+        d.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(part))
+          .withColumn("bucket",
+            when(col("rn") * 3 <= col("n"), lit("head"))
+              .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+              .otherwise(lit("tail")))
+      }
+    bucketed
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("mean_nll").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1)).cast("double"), 6).as("avg_nll"))
       .orderBy("lang", "bucket")
+  }
+
+  /** The 100 TB tertile cut: per-language `percentile_approx` score
+    * cutoffs instead of a per-language rank window.
+    *
+    * Shape: (1) one mergeable-sketch aggregate per language yields the
+    * 1/3 and 2/3 cutoff scores (fully parallel — no language is ever a
+    * single task); (2) per-language boundary stats (n, docs strictly
+    * below each cutoff) ride the same broadcast join; (3) bucket
+    * assignment is a map-side comparison against the cutoffs, with docs
+    * EQUAL to a cutoff split by doc_id rank inside their (lang, score)
+    * tie group — a window over tie groups, whose partitions are
+    * score-collision-sized, not language-sized.
+    *
+    * Exactness: with cutoff rank error < 1 (accuracy > per-language doc
+    * count) the cutoff is the true boundary value, and for either rank
+    * convention (`floor(p·n)` or `ceil(p·n)`) the boundary targets
+    * satisfy `below ≤ target ≤ below + ties`, so the tie-split
+    * reproduces the rank path's `(mean_nll, doc_id)` order bit-exactly —
+    * the OperatorSpec parity test locks this in at sf0.01. */
+  private def pplBucketsApprox(spark: SparkSession, dIn: DataFrame): DataFrame = {
+    val acc = ApproxCuts.accuracy(spark)
+    // three consumers (sketch, boundary stats, assignment) — persist the
+    // scored base or the NLL pipeline (explode + vocab join) runs thrice
+    val d = dIn.persist().transform(graft.api.Caches.tracked)
+    d.count()
+    val cut = d.groupBy(col("lang"))
+      .agg(percentile_approx(col("mean_nll"),
+        array(lit(1.0 / 3.0), lit(2.0 / 3.0)), lit(acc)).as("cs"),
+        count(lit(1)).as("n"))
+      .select(col("lang"), col("cs").getItem(0).as("c1"),
+        col("cs").getItem(1).as("c2"), col("n"))
+    val dc = d.join(broadcast(cut), Seq("lang"))
+    val below = dc.groupBy(col("lang"))
+      .agg(sum(when(col("mean_nll") < col("c1"), 1L).otherwise(0L)).as("b1"),
+        sum(when(col("mean_nll") < col("c2"), 1L).otherwise(0L)).as("b2"))
+    val tieW = Window.partitionBy(col("lang"), col("mean_nll"))
+      .orderBy(col("doc_id"))
+    dc.join(broadcast(below), Seq("lang"))
+      .withColumn("tr", row_number().over(tieW))
+      .withColumn("t1", expr("n div 3"))
+      .withColumn("t2", expr("(2 * n) div 3"))
+      .withColumn("bucket",
+        when(col("mean_nll") < col("c1"), lit("head"))
+          .when(col("mean_nll") === col("c1") &&
+            col("b1") + col("tr") <= col("t1"), lit("head"))
+          .when(col("mean_nll") < col("c2"), lit("middle"))
+          .when(col("mean_nll") === col("c2") &&
+            col("b2") + col("tr") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
   }
 
   // ----------------------------------------------------- CMS heavy hitters

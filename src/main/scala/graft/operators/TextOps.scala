@@ -941,14 +941,56 @@ object TextOps {
     * `score >= median` float comparison, so the cut is deterministic and
     * engine-portable at any scale. The windows partition by language —
     * never one global partition — and the integer bound uses `div`
-    * (float division misbuckets past 2^53). */
+    * (float division misbuckets past 2^53).
+    *
+    * Scale note: like [[graft.operators.CorpusOps.pplBuckets]], the
+    * per-language rank is one task per language. At 100 TB set
+    * [[ApproxCuts.EnabledKey]]: the cut switches to a per-language
+    * approx-median score cutoff (mergeable sketches, fully parallel)
+    * with an exact (lang, score)-tie-group split — bit-equal to the rank
+    * path while the sketch's rank error is under one rank (OperatorSpec
+    * parity test), ≤ n/accuracy boundary docs of deviation beyond. */
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    if (ApproxCuts.enabled(spark))
+      return qualityFilterApprox(spark, sfDir)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
     qualityScoredUnsorted(spark, sfDir)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
       .filter(col("rn") <= expr("(n + 1) div 2"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** The 100 TB keep-top-half cut: per-language approx-median cutoff +
+    * exact boundary tie-split (see [[ApproxCuts]] and the twin
+    * [[graft.operators.CorpusOps.pplBuckets]] path for the rank-error
+    * argument: for either `percentile_approx` rank convention the keep
+    * target t satisfies `above ≤ t ≤ above + ties`, so splitting the
+    * cutoff-score tie group by doc_id reproduces the
+    * (quality desc, doc_id) rank order bit-exactly while the sketch is
+    * sub-rank accurate). */
+  private def qualityFilterApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    // three consumers (sketch, boundary stats, assignment): persist the
+    // scored base so the scoring scan runs once
+    val d = qualityScoredUnsorted(spark, sfDir)
+      .persist().transform(graft.api.Caches.tracked)
+    d.count()
+    val cut = d.groupBy(col("lang"))
+      .agg(percentile_approx(col("quality"), lit(0.5),
+        lit(ApproxCuts.accuracy(spark))).as("c"),
+        count(lit(1)).as("n"))
+    val dc = d.join(broadcast(cut), Seq("lang"))
+    val above = dc.groupBy(col("lang"))
+      .agg(sum(when(col("quality") > col("c"), 1L).otherwise(0L)).as("b"))
+    val tieW = Window.partitionBy(col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+    dc.join(broadcast(above), Seq("lang"))
+      .withColumn("tr", row_number().over(tieW))
+      .withColumn("t", expr("(n + 1) div 2"))
+      .filter(col("quality") > col("c") ||
+        (col("quality") === col("c") && col("b") + col("tr") <= col("t")))
       .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy("doc_id")
   }
