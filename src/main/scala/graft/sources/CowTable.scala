@@ -1,9 +1,10 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,14 +15,24 @@ import org.apache.spark.sql.functions._
   *
   *  - data lives as immutable files under `<root>/files/`;
   *  - each version is a manifest (`<root>/manifest/v<N>.list`, one file
-  *    name per line) listing the files that make up that snapshot;
+  *    name per line; `#key:value` header lines carry commit metadata)
+  *    listing the files that make up that snapshot;
   *  - [[mergeUpsert]] rewrites ONLY the files that contain a matched
   *    key: untouched files are carried over into the next manifest by
   *    REFERENCE (never copied or rewritten — the copy-on-write win: an
   *    upsert touching 0.1% of keys rewrites ~0.1% of the table);
   *  - every older manifest keeps reading its exact snapshot
   *    ([[readVersion]]) — time travel for free, because data files are
-  *    immutable and only manifests accumulate.
+  *    immutable and only manifests accumulate;
+  *  - [[compact]] re-clusters the current snapshot into range-disjoint
+  *    files as a NEW version (old versions stay readable), restoring
+  *    per-file min/max selectivity after upserts have overlapped key
+  *    ranges;
+  *  - commit metadata makes idempotent writers one-line
+  *    ([[appliedBatches]]): a streaming committer records its batch id
+  *    IN the manifest, so the id commits in the same atomic rename as
+  *    the data it describes — a replayed micro-batch sees its own id
+  *    and no-ops (graft.streaming.StreamingCdc.startToCow).
   *
   * Scale shape: the only driver-side materialization is the FILE LIST
   * (manifest-sized — metadata, same class as GraphOps' size-gated
@@ -29,36 +40,73 @@ import org.apache.spark.sql.functions._
   * the current snapshot against the update keys, reading only the key
   * column plus file names. Single-writer by contract (the reference
   * engine's store has the same discipline); manifests publish via
-  * write-temp-then-atomic-rename so a concurrent READER never sees a
-  * torn version.
+  * write-fsync-then-atomic-rename so a concurrent READER never sees a
+  * torn version, and a committed version survives power loss (the tmp
+  * file is forced to disk before the rename).
   */
 object CowTable {
 
   private def filesDir(root: String) = s"$root/files"
   private def manifestDir(root: String) = s"$root/manifest"
 
+  /** `Files.list` returns an OPEN DirectoryStream — every use site
+    * drains it to a Seq inside Using so a long-lived driver never leaks
+    * descriptors, and no caller ever mutates a directory it is still
+    * iterating (ADVICE round 10). */
+  private def listDir(dir: JPath): Seq[JPath] =
+    Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+
   private def listVersions(root: String): Seq[Int] = {
     val d = Paths.get(manifestDir(root))
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
+    else listDir(d)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
         s.stripPrefix("v").stripSuffix(".list").toInt }
-      .toSeq.sorted
+      .sorted
   }
 
   /** Newest committed version, 0 if the table does not exist yet. */
   def currentVersion(root: String): Int = listVersions(root).lastOption.getOrElse(0)
 
-  /** The file names (relative to `files/`) composing `version`. */
-  def manifest(root: String, version: Int): Seq[String] =
+  private def manifestLines(root: String, version: Int): Seq[String] =
     Files.readAllLines(Paths.get(manifestDir(root), s"v$version.list"),
       StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
 
-  private def writeManifest(root: String, version: Int, names: Seq[String]): Unit = {
+  /** The file names (relative to `files/`) composing `version`. */
+  def manifest(root: String, version: Int): Seq[String] =
+    manifestLines(root, version).filterNot(_.startsWith("#"))
+
+  /** The `#key:value` commit metadata recorded with `version`. */
+  def versionMeta(root: String, version: Int): Map[String, String] =
+    manifestLines(root, version)
+      .filter(_.startsWith("#"))
+      .map(_.drop(1).split(":", 2))
+      .collect { case Array(k, v) => k -> v }
+      .toMap
+
+  /** Batch ids recorded by idempotent committers across ALL versions —
+    * manifest-count-sized metadata. */
+  def appliedBatches(root: String): Set[Long] =
+    listVersions(root).flatMap(v => versionMeta(root, v).get("batch"))
+      .map(_.toLong).toSet
+
+  private def writeManifest(root: String, version: Int, names: Seq[String],
+      meta: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(manifestDir(root)))
     val tmp = Paths.get(manifestDir(root), s".v$version.tmp")
-    Files.write(tmp, names.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
+    val body = (header ++ names.sorted).mkString("\n")
+    // force the tmp file's bytes to disk BEFORE the rename: the atomic
+    // move protects readers from torn versions, but without the fsync a
+    // power loss after the move could surface an empty v<N>.list
+    // (ADVICE round 10 — the doc's durability claim needs the force)
+    Using.resource(java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)) { ch =>
+      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
+    }
     Files.move(tmp, Paths.get(manifestDir(root), s"v$version.list"),
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -77,23 +125,24 @@ object CowTable {
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(stage)
     Files.createDirectories(Paths.get(filesDir(root)))
-    val parts = Files.list(Paths.get(stage)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val names = parts.map { p =>
-      val name = s"${java.util.UUID.randomUUID()}.parquet"
-      Files.move(p, Paths.get(filesDir(root), name))
-      name
-    }
-    Files.list(Paths.get(stage)).iterator().asScala.foreach(Files.delete)
-    Files.delete(Paths.get(stage))
+    val stageDir = Paths.get(stage)
+    val names = listDir(stageDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        Files.move(p, Paths.get(filesDir(root), name))
+        name
+      }
+    listDir(stageDir).foreach(Files.delete)
+    Files.delete(stageDir)
     names
   }
 
   /** Create the table as version 1. */
   def init(spark: SparkSession, root: String, df: DataFrame, key: String,
-      nFiles: Int): Int = {
+      nFiles: Int, meta: Map[String, String] = Map.empty): Int = {
     require(listVersions(root).isEmpty, s"table already exists at $root")
-    writeManifest(root, 1, writeFiles(spark, root, df, nFiles, key))
+    writeManifest(root, 1, writeFiles(spark, root, df, nFiles, key), meta)
     1
   }
 
@@ -111,9 +160,12 @@ object CowTable {
     * `key` (matched) and append otherwise (not matched) — publishing a
     * new version whose manifest reuses every file no matched key lives
     * in. Keys must be unique in the current snapshot and in `updates`
-    * (the upsert contract). Returns the new version number. */
+    * (the upsert contract). `meta` is recorded as `#key:value` manifest
+    * header lines, committing atomically WITH the data — the hook
+    * idempotent writers use ([[appliedBatches]]). Returns the new
+    * version number. */
   def mergeUpsert(spark: SparkSession, root: String, updates: DataFrame,
-      key: String, nNewFiles: Int = 2): Int = {
+      key: String, nNewFiles: Int = 2, meta: Map[String, String] = Map.empty): Int = {
     val cur = currentVersion(root)
     require(cur > 0, s"no table at $root")
     val names = manifest(root, cur)
@@ -124,7 +176,19 @@ object CowTable {
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet // file list — metadata-sized
     }
+    // input_file_name() evaluating to "" (a known Spark pitfall in some
+    // plan shapes) would silently SKIP rewriting a touched file while
+    // still appending its updates — duplicate keys with no error. Fail
+    // loudly instead: every collected path must be non-empty and must
+    // resolve to exactly one manifest entry (ADVICE round 10).
+    require(!touched.contains(""),
+      s"input_file_name() returned an empty path during touched-file " +
+        s"discovery at $root v$cur — aborting to avoid a duplicated snapshot")
     val touchedNames = names.filter(n => touched.exists(_.endsWith("/" + n)))
+    require(touchedNames.size == touched.size,
+      s"touched-file discovery returned ${touched.size} path(s) but only " +
+        s"${touchedNames.size} resolve to manifest entries of $root v$cur " +
+        s"(unresolved: ${touched.filterNot(p => touchedNames.exists(n => p.endsWith("/" + n)))})")
     val untouched = names.diff(touchedNames)
     // survivors from rewritten files (their un-matched rows) + all updates
     val merged =
@@ -136,7 +200,26 @@ object CowTable {
           .unionByName(updates)
       }
     val newNames = writeFiles(spark, root, merged, nNewFiles, key)
-    writeManifest(root, cur + 1, untouched ++ newNames)
+    writeManifest(root, cur + 1, untouched ++ newNames, meta)
+    cur + 1
+  }
+
+  /** Re-cluster the CURRENT snapshot into `nFiles` range-disjoint files
+    * and publish the result as a new version. Upserts re-cluster only
+    * the rows they merge, so across versions the new files' key ranges
+    * increasingly overlap the untouched files' and file-level min/max
+    * pruning decays — compaction is the maintenance move that restores
+    * it (the same job DataLayout.compact does for a plain directory,
+    * here wired into the manifest/time-travel lifecycle). Data files
+    * being immutable, every PRIOR version still reads exactly —
+    * compaction adds files and a manifest, [[vacuum]] reclaims the
+    * superseded ones once history is dropped. Returns the new version. */
+  def compact(spark: SparkSession, root: String, key: String,
+      nFiles: Int): Int = {
+    val cur = currentVersion(root)
+    require(cur > 0, s"no table at $root")
+    val newNames = writeFiles(spark, root, read(spark, root), nFiles, key)
+    writeManifest(root, cur + 1, newNames, Map("compaction" -> "true"))
     cur + 1
   }
 
@@ -146,16 +229,18 @@ object CowTable {
     * ever ADD files. Pure metadata work (manifest set arithmetic) plus
     * file deletes; returns (versions dropped, files deleted). Time
     * travel remains exact for every kept version because a file is
-    * deleted only when NO kept manifest lists it. */
+    * deleted only when NO kept manifest lists it. The directory listing
+    * is materialized BEFORE any delete (mutating a directory under its
+    * own open DirectoryStream is unspecified behavior). */
   def vacuum(root: String, keepVersions: Int = 1): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the newest version")
     val versions = listVersions(root)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
     val referenced = keep.flatMap(v => manifest(root, v)).toSet
-    val deleted = Files.list(Paths.get(filesDir(root))).iterator().asScala
+    val candidates = listDir(Paths.get(filesDir(root)))
       .filter(p => !referenced.contains(p.getFileName.toString))
-      .map { p => Files.delete(p); 1 }.sum
+    candidates.foreach(Files.delete)
     drop.foreach(v => Files.delete(Paths.get(manifestDir(root), s"v$v.list")))
-    (drop.size, deleted)
+    (drop.size, candidates.size)
   }
 }
