@@ -97,17 +97,26 @@ object PipelineOps {
     * per-source count by one) over ε = 0.1. */
   private[operators] val DpLaplaceScale = 10.0
 
-  /** Differentially-private corpus stats release: per-source doc counts
-    * with Laplace(Δ/ε) noise — the shape a data owner publishes about a
-    * 100 TB corpus without exposing exact membership. The noise is
+  /** Laplace-noised corpus stats release: per-source doc counts with
+    * Laplace(Δ/ε)-SHAPED noise — the MECHANISM of a differentially
+    * private release (what a data owner publishes about a 100 TB corpus
+    * without exposing exact membership), demonstrated with a noise
+    * source that is deliberately NOT private. The noise is
     * DETERMINISTIC — inverse-CDF over a hash-uniform
-    * `u = (md5₂₈(seed:source) + 0.5) / 2²⁸` — because at scale a noisy
-    * release must be reproducible under task retries and re-runs (a
-    * re-sampled release would leak through averaging, the classic DP
-    * failure); that also makes it oracle-checkable. u is a dyadic
-    * rational, so every step before the final `ln` is exact in double
-    * on both engines. One map-side-combined aggregate (one row per
-    * source shuffles) + a per-row noise expression. */
+    * `u = (md5₂₈(seed:source) + 0.5) / 2²⁸` with the PUBLIC seed "dp" —
+    * so the release is reproducible under task retries and re-runs (a
+    * re-sampled release would leak through averaging) and
+    * oracle-checkable. THE PRIVACY CAVEAT (ADVICE round 10): noise that
+    * is a deterministic function of public constants provides ZERO
+    * actual privacy — any reader can recompute `u` and subtract the
+    * noise exactly. A production ε = 0.1 deployment keeps this exact
+    * pipeline shape and swaps the literal seed for a SECRET key held by
+    * the data owner (deterministic noise is private iff its seed is
+    * private — a keyed PRF is the standard construction); the query is
+    * the plumbing + determinism demonstration, not a privacy guarantee.
+    * u is a dyadic rational, so every step before the final `ln` is
+    * exact in double on both engines. One map-side-combined aggregate
+    * (one row per source shuffles) + a per-row noise expression. */
   def dpCounts(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .groupBy(col("source")).agg(count(lit(1)).cast("double").as("n"))

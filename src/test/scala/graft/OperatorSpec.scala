@@ -706,6 +706,13 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     // sort+limit on the collect/write path while count() still saw the
     // limited plan — collect-vs-count is the discriminating probe, so
     // every query whose plan carries a Limit gets swept here.
+    // SCOPE (ADVICE round 10): this probe discriminates only when the
+    // Limit feeds the FINAL output. Queries whose orderBy().limit() is
+    // interior to the plan (the recall gates' top-k legs feeding a
+    // 1-row aggregate) return the same row count either way, so for
+    // interior limits the DuckDB oracle hash gate is the sole guard —
+    // a dropped interior top-k changes the aggregated VALUE, which the
+    // oracle compares bit-for-bit.
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Offset}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sf)
