@@ -766,6 +766,7 @@ object SimilarityOps {
     * upgrade, per [[pqRecall]]'s scaladoc). Deterministic end-to-end:
     * quantized assignment, round-6 decimal ADC sums, id tie-breaks. */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val probe = annProbe(spark)
     val q = quantCodes(spark, sfDir)
     val sc = subCodes(q).persist().transform(graft.api.Caches.tracked)
     sc.count()
@@ -773,7 +774,7 @@ object SimilarityOps {
     cents.count()
     val pqc = pqCentroids(sc).persist().transform(graft.api.Caches.tracked)
     pqc.count()
-    val probeLists = q.filter(col("vec_id") === 0)
+    val probeLists = q.filter(col("vec_id") === probe)
       .crossJoin(broadcast(cents))
       .select(col("cid"),
         round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
@@ -785,13 +786,13 @@ object SimilarityOps {
     val probed = assignNearest(q, cents, keepQ = false)
       .join(broadcast(probeLists), col("cid") === col("probe_cid"))
       .select(col("vec_id"))
-    val lut = sc.filter(col("vec_id") === 0)
+    val lut = sc.filter(col("vec_id") === probe)
       .join(broadcast(pqc), Seq("sub"))
       .select(col("sub"), col("cid").as("code"),
         round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
           .cast(DecimalType(18, 6)).as("pd"))
     val shortlist = pqAssign(sc, pqc)
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= probe)
       .join(probed, Seq("vec_id"), "left_semi")
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("vec_id"))
@@ -800,7 +801,7 @@ object SimilarityOps {
       .orderBy(col("adist").asc, col("vec_id"))
       .limit(10)
     val e = vecs(spark, sfDir)
-    val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val probeVec = e.filter(col("vec_id") === probe).select(col("v").as("p"))
     shortlist.join(e, Seq("vec_id"))
       .crossJoin(broadcast(probeVec))
       .select(col("vec_id"),
@@ -808,6 +809,150 @@ object SimilarityOps {
           .as("d"))
       .orderBy(col("d").asc, col("vec_id"))
       .limit(5)
+  }
+
+  /** Probe vector id for the IVF-ADC query family — a library knob
+    * (`spark.graft.ann.probeId`) whose default 0 is what the oracle and
+    * bench pin; the multi-probe recall sweep in OperatorSpec varies it
+    * to average the single-probe noise out of the residual-vs-plain
+    * comparison. */
+  private def annProbe(spark: SparkSession): Int =
+    graft.api.GraftConfig.getInt(spark, "spark.graft.ann.probeId", 0)
+
+  /** Residuals (code − list centroid) are scaled by this and rounded to
+    * whole numbers, so every residual-side sum (sub-centroid means, dot
+    * products) stays exact under any partitioning — the same
+    * whole-number discipline [[quantCodes]] applies to the codes
+    * themselves. 64 preserves 6 bits of sub-integer residual detail;
+    * magnitudes stay ≤ ~2^14 per dim, far inside double-exact range. */
+  private[graft] val ResScale = 64
+
+  /** Whole-number scaled residual sub-codes: each vector's residual
+    * against ITS OWN IVF list centroid, split into [[PqSubspaces]]
+    * slices — (vec_id, cid = the vector's list, sub, sq). The input to
+    * residual codebook training and encoding. */
+  private def resSubCodes(q: DataFrame, cents: DataFrame): DataFrame =
+    assignNearest(q, cents, keepQ = true)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        expr(s"transform(arrays_zip(q, c), " +
+          s"s -> cast(floor((s.q - s.c) * $ResScale + 0.5) as double))").as("rq"))
+      .select(col("vec_id"), col("cid"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("rq"))
+      .select(col("vec_id"), col("cid"), col("sub"),
+        expr(s"slice(rq, sub * $PqSubDim + 1, $PqSubDim)").as("sq"))
+
+  /** Residual-encoded IVF-ADC — the full Jégou et al. IVFADC, closing
+    * [[annIvfPq]]'s documented gap: PQ codebooks are trained on and
+    * codes assigned to the RESIDUAL r = x − centroid(list(x)) instead of
+    * x itself. Residual magnitudes are centroid-deviation-sized, so the
+    * same 4×8 codebook budget spends its 4096 representable points on a
+    * far smaller ball — finer effective quantization, which is why this
+    * is what FAISS-style production indexes ship. The probe computes one
+    * LUT PER PROBED LIST (its residual differs per list) — 2×4×8 rows,
+    * still broadcast-sized; members of the probed lists are the only
+    * vectors that get residual-encoded for scoring, the top-10 ADC
+    * shortlist re-ranks by exact full-vector L2² to a final top-5
+    * (identical read path to [[annIvfPq]], so the two recalls compare
+    * like for like — OperatorSpec asserts residual ≥ plain on this
+    * corpus).
+    *
+    * Determinism: whole-number residuals ([[ResScale]]) keep every sum
+    * exact; distances are round-6; DECIMAL(18,6) ADC sums; id
+    * tie-breaks throughout. Scale shape: coarse centroids, residual
+    * codebooks, probe LUT and probe-list ids are all broadcast
+    * (8 + 32 + 64 + 2 rows); the corpus is scanned once for residual
+    * encoding, only ~probes/K of it reaches the ADC join; exact
+    * distance touches exactly 10 vectors. */
+  def annIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val probe = annProbe(spark)
+    val q = quantCodes(spark, sfDir)
+    val cents = lloydCentroids(q).persist().transform(graft.api.Caches.tracked)
+    cents.count()
+    val rsc = resSubCodes(q, cents).persist().transform(graft.api.Caches.tracked)
+    rsc.count()
+    // residual codebooks train on the FULL corpus's residual sub-codes
+    // (cid dropped — pqCentroids is list-agnostic; one codebook set
+    // shared across lists, the standard IVFADC memory/quality trade)
+    val rcents = pqCentroids(rsc.select(col("vec_id"), col("sub"), col("sq")))
+      .withColumnRenamed("cid", "rcid")
+      .persist().transform(graft.api.Caches.tracked)
+    rcents.count()
+    val probeLists = q.filter(col("vec_id") === probe)
+      .crossJoin(broadcast(cents))
+      .select(col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("pdist"))
+      .orderBy(col("pdist").asc, col("cid"))
+      .limit(2)
+      .select(col("cid").as("probe_cid"))
+    // the probe's residual is PER LIST: one LUT row set per probed list
+    val plCents = cents.join(broadcast(probeLists), col("cid") === col("probe_cid"))
+      .select(col("cid").as("plist"), col("c"))
+    val probeSub = q.filter(col("vec_id") === probe)
+      .crossJoin(broadcast(plCents))
+      .select(col("plist"),
+        expr(s"transform(arrays_zip(q, c), " +
+          s"s -> cast(floor((s.q - s.c) * $ResScale + 0.5) as double))").as("rq"))
+      .select(col("plist"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("rq"))
+      .select(col("plist"), col("sub"),
+        expr(s"slice(rq, sub * $PqSubDim + 1, $PqSubDim)").as("psq"))
+    val lut = probeSub.join(broadcast(rcents), Seq("sub"))
+      .select(col("plist"), col("sub"), col("rcid").as("code"),
+        round(dot("psq", "psq") - lit(2.0) * dot("psq", "c") + dot("c", "c"), 6)
+          .cast(DecimalType(18, 6)).as("pd"))
+    // encode ONLY the probed lists' members, carrying each vector's list
+    val codes = rsc
+      .join(broadcast(probeLists), col("cid") === col("probe_cid"))
+      .join(broadcast(rcents), Seq("sub"))
+      .select(col("vec_id"), col("cid").as("plist"), col("sub"), col("rcid"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .as("dist"))
+      .groupBy(col("vec_id"), col("plist"), col("sub"))
+      .agg(min(struct(col("dist"), col("rcid"))).as("s"))
+      .select(col("vec_id"), col("plist"), col("sub"), col("s.rcid").as("code"))
+    val shortlist = codes
+      .filter(col("vec_id") =!= probe)
+      .join(broadcast(lut), Seq("plist", "sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd")).as("sd"))
+      .select(col("vec_id"), col("sd").cast("double").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(10)
+    val e = vecs(spark, sfDir)
+    val probeVec = e.filter(col("vec_id") === probe).select(col("v").as("p"))
+    shortlist.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .orderBy(col("d").asc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Recall@5 of the residual IVF-ADC composite against the exact
+    * full-vector L2² top-5 — the quality gate that justifies residual
+    * encoding (OperatorSpec additionally asserts it is ≥ the
+    * non-residual [[annIvfPq]] composite's recall on the same corpus,
+    * the verdict's acceptance bar). Deterministic like its siblings. */
+  def ivfpqResRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val probe = annProbe(spark)
+    val e = vecs(spark, sfDir)
+    val probeV = e.filter(col("vec_id") === probe).select(col("v").as("p"))
+    val exact5 = e.crossJoin(broadcast(probeV))
+      .filter(col("vec_id") =!= probe)
+      .select(col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .orderBy(col("d").asc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"))
+    val res5 = annIvfPqRes(spark, sfDir).select(col("vec_id"))
+    exact5.join(res5, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(5).as("k"), col("hits"),
+        round(col("hits").cast("double") / 5.0, 6).as("recall"))
   }
 
   private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
@@ -884,7 +1029,9 @@ object SimilarityOps {
     "product_quantize"   -> (productQuantize _),
     "ann_pq"             -> (annPq _),
     "pq_recall"          -> (pqRecall _),
-    "ann_ivfpq"          -> (annIvfPq _))
+    "ann_ivfpq"          -> (annIvfPq _),
+    "ann_ivfpq_res"      -> (annIvfPqRes _),
+    "ivfpq_res_recall"   -> (ivfpqResRecall _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -1287,7 +1434,93 @@ object SimilarityOps {
         |pv AS (SELECT v AS p FROM v WHERE vec_id = 0)
         |SELECT s.vec_id, ${distSql("vv.v", "pv.p")} AS d
         |FROM short s JOIN v vv ON vv.vec_id = s.vec_id, pv
-        |ORDER BY d, s.vec_id LIMIT 5""".stripMargin)
+        |ORDER BY d, s.vec_id LIMIT 5""".stripMargin,
+    "ann_ivfpq_res" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$qqCteSql,
+        |$kmeansTailSql,
+        |$resTailSql,
+        |pv AS (SELECT v AS p FROM v WHERE vec_id = 0)
+        |SELECT s.vec_id, ${distSql("vv.v", "pv.p")} AS d
+        |FROM rshort s JOIN v vv ON vv.vec_id = s.vec_id, pv
+        |ORDER BY d, s.vec_id LIMIT 5""".stripMargin,
+    "ivfpq_res_recall" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$qqCteSql,
+        |$kmeansTailSql,
+        |$resTailSql,
+        |pv AS (SELECT v AS p FROM v WHERE vec_id = 0),
+        |e5 AS (SELECT vec_id FROM (
+        | SELECT v.vec_id, ${distSql("v.v", "pv.p")} AS d
+        | FROM v, pv WHERE vec_id <> 0
+        | ORDER BY d, vec_id LIMIT 5) ee),
+        |r5 AS (SELECT s.vec_id FROM (
+        | SELECT s.vec_id, ${distSql("vv.v", "pv.p")} AS d
+        | FROM rshort s JOIN v vv ON vv.vec_id = s.vec_id, pv
+        | ORDER BY d, s.vec_id LIMIT 5) s)
+        |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
+        | round(count(*) / 5.0, 6) AS recall
+        |FROM e5 WHERE vec_id IN (SELECT vec_id FROM r5)""".stripMargin)
+
+  /** Shared oracle CTE stack for the RESIDUAL IVF-ADC path, ending at
+    * `rshort` (the 10-row ADC shortlist): states the IDENTICAL pipeline
+    * as [[resSubCodes]] + [[pqCentroids]]-on-residuals + the per-list
+    * probe LUT of [[annIvfPqRes]]. Assumes `qq` and `c1` are already
+    * defined ([[qqCteSql]] + [[kmeansTailSql]]). MATERIALIZED on every
+    * multiply-referenced CTE (DuckDB re-inlines otherwise). */
+  private lazy val resTailSql: String =
+    s"""rassign AS MATERIALIZED (SELECT vec_id, cid, qv FROM (
+      | SELECT qq.vec_id, c.cid, qq.qv,
+      |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+      |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+      | FROM qq, c1 c) t WHERE rn = 1),
+      |rq AS MATERIALIZED (SELECT vec_id, cid, list(rv ORDER BY dim) AS rq FROM (
+      | SELECT a.vec_id, a.cid, i - 1 AS dim,
+      |  CAST(floor((a.qv[i] - c.c[i]) * $ResScale + 0.5) AS DOUBLE) AS rv
+      | FROM rassign a JOIN c1 c USING (cid),
+      |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
+      | WHERE i <= array_length(a.qv)) t GROUP BY vec_id, cid),
+      |rsv AS MATERIALIZED (SELECT vec_id, cid, m.sub,
+      |  rq[m.sub * $PqSubDim + 1 : m.sub * $PqSubDim + $PqSubDim] AS sq
+      | FROM rq, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) m),
+      |rpc0 AS (SELECT sub, vec_id AS rcid, sq AS c FROM rsv WHERE vec_id < $PqK),
+      |rpa1 AS MATERIALIZED (SELECT vec_id, sub, sq, rcid FROM (
+      | SELECT rsv.vec_id, rsv.sub, rsv.sq, c.rcid,
+      |  row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub ORDER BY
+      |   ${distSql("rsv.sq", "c.c")}, c.rcid) AS rn
+      | FROM rsv JOIN rpc0 c ON c.sub = rsv.sub) t WHERE rn = 1),
+      |rpupd AS (SELECT sub, rcid, i - 1 AS dim, sum(sq[i]) / count(*) AS cd
+      | FROM rpa1, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) s
+      | GROUP BY sub, rcid, i),
+      |rpc1 AS MATERIALIZED (SELECT sub, rcid, list(cd ORDER BY dim) AS c
+      | FROM rpupd GROUP BY sub, rcid),
+      |probe_lists AS MATERIALIZED (
+      | SELECT c.cid AS probe_cid
+      | FROM (SELECT qv FROM qq WHERE vec_id = 0) p, c1 c
+      | ORDER BY ${distSql("p.qv", "c.c")}, c.cid LIMIT 2),
+      |prq AS MATERIALIZED (SELECT plist, list(rv ORDER BY dim) AS rq FROM (
+      | SELECT pl.probe_cid AS plist, i - 1 AS dim,
+      |  CAST(floor((p.qv[i] - c.c[i]) * $ResScale + 0.5) AS DOUBLE) AS rv
+      | FROM (SELECT qv FROM qq WHERE vec_id = 0) p, probe_lists pl, c1 c,
+      |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
+      | WHERE c.cid = pl.probe_cid AND i <= array_length(p.qv)) t GROUP BY plist),
+      |psub AS (SELECT plist, m.sub,
+      |  rq[m.sub * $PqSubDim + 1 : m.sub * $PqSubDim + $PqSubDim] AS psq
+      | FROM prq, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) m),
+      |rlut AS MATERIALIZED (SELECT psub.plist, psub.sub, c.rcid AS code,
+      |  CAST(${distSql("psub.psq", "c.c")} AS DECIMAL(18,6)) AS pd
+      | FROM psub JOIN rpc1 c ON c.sub = psub.sub),
+      |rcode AS MATERIALIZED (SELECT vec_id, plist, sub, rcid AS code FROM (
+      | SELECT rsv.vec_id, rsv.cid AS plist, rsv.sub, c.rcid,
+      |  row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub ORDER BY
+      |   ${distSql("rsv.sq", "c.c")}, c.rcid) AS rn
+      | FROM rsv JOIN rpc1 c ON c.sub = rsv.sub
+      | WHERE rsv.cid IN (SELECT probe_cid FROM probe_lists)) t WHERE rn = 1),
+      |rshort AS MATERIALIZED (SELECT r.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
+      | FROM rcode r JOIN rlut l
+      |  ON l.plist = r.plist AND l.sub = r.sub AND l.code = r.code
+      | WHERE r.vec_id <> 0
+      | GROUP BY r.vec_id ORDER BY adist, r.vec_id LIMIT 10)""".stripMargin
 
   /** Shared oracle CTE stack for the PQ family, ending at `pcode` (the
     * per-(vector, subspace) code assignment): states the IDENTICAL

@@ -694,7 +694,7 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       // same rows on empty input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
           name == "ann_recall" || name == "ivf_recall" || name == "pq_recall" ||
-          name == "jl_recall" ||
+          name == "jl_recall" || name == "ivfpq_res_recall" ||
           name == "funnel_steps" ||
           name == "triangle_count" || name == "dq_audit",
         s"$name returned $n rows on empty input")
@@ -930,6 +930,51 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
         assert(mid.getDouble(3) <= ta.getDouble(3) + 1e-9)
       }
     }
+  }
+
+  test("residual IVF-ADC beats plain IVF-ADC on mean recall over a probe sweep") {
+    // The round-10 verdict's acceptance bar for residual encoding:
+    // recall ≥ the non-residual composite on the same corpus. A single
+    // probe is far too noisy to compare index quality (probe 0 happens
+    // to favor the plain path at sf0.01 while the 10-probe means favor
+    // residual at BOTH SFs — measured during development), so the gate
+    // averages the composite recall@5 over 10 probes via the
+    // spark.graft.ann.probeId knob.
+    import org.apache.spark.sql.functions._
+    def dotE(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val probes = 0 until 10
+    var plainSum = 0.0
+    var resSum = 0.0
+    try {
+      for (p <- probes) {
+        spark.conf.set("spark.graft.ann.probeId", p.toString)
+        val e = graft.model.Tables.embeddings(spark, sf)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val pv = e.filter(col("vec_id") === p).select(col("v").as("p"))
+        val exact5 = e.crossJoin(broadcast(pv)).filter(col("vec_id") =!= p)
+          .select(col("vec_id"),
+            round(dotE("v", "v") - lit(2.0) * dotE("v", "p") + dotE("p", "p"), 6).as("d"))
+          .orderBy(col("d").asc, col("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        val plain5 = SimilarityOps.annIvfPq(spark, sf)
+          .collect().map(_.getLong(0)).toSet
+        val res5 = SimilarityOps.annIvfPqRes(spark, sf)
+          .collect().map(_.getLong(0)).toSet
+        plainSum += exact5.intersect(plain5).size / 5.0
+        resSum += exact5.intersect(res5).size / 5.0
+        graft.api.Caches.release(spark)
+      }
+    } finally spark.conf.unset("spark.graft.ann.probeId")
+    val (plainMean, resMean) = (plainSum / probes.size, resSum / probes.size)
+    info(f"mean recall@5 over ${probes.size} probes: plain=$plainMean%.2f residual=$resMean%.2f")
+    assert(resMean >= plainMean,
+      f"residual encoding must not LOWER mean recall: residual=$resMean%.2f < plain=$plainMean%.2f")
+    // and the default-probe gate query reports a sane recall row
+    val gate = SimilarityOps.ivfpqResRecall(spark, sf).collect()
+    assert(gate.length == 1 && gate(0).getInt(0) == 5)
+    assert(gate(0).getDouble(2) >= 0.0 && gate(0).getDouble(2) <= 1.0)
   }
 
   test("approx-quantile cut path is bit-equal to the exact rank path (round-10 #4)") {
