@@ -584,6 +584,100 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** INTRA-document passage dedup (the RefinedWeb/Gopher self-repetition
+    * probe, complementing [[passageDedup]]'s cross-document frequency):
+    * within each document, repeated 10-token passages past their first
+    * occurrence are the doc's internally duplicated mass — template
+    * loops, crawler stutter, generated boilerplate. Reported per doc as
+    * total/unique passage counts and the internal duplicate ratio.
+    *
+    * Two cascaded aggregates on doc-carrying keys — (doc, passage-hash)
+    * then doc — both map-side combinable, no window, no self-join;
+    * per-document work never concentrates (the (doc, hash) key space is
+    * corpus-sized and hash-partitioned). At 100 TB this is strictly
+    * cheaper than [[passageDedup]] (no corpus-wide passage-frequency
+    * table: all keys carry doc_id). */
+  def intradocDedup(spark: SparkSession, sfDir: String): DataFrame =
+    intradocDedupOf(TextOps.normed(spark, sfDir))
+
+  /** [[intradocDedup]]'s kernel over any (doc_id, norm) frame — exposed
+    * at this granularity because a duplicated 10-token window is
+    * statistically impossible in the synthetic corpus, so the
+    * duplicate-detection branch is spec-driven with constructed docs
+    * (the corpus run proves the all-unique branch + the oracle). */
+  private[graft] def intradocDedupOf(normDf: DataFrame): DataFrame = {
+    val p = PassageTokens
+    normDf
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(cast(ceil(size(tokens) / $p.0) as int), 1)), " +
+          s"i -> md5(array_join(slice(tokens, (i - 1) * $p + 1, $p), ' ')))")).as("ph"))
+      .groupBy(col("doc_id"), col("ph"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_pass"),
+        count(lit(1)).as("n_unique"))
+      .withColumn("intra_dup_ratio",
+        round((col("n_pass") - col("n_unique")).cast("double") /
+          col("n_pass").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc perplexity under an interpolated BIGRAM LM — the sequential
+    * upgrade of [[perplexityScore]]'s unigram NLL (the CCNet scoring
+    * family's actual shape: a context-conditional model scores fluency
+    * that unigram frequency cannot see — a doc of common words in
+    * impossible order is unigram-fluent and bigram-gibberish).
+    * P(v|u) = λ·c(uv)/c(u) + (1−λ)·c(v)/N with λ = 0.9; per-doc mean NLL
+    * over the doc's adjacent pairs (docs with < 2 tokens score 0 pairs
+    * and are excluded, stated identically in the oracle).
+    *
+    * Determinism: all counts are exact integers; the interpolation is
+    * one fixed double expression both engines evaluate identically;
+    * round-6 NLL terms sum through DECIMAL(18,6) (shuffle-order exact).
+    * Scale shape: the bigram and unigram tables are token-keyed
+    * aggregates with map-side partials (vocab²- / vocab-sized reduce);
+    * scoring joins the doc's bigram stream against them on the token
+    * keys — no broadcast of data-dependent tables, no window. */
+  def pplBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    // both weights as EXPLICIT double literals, stated identically in the
+    // oracle — `1.0 - 0.9` is 0.09999999999999998 in double, not 0.1
+    val lambda = 0.9
+    val lambdaC = 0.1
+    // adjacent pairs via one self-zip of the token array — no positional
+    // self-join; each doc row explodes to its own bigram stream
+    val docBigrams = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), " +
+          "(u, v) -> struct(u, v))")).as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+      .persist().transform(graft.api.Caches.tracked)
+    docBigrams.count()
+    val big = docBigrams.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
+    val uni = docBigrams.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    // c(v) and N from the SAME bigram stream (successor counts): keeps
+    // the model self-consistent — every probability's numerator and
+    // denominator count the same event space
+    val vCounts = docBigrams.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+    val n = docBigrams.agg(count(lit(1)).as("nn"))
+    docBigrams
+      .join(big, Seq("u", "v"))
+      .join(uni, Seq("u"))
+      .join(vCounts, Seq("v"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(-log(lit(lambda) * (col("cuv").cast("double") / col("cu").cast("double")) +
+          lit(lambdaC) * (col("cv").cast("double") / col("nn").cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- source mixing
   /** Token-budgeted source mixing: deterministically (hash-ordered)
     * admit documents per source until the source's token budget is
@@ -724,6 +818,8 @@ object CorpusOps {
     "bigram_entropy" -> (bigramEntropy _),
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
+    "intradoc_dedup" -> (intradocDedup _),
+    "ppl_bigram"    -> (pplBigram _),
     "source_mix"    -> (sourceMix _),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "boilerplate_strip"   -> (boilerplateStrip _),
@@ -941,6 +1037,40 @@ object CorpusOps {
         |   ' ' ORDER BY h.pos), '')) AS kept_hash
         |FROM h LEFT JOIN bp b ON b.ph = h.ph
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "intradoc_dedup" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
+        |p AS (SELECT doc_id,
+        |  md5(array_to_string(tokens[(i-1)*$PassageTokens+1:(i-1)*$PassageTokens+$PassageTokens], ' ')) AS ph
+        | FROM (SELECT doc_id, tokens,
+        |   unnest(generate_series(1, greatest(CAST(ceil(array_length(tokens) / $PassageTokens.0) AS INT), 1))) AS i
+        |  FROM dtk) t),
+        |o AS (SELECT doc_id, ph, count(*) AS occ FROM p GROUP BY doc_id, ph)
+        |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_pass,
+        | count(*) AS n_unique,
+        | round(CAST(sum(occ) - count(*) AS DOUBLE) / CAST(sum(occ) AS DOUBLE), 6)
+        |  AS intra_dup_ratio
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ppl_bigram" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT doc_id, string_split(norm, ' ') AS ts FROM dn
+        | WHERE array_length(string_split(norm, ' ')) >= 2),
+        |db AS MATERIALIZED (SELECT doc_id, ts[i] AS u, ts[i + 1] AS v
+        | FROM (SELECT doc_id, ts,
+        |   unnest(generate_series(1, array_length(ts) - 1)) AS i FROM dtk) t),
+        |big AS (SELECT u, v, count(*) AS cuv FROM db GROUP BY u, v),
+        |uni AS (SELECT u, count(*) AS cu FROM db GROUP BY u),
+        |vc AS (SELECT v, count(*) AS cv FROM db GROUP BY v),
+        |nn AS (SELECT count(*) AS nn FROM db)
+        |SELECT db.doc_id, count(*) AS n_bigrams,
+        | round(CAST(sum(CAST(round(-ln(
+        |   CAST(0.9 AS DOUBLE) * (CAST(big.cuv AS DOUBLE) / CAST(uni.cu AS DOUBLE)) +
+        |   CAST(0.1 AS DOUBLE) * (CAST(vc.cv AS DOUBLE) / CAST(nn.nn AS DOUBLE))), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+        |FROM db JOIN big ON big.u = db.u AND big.v = db.v
+        | JOIN uni ON uni.u = db.u
+        | JOIN vc ON vc.v = db.v, nn
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
     "perplexity_score" ->
       s"""WITH $pplCtesSql
         |SELECT doc_id, n_tokens, mean_nll FROM nll ORDER BY doc_id""".stripMargin,

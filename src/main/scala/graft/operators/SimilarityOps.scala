@@ -193,6 +193,39 @@ object SimilarityOps {
       .filter(col("cos") >= 0.4)
   }
 
+  /** Eval-split modulus for [[semanticDecontaminate]]: vec_id % this
+    * == 0 marks an eval vector (the held-out benchmark embedding). */
+  private[operators] val SemDecontEvalMod = 50
+
+  /** Embedding-space decontamination — the semantic counterpart of the
+    * n-gram `decontaminate`/`decontaminate_bloom` pair: a paraphrased
+    * benchmark item shares no 13-gram with its source but sits next to
+    * it in embedding space, so modern pipelines decontaminate in BOTH
+    * spaces. Train vectors whose cosine to ANY eval-split vector clears
+    * the near-dup bar (the shared LSH grid's 0.4 re-score threshold)
+    * are flagged, each with its closest eval match (max cos, min
+    * eval_id on ties — deterministic via one max-struct aggregate).
+    *
+    * Reuses [[embeddingNeardup]]'s banded grid verbatim: candidates are
+    * LSH-bucket-bounded (never all-pairs), the cross-split filter is a
+    * per-pair predicate, and the per-train reduction is one
+    * map-side-combinable aggregate — same 100 TB shape as the rest of
+    * the near-dup family. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val isEvalA = col("vec_a") % SemDecontEvalMod === 0
+    val isEvalB = col("vec_b") % SemDecontEvalMod === 0
+    neardupPairsUnsorted(spark, sfDir)
+      .filter(isEvalA =!= isEvalB) // exactly one side is an eval vector
+      .select(
+        when(isEvalA, col("vec_b")).otherwise(col("vec_a")).as("vec_id"),
+        when(isEvalA, col("vec_a")).otherwise(col("vec_b")).as("eval_id"),
+        col("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("eval_id"), col("m.c").as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** Neighbors kept per vector by [[knnGraph]]. */
   private[operators] val KnnK = 3
 
@@ -1013,6 +1046,7 @@ object SimilarityOps {
     "topk_similarity"    -> (topkSimilarity _),
     "hard_negatives"     -> (hardNegatives _),
     "embedding_neardup"  -> (embeddingNeardup _),
+    "semantic_decontaminate" -> (semanticDecontaminate _),
     "embed_dedup_groups" -> (embedDedupGroups _),
     "knn_graph"          -> (knnGraph _),
     "embed_quantize"     -> (embedQuantize _),
@@ -1173,6 +1207,19 @@ object SimilarityOps {
     "embedding_neardup" ->
       s"""WITH $neardupCtesSql
         |SELECT vec_a, vec_b, cos FROM pairs ORDER BY vec_a, vec_b""".stripMargin,
+    "semantic_decontaminate" ->
+      s"""WITH $neardupCtesSql,
+        |cp AS (SELECT
+        |  CASE WHEN vec_a % $SemDecontEvalMod = 0 THEN vec_b ELSE vec_a END AS vec_id,
+        |  CASE WHEN vec_a % $SemDecontEvalMod = 0 THEN vec_a ELSE vec_b END AS eval_id,
+        |  cos
+        | FROM pairs
+        | WHERE (vec_a % $SemDecontEvalMod = 0) <> (vec_b % $SemDecontEvalMod = 0))
+        |SELECT vec_id, eval_id, cos FROM (
+        | SELECT vec_id, eval_id, cos,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+        | FROM cp) t WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "knn_graph" ->
       s"""WITH $neardupCtesSql,
         |sym AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos FROM pairs

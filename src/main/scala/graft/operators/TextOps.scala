@@ -995,6 +995,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- rule-based filtering
+  /** The Gopher stop-word list (Rae et al. 2021, Appendix A): presence
+    * of at least [[GopherStopMin]] distinct members is the cheap
+    * "real prose" signal. */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GopherStopMin = 2
+
+  /** Gopher rule-based quality battery (Rae et al. 2021, Appendix A) —
+    * the pre-model filter stack every pre-training pipeline runs before
+    * any learned scoring: per-document word-count bounds [50, 100k],
+    * mean word length bounds [3, 10], symbol-to-word ratio (`#`/`...`)
+    * < 0.1, ≥ 80% alphabetic words, and ≥ 2 distinct stop words; plus
+    * each rule's boolean, the pass count, and the conjunction `keep`.
+    *
+    * Map-only: one scan to the presentation sort, every signal a
+    * codegen'd string/array expression; ratios are single divisions of
+    * exact integers, rounded once (round-6) — shuffle-free and
+    * engine-portable. On THIS synthetic corpus the symbol rule is an
+    * exact zero for every document and only "the" of the stop list
+    * occurs (so `keep` is uniformly false at stop_min = 2) — the
+    * columns still carry the full per-rule decisions a real corpus
+    * would split on, and the oracle checks every value. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(trim(col("text")), " ")
+    val nWords = size(words)
+    val wordChars = length(regexp_replace(col("text"), " ", ""))
+    val symbols = hits(col("text"), "#") + hits(col("text"), "...")
+    val alphaWords = expr("size(filter(split(trim(text), ' '), w -> w rlike '[a-z]'))")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stopDistinct = GopherStops
+      .map(w => (instr(padded, s" $w ") > 0).cast("int")).reduce(_ + _)
+    docs(spark, sfDir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(wordChars.cast("double") / nWords.cast("double"), 6).as("mean_wlen"),
+        round(symbols.cast("double") / nWords.cast("double"), 6).as("symbol_ratio"),
+        round(alphaWords.cast("double") / nWords.cast("double"), 6).as("alpha_frac"),
+        stopDistinct.as("stop_distinct"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("symbol_ratio"), col("alpha_frac"), col("stop_distinct"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
+        (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("r_wlen"),
+        (col("symbol_ratio") < 0.1).as("r_symbol"),
+        (col("alpha_frac") >= 0.8).as("r_alpha"),
+        (col("stop_distinct") >= GopherStopMin).as("r_stop"))
+      .withColumn("n_passed",
+        Seq("r_words", "r_wlen", "r_symbol", "r_alpha", "r_stop")
+          .map(c => col(c).cast("int")).reduce(_ + _))
+      .withColumn("keep",
+        col("r_words") && col("r_wlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over (length, head-64, tail-64) of the
     * normalized text — an O(1)-size sketch for cheap candidate blocking.
     */
@@ -1118,6 +1172,7 @@ object TextOps {
     "quality_score"       -> (qualityScore _),
     "quality_filter"      -> (qualityFilter _),
     "fingerprint"         -> (fingerprint _),
+    "gopher_rules"        -> (gopherRules _),
     "pii_scrub"           -> (piiScrub _))
 
   private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1572,5 +1627,40 @@ object TextOps {
         | md5(regexp_replace(regexp_replace(regexp_replace(txt,
         |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
         |   '$IpRe', '<IP>', 'g')) AS scrubbed_hash
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // rules computed from the ROUNDED ratios on both sides, so the rule
+    // booleans can never disagree with the reported values
+    "gopher_rules" ->
+      s"""WITH g AS (SELECT doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_words,
+        |  length(replace(text, ' ', '')) AS word_chars,
+        |  CAST((length(text) - length(replace(text, '#', ''))) AS INTEGER)
+        |   + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INTEGER) AS symbols,
+        |  len(list_filter(string_split(trim(text), ' '),
+        |      w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+        |  ${GopherStops.map(w =>
+            s"(CASE WHEN strpos(' ' || text || ' ', ' $w ') > 0 THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS stop_distinct
+        | FROM documents),
+        |r AS (SELECT doc_id, n_words,
+        |  round(CAST(word_chars AS DOUBLE) / n_words, 6) AS mean_wlen,
+        |  round(CAST(symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+        |  round(CAST(alpha_words AS DOUBLE) / n_words, 6) AS alpha_frac,
+        |  stop_distinct
+        | FROM g)
+        |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, stop_distinct,
+        | (n_words >= 50 AND n_words <= 100000) AS r_words,
+        | (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS r_wlen,
+        | (symbol_ratio < 0.1) AS r_symbol,
+        | (alpha_frac >= 0.8) AS r_alpha,
+        | (stop_distinct >= $GopherStopMin) AS r_stop,
+        | CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN stop_distinct >= $GopherStopMin THEN 1 ELSE 0 END) AS INTEGER) AS n_passed,
+        | (n_words >= 50 AND n_words <= 100000 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |  AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
+        |  AND stop_distinct >= $GopherStopMin) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

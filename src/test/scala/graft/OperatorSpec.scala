@@ -932,6 +932,89 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("gopher_rules: keep is the rule conjunction and every ratio is internally consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextOps.gopherRules(spark, sf).collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val (nWords, meanWlen, symRatio, alphaFrac, stopDistinct) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))
+      val bools = (6 to 10).map(r.getBoolean)
+      assert(r.getInt(11) == bools.count(identity), "n_passed != rule sum")
+      assert(r.getBoolean(12) == bools.forall(identity), "keep != conjunction")
+      assert(bools(0) == (nWords >= 50 && nWords <= 100000))
+      assert(bools(4) == (stopDistinct >= 2))
+      // this corpus: pure lowercase word soup — the symbol rule is an
+      // exact zero and every word is alphabetic (honest degenerate values)
+      assert(symRatio == 0.0 && alphaFrac == 1.0)
+      assert(meanWlen > 0.0)
+    }
+    // the word-count rule genuinely splits this corpus (median ≈ 56 words)
+    val kept = rows.count(_.getBoolean(6))
+    assert(kept > 0 && kept < rows.length, "r_words should discriminate here")
+  }
+
+  test("intradoc_dedup reconciles with passage_dedup's per-doc passage totals") {
+    import org.apache.spark.sql.functions._
+    val intra = operators.CorpusOps.intradocDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cross = operators.CorpusOps.passageDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(intra.keySet == cross.keySet)
+    for ((doc, (nPass, nUnique)) <- intra) {
+      assert(nPass == cross(doc), s"doc $doc: passage totals diverge between the two views")
+      assert(nUnique >= 1 && nUnique <= nPass)
+    }
+    // a duplicated 10-token window is statistically impossible in random
+    // word soup (confirmed: zero at sf0.001 AND sf0.01), so the corpus
+    // run above proves the all-unique branch; the duplicate branch is
+    // driven with constructed docs
+    assert(intra.values.forall { case (p, u) => u == p })
+    import spark.implicits._
+    val w10 = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val constructed = Seq(
+      (1L, s"$w10 $w10 $w10"),            // one passage repeated 3×
+      (2L, s"$w10 " + (11 to 20).map(i => s"tok$i").mkString(" ")), // 2 unique
+      (3L, "short doc"))                  // single ragged passage
+      .toDF("doc_id", "norm")
+    val got = operators.CorpusOps.intradocDedupOf(constructed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 1L, 0.666667)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 0.0)))
+  }
+
+  test("ppl_bigram scores every 2+-token doc with exactly n_tokens-1 bigrams") {
+    import org.apache.spark.sql.functions._
+    val got = operators.CorpusOps.pplBigram(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == toks.filter(_._2 >= 2).keySet)
+    for ((doc, (nb, nll)) <- got) {
+      assert(nb == toks(doc) - 1, s"doc $doc: bigram count != tokens - 1")
+      assert(nll > 0.0, s"doc $doc: NLL must be positive under a smoothed LM")
+    }
+  }
+
+  test("semantic_decontaminate flags only train vectors against genuine eval near-dups") {
+    val flagged = operators.SimilarityOps.semanticDecontaminate(spark, sf).collect()
+    assert(flagged.nonEmpty, "no contamination found — vacuous on this corpus")
+    val pairSet = operators.SimilarityOps.embeddingNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (r <- flagged) {
+      val (train, eval, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(train % 50 != 0, s"$train is an eval vector — must never be flagged")
+      assert(eval % 50 == 0, s"$eval is not an eval vector")
+      assert(cos >= 0.4)
+      val key = if (train < eval) (train, eval) else (eval, train)
+      assert(pairSet.get(key).contains(cos),
+        s"flagged pair $key not in (or disagreeing with) the near-dup pair table")
+    }
+  }
+
   test("residual IVF-ADC beats plain IVF-ADC on mean recall over a probe sweep") {
     // The round-10 verdict's acceptance bar for residual encoding:
     // recall ≥ the non-residual composite on the same corpus. A single
