@@ -448,6 +448,42 @@ object AnalyticOps {
       .orderBy("event_id")
   }
 
+  /** Robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe twin of [[anomalyZscore]]: mean/stddev baselines
+    * are THEMSELVES dragged by the outliers they hunt (one 1000× spike
+    * inflates σ enough to hide every 10× spike), while median/MAD have
+    * a 50% breakdown point — the standard robust alternative
+    * (Hampel/Leys' |x − med| > 3 · 1.4826·MAD). Per-user, not
+    * windowed: the whole-history robust baseline, complementing the
+    * z-score's trailing-window drift detection.
+    *
+    * Exactness: the per-user median and MAD are EXACT interpolated
+    * percentiles (the `percentiles` query's proven type-7 parity),
+    * rounded once; every downstream double op is an identical literal
+    * chain in both engines, and the flag compares the ROUNDED score.
+    * Scale shape: two user-keyed aggregates + two co-partitioned
+    * user-keyed joins — one shuffle key throughout; per-user exact
+    * percentile state is that user's values (the same bound the
+    * z-score's per-type window already accepts). */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val med = ev.groupBy(col("user_id"))
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = ev.join(med, Seq("user_id"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("user_id"))
+      .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+    dev.join(mad, Seq("user_id"))
+      .filter(col("mad") > 0.0)
+      .withColumn("score",
+        round(col("adev") / (lit(1.4826) * col("mad")), 6))
+      .filter(col("score") > 3.0)
+      .select(col("event_id"), col("user_id"), round(col("value"), 6).as("value"),
+        col("med"), col("mad"), col("score"))
+      .orderBy("event_id")
+  }
+
   /** Single-pass data profiling (ANALYZE-style column statistics): row
     * count, non-null count, exact distinct count, and min/max per
     * profiled lineitem column, as one row per column. The pipeline-
@@ -628,6 +664,7 @@ object AnalyticOps {
     "path_topk"        -> (pathTopk _),
     "gap_percentiles"  -> (gapPercentiles _),
     "anomaly_zscore"   -> (anomalyZscore _),
+    "anomaly_mad"      -> (anomalyMad _),
     "transition_matrix" -> (transitionMatrix _),
     "column_profile"   -> (columnProfile _),
     "retention_cohort" -> (retentionCohort _),
@@ -781,6 +818,21 @@ object AnalyticOps {
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "anomaly_mad" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |med AS (SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+        | FROM ev GROUP BY user_id),
+        |dev AS (SELECT e.event_id, e.user_id, e.value, m.med,
+        |  abs(e.value - m.med) AS adev
+        | FROM ev e JOIN med m USING (user_id)),
+        |mad AS (SELECT user_id, round(quantile_cont(adev, 0.5), 6) AS mad
+        | FROM dev GROUP BY user_id)
+        |SELECT d.event_id, d.user_id, round(d.value, 6) AS value, d.med, m.mad,
+        | round(d.adev / (CAST(1.4826 AS DOUBLE) * m.mad), 6) AS score
+        |FROM dev d JOIN mad m USING (user_id)
+        |WHERE m.mad > 0.0
+        | AND round(d.adev / (CAST(1.4826 AS DOUBLE) * m.mad), 6) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "anomaly_zscore" ->
       """SELECT event_id, event_type, value,
         | round(mean, 6) AS mean, round(z, 6) AS z

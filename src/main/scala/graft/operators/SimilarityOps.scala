@@ -988,6 +988,86 @@ object SimilarityOps {
         round(col("hits").cast("double") / 5.0, 6).as("recall"))
   }
 
+  /** IVF index-build diagnostics: per-list member count, corpus share,
+    * and mean assignment distance under the once-updated k-means
+    * centroids — the balance table an ANN deployment reads BEFORE
+    * choosing nprobe (a skewed list distribution means fixed-nprobe
+    * recall varies wildly per query; the standard fix is re-seeding or
+    * splitting hot lists, and this is the table that triggers it).
+    * One corpus scan (broadcast-K assignment with map-side-combined
+    * min-struct), one K-row aggregate; the share denominator is the
+    * persisted assignment's count — a metadata scalar. */
+  def ivfBuildStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantCodes(spark, sfDir)
+    val assigned = assignNearest(q, lloydCentroids(q), keepQ = false)
+      .persist().transform(graft.api.Caches.tracked)
+    val total = assigned.count()
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_dist"))
+      .select(col("cid").as("list_id"), col("n_members"),
+        round(col("n_members").cast("double") / lit(total.toDouble), 6).as("share"),
+        col("avg_dist"))
+      .orderBy("list_id")
+  }
+
+  /** Lloyd rounds run by [[kmeansIterate]]. */
+  private[operators] val KmeansIterRounds = 3
+
+  /** Multi-round exact Lloyd with a per-round convergence report —
+    * (round, inertia, n_changed): the training curve that tells an
+    * index builder when more rounds stop paying (inertia plateaus,
+    * reassignment count → 0). [[kmeansAssign]] is the one-round
+    * production assignment; this is the BUILD loop behind it, kept
+    * exact at every round: centroid updates are means of whole-number
+    * codes (sums exact under any partitioning) no matter which members
+    * a round assigns, distances are round-6 with cid tie-breaks, and
+    * per-round inertia sums round-6 DECIMALs — so even the convergence
+    * curve is bit-deterministic and oracle-checkable. Driver-side loop
+    * cost: [[KmeansIterRounds]] × (one broadcast-K corpus scan + one
+    * K-row update aggregate) — iteration count is a constant, data
+    * passes are linear, nothing is collected. n_changed counts vs the
+    * PREVIOUS round's assignment (round 1 counts every vector). */
+  def kmeansIterate(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val q = quantCodes(spark, sfDir)
+    var cents = q.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    var prev: DataFrame = null
+    var out: DataFrame = Seq.empty[(Int, Double, Long)]
+      .toDF("round", "inertia", "n_changed")
+    for (r <- 1 to KmeansIterRounds) {
+      val a = assignNearest(q, cents, keepQ = true)
+        .persist().transform(graft.api.Caches.tracked)
+      a.count()
+      val changed =
+        if (prev == null) a.agg(count(lit(1)).as("n_changed"))
+        else a.select(col("vec_id"), col("cid"))
+          .join(prev.select(col("vec_id"), col("cid").as("pcid")), Seq("vec_id"))
+          .agg(sum(when(col("cid") =!= col("pcid"), 1L).otherwise(0L)).as("n_changed"))
+      val row = a.agg(round(sum(col("dist").cast(DecimalType(18, 6)))
+          .cast("double"), 6).as("inertia"))
+        .crossJoin(broadcast(changed))
+        .select(lit(r).as("round"), col("inertia"), col("n_changed"))
+      out = out.unionByName(row)
+      // next round's centroids: exact whole-number-sum means over this
+      // round's members
+      cents = a.select(col("cid"), posexplode(col("q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col")) / count(lit(1))).as("cd"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)")
+          .as("c"))
+      prev = a
+    }
+    // the no-groupBy aggregates produce one NULL-inertia row per round
+    // on an empty corpus — filter them so empty input degrades to an
+    // empty result (stated identically in the oracle)
+    out.filter(col("inertia").isNotNull).orderBy("round")
+  }
+
   private def quantCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val q = vecs(spark, sfDir)
       .select(col("vec_id"),
@@ -1059,6 +1139,8 @@ object SimilarityOps {
     "ann_lsh"            -> (annLsh _),
     "ann_ivf"            -> (annIvf _),
     "kmeans_assign"      -> (kmeansAssign _),
+    "kmeans_iterate"     -> (kmeansIterate _),
+    "ivf_build_stats"    -> (ivfBuildStats _),
     "semantic_dedup"     -> (semanticDedup _),
     "product_quantize"   -> (productQuantize _),
     "ann_pq"             -> (annPq _),
@@ -1412,6 +1494,21 @@ object SimilarityOps {
         |SELECT a.vec_id, a.cid AS cluster, d.vec_id IS NULL AS kept
         |FROM a2 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+    "ivf_build_stats" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$kmeansCtesSql,
+        |a AS (SELECT vec_id, cid, dist FROM (
+        | SELECT qq.vec_id, c.cid, ${distSql("qq.qv", "c.c")} AS dist,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c) t WHERE rn = 1),
+        |tot AS (SELECT count(*) AS n FROM a)
+        |SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n_members,
+        | round(CAST(count(*) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS share,
+        | round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS avg_dist
+        |FROM a, tot GROUP BY cid, tot.n ORDER BY list_id""".stripMargin,
+    "kmeans_iterate" -> kmeansIterateSql,
     "kmeans_assign" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |$kmeansCtesSql
@@ -1508,6 +1605,50 @@ object SimilarityOps {
         |SELECT 5 AS k, CAST(count(*) AS BIGINT) AS hits,
         | round(count(*) / 5.0, 6) AS recall
         |FROM e5 WHERE vec_id IN (SELECT vec_id FROM r5)""".stripMargin)
+
+  /** Oracle for [[kmeansIterate]]: the [[KmeansIterRounds]] Lloyd rounds
+    * UNROLLED as chained CTEs — each round's assignment (row_number =
+    * the Scala min-struct with the same (dist, cid) order), inertia
+    * (round-6 DECIMAL sum), reassignment count vs the previous round,
+    * and exact whole-number-mean centroid update. The NULL-inertia
+    * filter states the Scala side's empty-corpus degradation. */
+  private lazy val kmeansIterateSql: String = {
+    def assign(r: Int): String = {
+      val cents = if (r == 1) "c0" else s"cc${r - 1}"
+      s"""a$r AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+        | SELECT qq.vec_id, c.cid, ${distSql("qq.qv", "c.c")} AS dist,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, $cents c) t WHERE rn = 1)""".stripMargin
+    }
+    def update(r: Int): String =
+      s"""uu$r AS (SELECT cid, i - 1 AS dim, sum(qv[i]) / count(*) AS cd
+        | FROM a$r JOIN qq USING (vec_id),
+        |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
+        | WHERE i <= array_length(qv)
+        | GROUP BY cid, i),
+        |cc$r AS (SELECT cid, list(cd ORDER BY dim) AS c FROM uu$r GROUP BY cid)""".stripMargin
+    def roundRow(r: Int): String = {
+      val changed =
+        if (r == 1) s"(SELECT CAST(count(*) AS BIGINT) FROM a1)"
+        else s"""(SELECT CAST(sum(CASE WHEN x.cid <> p.cid THEN 1 ELSE 0 END) AS BIGINT)
+          | FROM a$r x JOIN a${r - 1} p USING (vec_id))""".stripMargin
+      s"""SELECT $r AS round,
+        | (SELECT round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE), 6) FROM a$r) AS inertia,
+        | $changed AS n_changed""".stripMargin
+    }
+    val rounds = 1 to KmeansIterRounds
+    val ctes = rounds.map { r =>
+      if (r < KmeansIterRounds) s"${assign(r)},\n${update(r)}" else assign(r)
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+      |$qqCteSql,
+      |c0 AS (SELECT vec_id AS cid, qv AS c FROM qq WHERE vec_id < $KmeansK),
+      |$ctes
+      |SELECT round, inertia, n_changed FROM (
+      |${rounds.map(roundRow).mkString("\nUNION ALL\n")}) t
+      |WHERE inertia IS NOT NULL ORDER BY round""".stripMargin
+  }
 
   /** Shared oracle CTE stack for the RESIDUAL IVF-ADC path, ending at
     * `rshort` (the 10-row ADC shortlist): states the IDENTICAL pipeline

@@ -614,6 +614,27 @@ object TextOps {
           .as("dup_pct"))
       .orderBy("source")
 
+  /** Quality-aware survivorship: within each duplicate component the
+    * HIGHEST-[[qualityScore]] member survives (min doc_id on ties) —
+    * how production dedup actually picks representatives: keep-min-id
+    * ([[dedupCanonical]]) is an arbitrary choice that discards the
+    * best-written copy whenever a low id happens to be the boilerplate
+    * variant; survivorship policy is the step after grouping in every
+    * MDM/dedup pipeline. One doc-keyed join of the shared CC labels
+    * against the quality frame, then one max-struct aggregate per
+    * component (associative — map-side combined; no window, no second
+    * pass). Output is component-sized. */
+  def dedupSurvivorship(spark: SparkSession, sfDir: String): DataFrame =
+    dedupGroupsUnsorted(spark, sfDir)
+      .join(qualityScoredUnsorted(spark, sfDir).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("group_sz"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("group_id"), (-col("m.nid")).as("survivor_id"),
+        col("m.q").as("quality"), col("group_sz"))
+      .orderBy("group_id")
+
   /** Duplicate-cluster size histogram (the WIMBD-style corpus
     * diagnostic): how many dedup components exist at each size, and how
     * many documents they hold. Size 1 = unique docs; a heavy tail here
@@ -1152,6 +1173,7 @@ object TextOps {
     "dedup_groups"        -> (dedupGroups _),
     "dup_cluster_stats"   -> (dupClusterStats _),
     "dedup_canonical"     -> (dedupCanonical _),
+    "dedup_survivorship"  -> (dedupSurvivorship _),
     "ngram_jaccard"       -> (ngramJaccard _),
     "minhash_containment" -> (minhashContainment _),
     "cross_source_neardup" -> (crossSourceNeardup _),
@@ -1394,6 +1416,23 @@ object TextOps {
         |groups AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id)
         |SELECT group_id AS doc_id, CAST(count(*) AS BIGINT) AS group_sz
         |FROM groups GROUP BY group_id ORDER BY doc_id""".stripMargin,
+    "dedup_survivorship" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r),
+        |groups AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+        |$qualityCtesSql
+        |SELECT group_id, survivor_id, quality, group_sz FROM (
+        | SELECT g.group_id, q.doc_id AS survivor_id, q.quality,
+        |  CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT) AS group_sz,
+        |  row_number() OVER (PARTITION BY g.group_id
+        |   ORDER BY q.quality DESC, q.doc_id) AS rn
+        | FROM groups g JOIN q ON q.doc_id = g.doc_id) t
+        |WHERE rn = 1 ORDER BY group_id""".stripMargin,
     "dup_cluster_stats" ->
       s"""WITH RECURSIVE $candCtesSql,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand

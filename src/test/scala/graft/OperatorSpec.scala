@@ -932,6 +932,90 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("dedup_survivorship picks each group's max-quality member, min id on ties") {
+    val groups = operators.TextOps.dedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = operators.TextOps.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val got = operators.TextOps.dedupSurvivorship(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // one row per component, sizes reconcile with the canonical view
+    val canonical = operators.TextOps.dedupCanonical(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(_._1).toSet == canonical.keySet)
+    for ((gid, survivor, q, sz) <- got) {
+      assert(sz == canonical(gid))
+      val members = groups.filter(_._2 == gid).keys.toSeq
+      assert(members.contains(survivor), s"survivor $survivor not in group $gid")
+      val bestQ = members.map(quality).max
+      assert(q == bestQ, s"group $gid survivor quality $q != max $bestQ")
+      assert(survivor == members.filter(quality(_) == bestQ).min,
+        s"group $gid: ties must break to min doc_id")
+    }
+    // the policy must genuinely differ from keep-min-id somewhere, or the
+    // query is dedup_canonical with extra columns
+    assert(got.exists { case (gid, survivor, _, sz) => sz > 1 && survivor != gid },
+      "max-quality survivor never differed from the min-id canonical")
+  }
+
+  test("anomaly_mad agrees with a driver-side robust recomputation per user") {
+    val flagged = operators.AnalyticOps.anomalyMad(spark, sf).collect()
+    assert(flagged.nonEmpty, "no MAD outliers at this SF — vacuous")
+    val byUser = graft.model.Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._2)
+    def medianOf(xs: Seq[Double]): Double = { // type-7 interpolated, like both engines
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val expected = byUser.flatMap { case (_, evs) =>
+      val med = BigDecimal(medianOf(evs.map(_._3)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mad = BigDecimal(medianOf(evs.map(e => math.abs(e._3 - med))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (mad <= 0.0) Seq.empty[Long]
+      else evs.toSeq.flatMap { case (id, _, v) =>
+        val score = BigDecimal(math.abs(v - med) / (1.4826 * mad))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (score > 3.0) Seq(id) else Seq.empty
+      }
+    }.toSet
+    assert(flagged.map(_.getLong(0)).toSet == expected,
+      "flagged event set diverged from the driver-side MAD recomputation")
+    assert(flagged.forall(_.getDouble(5) > 3.0))
+  }
+
+  test("kmeans_iterate: Lloyd inertia is non-increasing across the unrolled rounds") {
+    val rows = operators.SimilarityOps.kmeansIterate(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val inertia = rows.map(_.getDouble(1))
+    for (i <- 1 until inertia.length)
+      assert(inertia(i) <= inertia(i - 1) + 1e-3,
+        s"inertia rose at round ${i + 1}: ${inertia.toSeq}")
+    // round 1 counts every vector as newly assigned
+    val n = graft.model.Tables.embeddings(spark, sf).count()
+    assert(rows(0).getLong(2) == n)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= n))
+  }
+
+  test("ivf_build_stats reconciles with kmeans_assign: same lists, same member counts") {
+    val stats = operators.SimilarityOps.ivfBuildStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val assign = operators.SimilarityOps.kmeansAssign(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    assert(stats.keySet == assign.keySet)
+    for ((cid, (n, share)) <- stats) {
+      assert(n == assign(cid))
+      assert(share > 0.0 && share <= 1.0)
+    }
+    val total = assign.values.sum
+    assert(stats.values.map(_._1).sum == total)
+    assert(math.abs(stats.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
   test("gopher_rules: keep is the rule conjunction and every ratio is internally consistent") {
     import org.apache.spark.sql.functions._
     val rows = operators.TextOps.gopherRules(spark, sf).collect()
