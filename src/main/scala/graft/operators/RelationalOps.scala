@@ -36,6 +36,41 @@ object RelationalOps {
   private def discPrice =
     col("l_extendedprice").cast(Dec) * (lit(1) - col("l_discount").cast(DecimalType(9, 4)))
 
+  /** TPC-H Q5 shape — local-supplier revenue by nation: the canonical
+    * SIX-table snowflake join (region → nation → {customer, supplier} →
+    * orders → lineitem) with the extra equi-constraint that customer
+    * and supplier share a nation, a one-year order window, and a
+    * revenue rollup per nation. The widest join tree in the suite —
+    * what it proves at 100 TB: the two facts (orders, lineitem) join on
+    * their natural keys with the date filter PUSHED into the orders
+    * scan (partition-prunable on a date-partitioned layout), the
+    * FIXED-size dimensions broadcast by hint (region 5 rows, nation
+    * 25 — constants at any SF), supplier is left to AQE (it SCALES with
+    * the corpus in TPC-H, so a forced hint would be the exact
+    * data-dependent-broadcast hazard the shared row gate exists for —
+    * at bench SFs the optimizer broadcasts it on its own statistics),
+    * and the nation-match constraint rides the supplier join as a
+    * residual predicate instead of forcing any extra shuffle. Revenue
+    * sums [[discPrice]] decimals — exact under any shuffle order. */
+  def q5RevenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   // ----------------------------------------------------------- SQL surface
   /** TPC-H Q3-shaped shipping-priority query submitted through the
     * `spark.sql(...)` ENTRY PATH over registered temp views — every
@@ -548,6 +583,7 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit"         -> (dqAudit _),
     "q1_agg"           -> (q1Agg _),
+    "q5_revenue"       -> (q5RevenueByNation _),
     "agg_rollup"       -> (aggRollup _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube"         -> (aggCube _),
@@ -658,6 +694,22 @@ object RelationalOps {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_revenue" ->
+      """SELECT n.n_name,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -363,32 +363,70 @@ object TextOps {
   /** Shared decontamination core. `prefilter(evalShingles, trainShingles)`
     * may thin the train side (e.g. the Bloom prefilter) — it must only
     * ever DROP rows that cannot join, never add or mutate. */
-  private def decontamFrom(spark: SparkSession, sfDir: String)(
-      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val bucket = PipelineOps.keyHash("spl") % 1000
-    // ONE long-lived cache, ONE pass over the shingle pipeline. The
-    // round-8 shape held TWO eager persists (`sh`, then `rare` derived
-    // from it) for the whole query — that double residency under memory
-    // pressure made the decontam pair the round-8 bench's only
-    // regression. The distinct-shingle base still needs a cache (its two
-    // consumers — the df aggregate and the semi-join probe — are
-    // separate plan branches, and AQE does not stage-reuse across them:
-    // verified, the probe branch re-ran the scan+normalize+explode when
-    // unpersisted), but it is TRANSIENT now: dropped the moment `rare`
-    // materializes, so only `rare` stays resident for the query's
-    // lifetime. Deliberately a groupBy + semi-join, NOT a
-    // count-over-window: the count aggregates with map-side partials and
-    // a skewed probe partition is AQE-splittable, while a window group
-    // on a boilerplate shingle (10⁸ docs at 100 TB) is one unsplittable
-    // task.
+  /** The deterministic 1000-bucket split key shared by the whole
+    * decontamination family (train < 900 ≤ holdout < 950 ≤ eval). */
+  private def splitBucket = PipelineOps.keyHash("spl") % 1000
+
+  /** The corpus's rare bucketed shingles — the decontamination base:
+    * distinct (doc, 3-gram) pairs df-capped to rare shingles, with the
+    * split bucket attached. ONE long-lived cache, ONE pass over the
+    * shingle pipeline. The round-8 shape held TWO eager persists (`sh`,
+    * then `rare` derived from it) for the whole query — that double
+    * residency under memory pressure made the decontam pair the round-8
+    * bench's only regression. The distinct-shingle base still needs a
+    * cache (its two consumers — the df aggregate and the semi-join
+    * probe — are separate plan branches, and AQE does not stage-reuse
+    * across them: verified, the probe branch re-ran the
+    * scan+normalize+explode when unpersisted), but it is TRANSIENT:
+    * dropped the moment `rare` materializes, so only `rare` stays
+    * resident for the query's lifetime. Deliberately a groupBy +
+    * semi-join, NOT a count-over-window: the count aggregates with
+    * map-side partials and a skewed probe partition is AQE-splittable,
+    * while a window group on a boilerplate shingle (10⁸ docs at 100 TB)
+    * is one unsplittable task. */
+  private def rareBucketedShingles(spark: SparkSession, sfDir: String): DataFrame = {
     val dsh = shinglesOf(normed(spark, sfDir), 3).distinct().persist()
     dsh.count() // deterministic fill-before-branch (round-2 discipline)
     val rareSh = dsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DecontamMaxDf).select(col("sh"))
     val rare = dsh.join(rareSh, Seq("sh"), "left_semi")
-      .withColumn("bucket", bucket).persist().transform(graft.api.Caches.tracked)
+      .withColumn("bucket", splitBucket).persist().transform(graft.api.Caches.tracked)
     rare.count()
     graft.api.Caches.dropTransient(dsh) // transient: dead once rare is built
+    rare
+  }
+
+  /** The OFFLINE eval-side decontamination index — (eval_id, sh) rows of
+    * the eval split's rare shingles. The artifact
+    * [[graft.streaming.StreamingDecontaminate]] builds once and probes
+    * every arriving micro-batch against; a match requires membership in
+    * this (already df-capped) set, so the stream side needs NO corpus
+    * statistics of its own and its verdicts agree with the batch path
+    * exactly (StreamingSpec parity). */
+  private[graft] def evalShingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    rareBucketedShingles(spark, sfDir).filter(col("bucket") >= 950)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+
+  /** The train-split documents (the stream side of the streaming
+    * decontamination parity test). */
+  private[graft] def trainSplitDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).filter(splitBucket < 900).select(col("doc_id"), col("text"))
+
+  /** One micro-batch's contamination incidents against the offline
+    * index: every (arriving train doc, eval doc) pair sharing ≥
+    * [[DecontamMinOverlap]] rare shingles. Per-batch stream-static join
+    * — each doc's shingle set is self-contained, so NO cross-batch
+    * state is needed and batch boundaries cannot change any incident. */
+  private[graft] def decontamIncidents(batch: DataFrame, evalIdx: DataFrame): DataFrame =
+    shinglesOf(batch.select(col("doc_id"), normCol.as("norm")), 3).distinct()
+      .join(evalIdx, Seq("sh"))
+      .groupBy(col("doc_id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= DecontamMinOverlap)
+
+  private def decontamFrom(spark: SparkSession, sfDir: String)(
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val rare = rareBucketedShingles(spark, sfDir)
     val evalSh = rare.filter(col("bucket") >= 950)
     val trainSh = prefilter(evalSh, rare.filter(col("bucket") < 900))
     val overlaps = evalSh.as("e")
@@ -401,7 +439,7 @@ object TextOps {
     val best = overlaps.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("train_id").as("contaminated_by"), col("overlap"))
-    docs(spark, sfDir).select(col("doc_id")).filter(bucket >= 950)
+    docs(spark, sfDir).select(col("doc_id")).filter(splitBucket >= 950)
       .join(best, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("contaminated_by"),
         coalesce(col("overlap"), lit(0L)).as("overlap"),
@@ -757,6 +795,36 @@ object TextOps {
       .filter(col("hamming") <= SimhashHammingMax)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash-vs-SimHash candidate-pair agreement — the method-selection
+    * diagnostic a dedup operator reads before standardizing on one
+    * index: the two families catch DIFFERENT duplicates (MinHash is
+    * set-overlap — robust to reordering; SimHash is a weighted profile
+    * — robust to small edits), and the overlap/only-counts of their
+    * pair sets on a sample decide whether one index suffices or both
+    * run. One full-outer join of the two (already candidate-bounded)
+    * pair tables, reduced to a one-row summary with the pair-set
+    * Jaccard — both pipelines keep their own kernels, so this query
+    * measures the methods exactly as deployed. */
+  def dedupMethodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val mh = candidatePairsFrom(shingles(spark, sfDir, 3))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_mh"))
+    val sh = simhashNeardup(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_sh"))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("in_sh").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+        sum(when(col("in_mh").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+      // the no-groupBy aggregate yields one NULL row on an empty corpus —
+      // filter it so empty input degrades to empty (stated in the oracle)
+      .filter(col("n_both").isNotNull)
+      .select(col("n_both"), col("n_minhash_only"), col("n_simhash_only"),
+        round(col("n_both").cast("double") /
+          greatest(col("n_both") + col("n_minhash_only") + col("n_simhash_only"),
+            lit(1L)).cast("double"), 6).as("pair_jaccard"))
   }
 
   // ---------------------------------------------------------- featurization
@@ -1183,6 +1251,7 @@ object TextOps {
     "edit_distance_pairs" -> (editDistancePairs _),
     "simhash"             -> (simhash _),
     "simhash_neardup"     -> (simhashNeardup _),
+    "dedup_method_agreement" -> (dedupMethodAgreement _),
     "tf_embedding"        -> (tfEmbedding _),
     "doc_embed_similarity" -> (docEmbedSimilarity _),
     "text_stats"          -> (textStats _),
@@ -1565,6 +1634,31 @@ object TextOps {
         |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM shcand
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_method_agreement" ->
+      s"""WITH $candCtesSql,
+        |$simhashCtesSql,
+        |shbands AS MATERIALIZED (
+        | SELECT doc_id, simhash, bb.band_no,
+        |  (simhash // CAST(pow(2, 15 * bb.band_no) AS BIGINT)) % 32768 AS bh
+        | FROM shsig, (SELECT unnest(generate_series(0, 3)) AS band_no) bb),
+        |shp AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM shbands a JOIN shbands b
+        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |j AS (SELECT m.doc_a IS NOT NULL AS in_mh, s.doc_a IS NOT NULL AS in_sh
+        | FROM cand m FULL OUTER JOIN shp s
+        |  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN NOT in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+        |  CAST(sum(CASE WHEN NOT in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
+        | FROM j)
+        |SELECT n_both, n_minhash_only, n_simhash_only,
+        | round(CAST(n_both AS DOUBLE) /
+        |  CAST(greatest(n_both + n_minhash_only + n_simhash_only, 1) AS DOUBLE), 6)
+        |  AS pair_jaccard
+        |FROM agg WHERE n_both IS NOT NULL""".stripMargin,
     "tf_embedding" ->
       s"""WITH $tfCtesSql
         |SELECT doc_id, dim, tf FROM tf ORDER BY doc_id, dim""".stripMargin,

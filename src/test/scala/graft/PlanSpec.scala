@@ -285,6 +285,16 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q5_revenue: date filter pushed to the orders scan, no cartesian in the 6-way tree") {
+    val p = plan(RelationalOps.q5RevenueByNation(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"6-way join went cartesian:\n$p")
+    // the one-year window must reach the orders parquet scan as a pushed
+    // filter, not evaluate post-join
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date filter not pushed into the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"fixed dims not broadcast:\n$p")
+  }
+
   test("cdc_chunk is map-only: the only exchange is the presentation sort") {
     val p = plan(graft.operators.MiningOps.cdcChunk(spark, sf))
     assert(exchanges(p) == 1, s"expected only the sort exchange, plan:\n$p")

@@ -404,6 +404,54 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     corpusBands.unpersist()
   }
 
+  test("streaming decontamination incidents reproduce the batch contamination report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01: the smallest SF whose corpus actually contains cross-split
+    // contamination (sf0.001 has zero incidents — vacuous)
+    val sf01 = "/root/testdata/sf0.01"
+    // the offline artifact: the eval split's rare-shingle index
+    val evalIdx = graft.operators.TextOps.evalShingleIndex(spark, sf01).persist()
+    evalIdx.count()
+    val train = graft.operators.TextOps.trainSplitDocs(spark, sf01)
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val out = tempDir("sdecon_out")
+    val q = graft.streaming.StreamingDecontaminate.start(
+      stream.toDF().toDF("doc_id", "text"), evalIdx, tempDir("sdecon_ckpt"), out)
+    try {
+      // three arrival waves — incidents are per-doc self-contained, so
+      // batch boundaries must not change a single verdict
+      train.grouped(math.max(train.length / 3, 1)).foreach { wave =>
+        stream.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val incidents = spark.read.parquet(out)
+    assert(incidents.count() > 0, "no contamination incidents — vacuous")
+    // folding the streamed incidents to best-per-eval (max overlap, min
+    // train id) reproduces the batch decontaminate query bit-for-bit
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_id")).orderBy(col("overlap").desc, col("train_id"))
+    val best = incidents.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_id").as("doc_id"), col("train_id").as("contaminated_by"),
+        col("overlap"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.operators.TextOps.decontaminate(spark, sf01).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(batch.nonEmpty)
+    for ((evalDoc, verdict) <- batch) verdict match {
+      case Some(hit) => assert(best.get(evalDoc).contains(hit),
+        s"eval doc $evalDoc: stream says ${best.get(evalDoc)}, batch says $hit")
+      case None => assert(!best.contains(evalDoc),
+        s"eval doc $evalDoc clean in batch but flagged by the stream")
+    }
+    assert(best.keySet.subsetOf(batch.keySet))
+    evalIdx.unpersist()
+  }
+
   test("streaming cdc: merged state is batch-boundary-independent and matches cdc_upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
