@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -396,6 +397,77 @@ object MultimodalOps {
     }.toDF().orderBy("doc_id")
   }
 
+  case class ImagePhash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash grid side (6×6 samples → 30 horizontal + 30
+    * vertical difference bits = a 60-bit hash, BIGINT-safe like the
+    * 60-bit SimHash). */
+  private val PhashGrid = 6
+
+  /** Perceptual image hash (difference hash, H+V variant) from REAL
+    * decoded pixels: javax.imageio inflates the PNG, a nearest-neighbor
+    * 6×6 downsample picks pixel (i·w/6, j·h/6), gray = r+g+b (integer —
+    * no luma weights, no division), and each bit records whether gray
+    * increases to the right (30 bits) / downward (30 bits) — the
+    * standard dHash construction, both orientations so the hash sees
+    * vertical structure too. The oracle re-derives every bit from the
+    * synthetic pixel formula by pure integer SQL, so a wrong inflate,
+    * stride, channel order, or grid index breaks the hash match.
+    *
+    * HONEST COARSENESS NOTE: these synthetic images are monotone
+    * gradients, and a difference hash cannot distinguish two monotone
+    * gradients with the same sample-repeat pattern — phash classes here
+    * are coarser than pixel-identity classes (the spec pins both
+    * directions: identical images never split; classes only merge).
+    * That is dHash behaving as designed (it is a perceptual sketch);
+    * the deliverable is the 100 TB media-dedup machinery — binary
+    * column → amortized decode → constant-size hash → hash-groupBy. */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pixelTable(spark, sfDir)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { row =>
+          val id = row.doc_id
+          val (w, h) = (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null && img.getWidth == w && img.getHeight == h,
+            s"decode failed for doc $id")
+          val g = PhashGrid
+          val gray = Array.tabulate(g, g) { (j, i) =>
+            val rgb = img.getRGB(i * w / g, j * h / g)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          var hash = 0L
+          for (j <- 0 until g; i <- 0 until g - 1)
+            if (gray(j)(i + 1) > gray(j)(i)) hash |= 1L << (j * (g - 1) + i)
+          for (i <- 0 until g; j <- 0 until g - 1)
+            if (gray(j + 1)(i) > gray(j)(i))
+              hash |= 1L << (g * (g - 1) + i * (g - 1) + j)
+          ImagePhash(id, hash)
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** Image dedup by perceptual hash: the hash-groupBy dedup shape over
+    * the multimodal column — one shuffle on the 60-bit hash, per-class
+    * window (partitioned by hash, never global), min-id canonical. The
+    * media twin of the text `dedup_exact` family: decode once, keep a
+    * constant-size sketch per asset, dedup on the sketch — the only
+    * shape that survives 100 TB of binary payloads (no pixel data ever
+    * shuffles; the hash table is 8 bytes a row). */
+  def imageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("phash")).orderBy(col("doc_id"))
+    val cw = Window.partitionBy(col("phash"))
+    imagePhash(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("class_size", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("phash"),
+        (col("rn") === 1).as("is_canonical"), col("class_size"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- real audio decode
   /** One decoded audio row: real metadata parsed from real WAV bytes. */
   case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
@@ -702,6 +774,8 @@ object MultimodalOps {
     "audio_meta"      -> (audioMeta _),
     "audio_frame_sample" -> (audioFrameSample _),
     "image_resize"    -> (imageResize _),
+    "image_phash"     -> (imagePhash _),
+    "image_dedup"     -> (imageDedup _),
     "video_meta"      -> (videoMeta _),
     "video_frame_sample" -> (videoFrameSample _))
 
@@ -823,5 +897,47 @@ object MultimodalOps {
         |SELECT doc_id, in_w, in_h, out_w, out_h,
         | CAST(sum((2*i + 2*j) % 251 + (4*i + 2*j) % 251 + (2*i + 4*j) % 251) AS BIGINT) AS pix_sum
         |FROM px GROUP BY doc_id, in_w, in_h, out_w, out_h
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // re-derives every hash bit from the synthetic pixel formula by
+    // pure integer SQL: NN sample (i·w//6, j·h//6), gray = sum of the
+    // three mod-251 channels, H bits 0-29 / V bits 30-59
+    "image_phash" ->
+      s"""WITH $phashCtesSql
+        |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin,
+    "image_dedup" ->
+      s"""WITH $phashCtesSql
+        |SELECT doc_id, phash, rn = 1 AS is_canonical, class_size FROM (
+        | SELECT doc_id, phash,
+        |  row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY phash) AS class_size
+        | FROM ph) t ORDER BY doc_id""".stripMargin)
+
+  /** Shared oracle CTE stack for the perceptual hash, ending at `ph`
+    * (doc_id, phash) — states the IDENTICAL grid/gray/bit construction
+    * as [[imagePhash]]. MATERIALIZED where referenced twice. */
+  private lazy val phashCtesSql: String =
+    s"""dims AS (SELECT doc_id,
+      |  CAST(doc_id % 32 + 2 AS INTEGER) AS w,
+      |  CAST(doc_id % 24 + 2 AS INTEGER) AS h FROM documents),
+      |g AS MATERIALIZED (SELECT doc_id, i, j,
+      |  ((sx + sy) % 251) + ((2*sx + sy) % 251) + ((sx + 2*sy) % 251) AS gray
+      | FROM (SELECT d.doc_id, si.i, sj.j,
+      |   (si.i * d.w) // $PhashGrid AS sx, (sj.j * d.h) // $PhashGrid AS sy
+      |  FROM dims d,
+      |   (SELECT unnest(generate_series(0, ${PhashGrid - 1})) AS i) si,
+      |   (SELECT unnest(generate_series(0, ${PhashGrid - 1})) AS j) sj) t),
+      |hb AS (SELECT a.doc_id,
+      |  CASE WHEN b.gray > a.gray
+      |   THEN CAST(pow(2, a.j * ${PhashGrid - 1} + a.i) AS BIGINT) ELSE 0 END AS bit
+      | FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+      | WHERE a.i < ${PhashGrid - 1}),
+      |vb AS (SELECT a.doc_id,
+      |  CASE WHEN b.gray > a.gray
+      |   THEN CAST(pow(2, ${PhashGrid * (PhashGrid - 1)} + a.i * ${PhashGrid - 1} + a.j) AS BIGINT)
+      |   ELSE 0 END AS bit
+      | FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+      | WHERE a.j < ${PhashGrid - 1}),
+      |ph AS MATERIALIZED (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+      | FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb) u
+      | GROUP BY doc_id)""".stripMargin
 }

@@ -932,6 +932,30 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("image_phash never splits identical images; image_dedup canonicals are exact") {
+    // images are a pure function of doc_id mod 96 (dims mod 32/24 +
+    // fixed pixel formula) — identical images MUST share a phash; the
+    // perceptual hash may additionally merge distinct gradients
+    // (documented dHash coarseness), so classes only ever coarsen
+    val ph = operators.MultimodalOps.imagePhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.nonEmpty)
+    for ((_, members) <- ph.groupBy(_._1 % 96))
+      assert(members.values.toSet.size == 1,
+        "identical images (same id mod 96) received different phashes")
+    assert(ph.forall { case (_, h) => h >= 0 && h < (1L << 60) },
+      "phash must fit 60 bits")
+    val dd = operators.MultimodalOps.imageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(dd.map(_._1).toSet == ph.keySet)
+    for ((hash, members) <- dd.groupBy(_._2)) {
+      val canonicals = members.filter(_._3)
+      assert(canonicals.length == 1, s"phash $hash has ${canonicals.length} canonicals")
+      assert(canonicals.head._1 == members.map(_._1).min, "canonical must be min id")
+      assert(members.forall(_._4 == members.length), "class_size wrong")
+    }
+  }
+
   test("dedup_survivorship picks each group's max-quality member, min id on ties") {
     val groups = operators.TextOps.dedupGroups(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
