@@ -223,6 +223,44 @@ object CowTable {
     cur + 1
   }
 
+  /** Selectivity-decay diagnostic for the CURRENT version: per-file
+    * (min, max) ranges of `key` and the number of file pairs whose
+    * ranges overlap. 0 overlapping pairs = file-level min/max pruning
+    * is as selective as it can be (a point lookup reads one file);
+    * growth across upserts is the signal [[compactIfNeeded]] acts on.
+    * Cost: ONE column-pruned scan of the key grouped by
+    * `input_file_name()` (manifest-sized result), and the pair check is
+    * a self-join of that manifest-sized frame — both metadata-class. */
+  def overlapStats(spark: SparkSession, root: String, key: String): (Long, Long) = {
+    val ranges = readVersion(spark, root, currentVersion(root))
+      .select(col(key), input_file_name().as("__f"))
+      .groupBy(col("__f"))
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+    val n = ranges.count()
+    val overlapping = ranges.as("a")
+      .join(ranges.as("b"),
+        col("a.__f") < col("b.__f") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .count()
+    (n, overlapping)
+  }
+
+  /** Compaction POLICY: compact when more than `maxOverlapFraction` of
+    * file pairs have overlapping key ranges (the decay upserts cause —
+    * each rewrite re-clusters only merged rows, so fresh files
+    * increasingly straddle untouched files' ranges). Returns the new
+    * version when compaction ran, None when the layout is still
+    * healthy — the maintenance loop a table service runs on a
+    * schedule, here as one idempotent call. */
+  def compactIfNeeded(spark: SparkSession, root: String, key: String,
+      nFiles: Int, maxOverlapFraction: Double = 0.1): Option[Int] = {
+    val (n, overlapping) = overlapStats(spark, root, key)
+    val pairs = n * (n - 1) / 2
+    if (pairs > 0 && overlapping.toDouble / pairs > maxOverlapFraction)
+      Some(compact(spark, root, key, nFiles))
+    else None
+  }
+
   /** Garbage-collect history: keep the newest `keepVersions` manifests,
     * delete older manifests and every data file no kept manifest
     * references — the VACUUM every COW table needs, since upserts only

@@ -129,6 +129,35 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     assert(onDisk == CowTable.manifest(root, v).toSet)
   }
 
+  test("compactIfNeeded fires only past the overlap threshold and is then idempotent") {
+    import spark.implicits._
+    val root = tempDir("cow_policy")
+    val base = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    CowTable.init(spark, root, base, "event_id", nFiles = 8)
+    // fresh range-clustered layout: zero overlapping pairs, policy no-ops
+    val (n0, o0) = CowTable.overlapStats(spark, root, "event_id")
+    assert(n0 == 8 && o0 == 0, s"fresh layout should be disjoint, got ($n0, $o0)")
+    assert(CowTable.compactIfNeeded(spark, root, "event_id", nFiles = 8).isEmpty)
+    // upserts spanning DISTANT files: each merge re-clusters the union
+    // of the touched files' survivors into 2 fresh ranges that straddle
+    // untouched files in between — the decay mechanism itself
+    for ((a, b) <- Seq((5L, 9000L), (1500L, 7000L)))
+      CowTable.mergeUpsert(spark, root,
+        Seq((a, -1L, 1.0), (b, -1L, 2.0)).toDF("event_id", "user_id", "value"),
+        "event_id")
+    val (n1, o1) = CowTable.overlapStats(spark, root, "event_id")
+    assert(o1 > 0, "upserts should have produced overlapping ranges")
+    val before = CowTable.currentVersion(root)
+    val compacted = CowTable.compactIfNeeded(spark, root, "event_id", nFiles = 8)
+    assert(compacted.contains(before + 1), s"policy should have compacted: ($n1, $o1)")
+    // restored layout: disjoint again, second call no-ops
+    val (n2, o2) = CowTable.overlapStats(spark, root, "event_id")
+    assert(n2 == 8 && o2 == 0, s"post-compact layout not disjoint: ($n2, $o2)")
+    assert(CowTable.compactIfNeeded(spark, root, "event_id", nFiles = 8).isEmpty)
+    assert(CowTable.currentVersion(root) == before + 1)
+  }
+
   test("streaming cdc commits into the cow table exactly once under batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
