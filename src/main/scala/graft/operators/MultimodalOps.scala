@@ -422,32 +422,59 @@ object MultimodalOps {
     * That is dHash behaving as designed (it is a perceptual sketch);
     * the deliverable is the 100 TB media-dedup machinery — binary
     * column → amortized decode → constant-size hash → hash-groupBy. */
-  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    phashOf(pixelTable(spark, sfDir)).orderBy("doc_id")
+
+  /** [[imagePhash]]'s kernel over ANY decodable image table — grid
+    * indices come from the DECODED dimensions, not the synthetic
+    * formula, so the same kernel hashes arriving stream payloads
+    * (graft.streaming.StreamingImageDedup). */
+  private[graft] def phashOf(images: Dataset[ImageBytes]): DataFrame = {
+    val spark = images.sparkSession
     import spark.implicits._
-    pixelTable(spark, sfDir)
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { row =>
-          val id = row.doc_id
-          val (w, h) = (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.payload))
-          require(img != null && img.getWidth == w && img.getHeight == h,
-            s"decode failed for doc $id")
-          val g = PhashGrid
-          val gray = Array.tabulate(g, g) { (j, i) =>
-            val rgb = img.getRGB(i * w / g, j * h / g)
-            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          }
-          var hash = 0L
-          for (j <- 0 until g; i <- 0 until g - 1)
-            if (gray(j)(i + 1) > gray(j)(i)) hash |= 1L << (j * (g - 1) + i)
-          for (i <- 0 until g; j <- 0 until g - 1)
-            if (gray(j + 1)(i) > gray(j)(i))
-              hash |= 1L << (g * (g - 1) + i * (g - 1) + j)
-          ImagePhash(id, hash)
+    images.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        require(img != null, s"decode failed for doc ${row.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val g = PhashGrid
+        val gray = Array.tabulate(g, g) { (j, i) =>
+          val rgb = img.getRGB(i * w / g, j * h / g)
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         }
-      }.toDF().orderBy("doc_id")
+        var hash = 0L
+        for (j <- 0 until g; i <- 0 until g - 1)
+          if (gray(j)(i + 1) > gray(j)(i)) hash |= 1L << (j * (g - 1) + i)
+        for (i <- 0 until g; j <- 0 until g - 1)
+          if (gray(j + 1)(i) > gray(j)(i))
+            hash |= 1L << (g * (g - 1) + i * (g - 1) + j)
+        ImagePhash(row.doc_id, hash)
+      }
+    }.toDF()
+  }
+
+  /** The offline phash index of an existing media corpus: one row per
+    * distinct hash with its min-id canonical — the static side of the
+    * streaming media dedup (8 bytes + id per DISTINCT perceptual class,
+    * far smaller than the corpus). */
+  private[graft] def phashIndex(images: Dataset[ImageBytes]): DataFrame =
+    phashOf(images).groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+
+  /** One micro-batch's dedup verdicts against the index: arriving
+    * images hashed (real decode) and left-joined on the hash —
+    * (doc_id, phash, matched_old, kept). Per-batch stream-static join,
+    * no cross-batch state (a batch's hash is self-contained). */
+  private[graft] def phashVerdicts(batch: DataFrame, index: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    phashOf(batch.select(col("doc_id"), col("payload")).as[ImageBytes])
+      .join(index, Seq("phash"), "left_outer")
+      .select(col("doc_id"), col("phash"),
+        col("canonical_id").as("matched_old"),
+        col("canonical_id").isNull.as("kept"))
   }
 
   /** Image dedup by perceptual hash: the hash-groupBy dedup shape over

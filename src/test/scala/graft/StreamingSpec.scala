@@ -404,6 +404,53 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     corpusBands.unpersist()
   }
 
+  test("streaming image dedup verdicts match a batch recomputation over the same split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkImage(id: Long): (Long, Array[Byte]) =
+      (id, graft.operators.MultimodalOps.synthPngPixels(
+        ((id % 32) + 2).toInt, ((id % 24) + 2).toInt))
+    val allIds = (0L until 300L)
+    val (corpusIds, newIds) = (allIds.filter(_ % 10 != 9), allIds.filter(_ % 10 == 9))
+    val corpus = corpusIds.map(mkImage).toDF("doc_id", "payload")
+      .as[graft.operators.MultimodalOps.ImageBytes]
+    val index = graft.operators.MultimodalOps.phashIndex(corpus).persist()
+    index.count()
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val out = tempDir("simg_out")
+    val q = graft.streaming.StreamingImageDedup.start(
+      stream.toDF().toDF("doc_id", "payload"), index,
+      tempDir("simg_ckpt"), out)
+    try {
+      val waves = newIds.map(mkImage)
+      val (w1, w2) = waves.splitAt(waves.length / 2)
+      stream.addData(w1: _*); q.processAllAvailable()
+      stream.addData(w2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> (Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(got.keySet == newIds.toSet)
+    // expected: an arriving image is a duplicate iff some corpus image
+    // shares its phash class; id mod 96 determines the image exactly,
+    // and the phash may additionally merge classes — recompute from the
+    // REAL hashes, not the id arithmetic
+    val corpusHash = graft.operators.MultimodalOps.phashOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byHash = corpusHash.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val newHash = graft.operators.MultimodalOps.phashOf(
+        newIds.map(mkImage).toDF("doc_id", "payload")
+          .as[graft.operators.MultimodalOps.ImageBytes])
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- newIds) {
+      val expectMatch = byHash.get(newHash(id))
+      assert(got(id)._1.map(_.asInstanceOf[Long]) == expectMatch,
+        s"doc $id: matched_old ${got(id)._1} != expected $expectMatch")
+      assert(got(id)._2 == expectMatch.isEmpty, s"doc $id kept flag wrong")
+    }
+    assert(got.values.exists(!_._2), "no duplicate found — vacuous")
+    index.unpersist()
+  }
+
   test("streaming decontamination incidents reproduce the batch contamination report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
