@@ -116,6 +116,53 @@ object StreamBench {
         s""","anomalies":$outRows,"state_keys":$nKeys,""" +
           s""""state_doubles_per_key":${operators.AnalyticOps.ZscoreWindow}""")
     }
+    // ---- streaming decontamination: train docs vs the eval index ------
+    locally {
+      val evalIdx = TextOps.evalShingleIndex(spark, sfDir).persist()
+      evalIdx.count()
+      val train = TextOps.trainSplitDocs(spark, sfDir)
+      train.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/decon_in")
+      val n = spark.read.parquet(s"$stage/decon_in").count()
+      val in = fileStream(s"$stage/decon_in", train.schema)
+      val q = graft.streaming.StreamingDecontaminate.start(
+        in, evalIdx, s"$stage/decon_ckpt", s"$stage/decon_out")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val incidents = spark.read.parquet(s"$stage/decon_out").count()
+      report("decontaminate", n, sec, s""","incidents":$incidents""")
+      api.Caches.dropTransient(evalIdx, blocking = true)
+      api.Caches.release(spark)
+    }
+
+    // ---- streaming image dedup: payloads vs the phash index -----------
+    locally {
+      import graft.operators.MultimodalOps
+      val mkDims = (id: Long) => (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
+      val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      val corpus = ids.filter(_ % 10 != 9).mapPartitions(_.map { id =>
+        val (w, h) = mkDims(id)
+        MultimodalOps.ImageBytes(id, MultimodalOps.synthPngPixels(w, h))
+      })
+      val index = MultimodalOps.phashIndex(corpus).persist()
+      index.count()
+      val newImgs = ids.filter(_ % 10 == 9).mapPartitions(_.map { id =>
+        val (w, h) = mkDims(id)
+        MultimodalOps.ImageBytes(id, MultimodalOps.synthPngPixels(w, h))
+      }).toDF()
+      newImgs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/img_in")
+      val n = spark.read.parquet(s"$stage/img_in").count()
+      val in = fileStream(s"$stage/img_in", newImgs.schema)
+      val q = graft.streaming.StreamingImageDedup.start(
+        in, index, s"$stage/img_ckpt", s"$stage/img_out")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val out = spark.read.parquet(s"$stage/img_out")
+      require(out.count() == n, "image verdicts incomplete")
+      val dups = out.filter(!col("kept")).count()
+      report("image_dedup", n, sec,
+        s""","dups":$dups,"index_classes":${index.count()}""")
+      api.Caches.dropTransient(index, blocking = true)
+      api.Caches.release(spark)
+    }
+
     // ---- streaming top-k: Misra-Gries heavy hitters, bounded state ----
     locally {
       val evs = Tables.events(spark, sfDir)
