@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 
@@ -1138,6 +1139,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One-row corpus datasheet ("Datasheets for Datasets" — the summary
+    * block that heads every corpus release): document/token/language/
+    * source counts, exact- and normalized-hash duplicate counts, mean
+    * quality, mean document length. Deliberately the CHEAP census —
+    * hash-distinct dup counts, not the CC pipeline — so the card costs
+    * two aggregate scans at any corpus size: one over raw docs (counts
+    * + distincts, Catalyst plans the multi-distinct via one Expand),
+    * one over the quality frame (round-6 DECIMAL mean, shuffle-order
+    * exact), combined by a broadcast of two one-row frames. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = docs(spark, sfDir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      (count(lit(1)) - count_distinct(md5(col("text")))).as("n_exact_dups"),
+      (count(lit(1)) - count_distinct(md5(normCol))).as("n_norm_dups"),
+      round(sum(col("n_chars").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_len"))
+    val quality = qualityScoredUnsorted(spark, sfDir).agg(
+      round(sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_quality"))
+    census.crossJoin(broadcast(quality))
+      // empty corpus: the no-groupBy aggregates yield one zero/null row
+      // — degrade to empty instead (stated identically in the oracle)
+      .filter(col("n_docs") > 0)
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        col("n_exact_dups"), col("n_norm_dups"), col("mean_len"),
+        col("mean_quality"))
+  }
+
   /** Document fingerprint: md5 over (length, head-64, tail-64) of the
     * normalized text — an O(1)-size sketch for cheap candidate blocking.
     */
@@ -1264,6 +1296,7 @@ object TextOps {
     "quality_filter"      -> (qualityFilter _),
     "fingerprint"         -> (fingerprint _),
     "gopher_rules"        -> (gopherRules _),
+    "dataset_card"        -> (datasetCard _),
     "pii_scrub"           -> (piiScrub _))
 
   private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1761,6 +1794,23 @@ object TextOps {
         |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
         |   '$IpRe', '<IP>', 'g')) AS scrubbed_hash
         |FROM t ORDER BY doc_id""".stripMargin,
+    "dataset_card" ->
+      s"""WITH $qualityCtesSql,
+        |census AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+        |  CAST(count(*) - count(DISTINCT md5($normSql)) AS BIGINT) AS n_norm_dups,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_len
+        | FROM documents),
+        |mq AS (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_quality FROM q)
+        |SELECT n_docs, n_tokens, n_langs, n_sources, n_exact_dups,
+        | n_norm_dups, mean_len, mean_quality
+        |FROM census, mq WHERE n_docs > 0""".stripMargin,
     // rules computed from the ROUNDED ratios on both sides, so the rule
     // booleans can never disagree with the reported values
     "gopher_rules" ->

@@ -932,6 +932,23 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("dataset_card reconciles with the operators it summarizes") {
+    val card = operators.TextOps.datasetCard(spark, sf).collect()
+    assert(card.length == 1)
+    val r = card(0)
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(2) == docs.select("lang").distinct().count())
+    assert(r.getLong(3) == docs.select("source").distinct().count())
+    // dup counts reconcile with the dedup operators' row counts
+    val exactKept = operators.TextOps.dedupExact(spark, sf).count()
+    val fuzzyKept = operators.TextOps.dedupFuzzy(spark, sf).count()
+    assert(r.getLong(4) == r.getLong(0) - exactKept, "exact-dup count diverged")
+    assert(r.getLong(5) == r.getLong(0) - fuzzyKept, "norm-dup count diverged")
+    assert(r.getLong(5) >= r.getLong(4), "normalization can only merge more")
+    assert(r.getDouble(6) > 0 && r.getDouble(7) > 0 && r.getDouble(7) <= 1.0)
+  }
+
   test("image_phash never splits identical images; image_dedup canonicals are exact") {
     // images are a pure function of doc_id mod 96 (dims mod 32/24 +
     // fixed pixel formula) — identical images MUST share a phash; the
