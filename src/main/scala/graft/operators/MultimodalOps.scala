@@ -629,6 +629,67 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  case class AudioFp(doc_id: Long, fingerprint: Long)
+
+  /** Windows in the audio energy fingerprint (63 bits total: 32 aHash
+    * energy-vs-mean bits + 31 window-to-window difference bits —
+    * BIGINT-safe like the 60-bit SimHash/phash). */
+  private val AfpWindows = 32
+
+  /** Acoustic fingerprint from REAL decoded PCM — the chromaprint-style
+    * construction at its core: the RIFF walk locates the sample stream,
+    * channel-0 samples split into [[AfpWindows]] equal windows, each
+    * window's absolute-amplitude energy is an exact integer sum, and
+    * the bits record (a) energy above the track mean (compared by
+    * integer cross-multiply — no division) and (b) energy rising into
+    * the next window. The oracle re-derives every sample value — LE
+    * byte pairs, two's-complement sign, window boundaries — by pure
+    * integer SQL, so a wrong offset, stride, endianness, or sign
+    * extension breaks the hash match. Like [[imagePhash]], the
+    * fingerprint is a perceptual sketch: identical tracks never split,
+    * distinct tracks may merge (spec-pinned both ways). */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir).mapPartitions(_.map { row =>
+      val (_, channels, bits, dataLen, off) = decodeWav(row.payload)
+      val block = channels * bits / 8
+      val nFrames = dataLen / block
+      val buf = java.nio.ByteBuffer.wrap(row.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val energy = Array.tabulate(AfpWindows) { w =>
+        val s = w * nFrames / AfpWindows
+        val e = (w + 1) * nFrames / AfpWindows
+        var f = s; var sum = 0L
+        while (f < e) {
+          sum += math.abs(buf.getShort(off + f * block).toLong)
+          f += 1
+        }
+        sum
+      }
+      val total = energy.sum
+      var hash = 0L
+      for (w <- 0 until AfpWindows)
+        if (AfpWindows.toLong * energy(w) > total) hash |= 1L << w
+      for (w <- 0 until AfpWindows - 1)
+        if (energy(w + 1) > energy(w)) hash |= 1L << (AfpWindows + w)
+      AudioFp(row.doc_id, hash)
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Audio dedup by acoustic fingerprint — identical shape to
+    * [[imageDedup]]: one shuffle of (id, 63-bit hash), per-class window
+    * partitioned by the hash, min-id canonical; no PCM ever shuffles. */
+  def audioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val cw = Window.partitionBy(col("fingerprint"))
+    audioFingerprint(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("class_size", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("fingerprint"),
+        (col("rn") === 1).as("is_canonical"), col("class_size"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- real video decode
   /** One decoded video row: real metadata parsed from real AVI bytes,
     * plus a per-frame byte probe proving the movi payloads were read at
@@ -803,6 +864,8 @@ object MultimodalOps {
     "image_resize"    -> (imageResize _),
     "image_phash"     -> (imagePhash _),
     "image_dedup"     -> (imageDedup _),
+    "audio_fingerprint" -> (audioFingerprint _),
+    "audio_dedup"     -> (audioDedup _),
     "video_meta"      -> (videoMeta _),
     "video_frame_sample" -> (videoFrameSample _))
 
@@ -925,6 +988,19 @@ object MultimodalOps {
         | CAST(sum((2*i + 2*j) % 251 + (4*i + 2*j) % 251 + (2*i + 4*j) % 251) AS BIGINT) AS pix_sum
         |FROM px GROUP BY doc_id, in_w, in_h, out_w, out_h
         |ORDER BY doc_id""".stripMargin,
+    // re-derives every PCM sample from the data-byte formula (byte i of
+    // the data chunk is i % 251): LE pair → two's-complement 16-bit →
+    // |amplitude|, integer window sums, 32 aHash + 31 diff bits
+    "audio_fingerprint" ->
+      s"""WITH $afpCtesSql
+        |SELECT doc_id, fingerprint FROM afp ORDER BY doc_id""".stripMargin,
+    "audio_dedup" ->
+      s"""WITH $afpCtesSql
+        |SELECT doc_id, fingerprint, rn = 1 AS is_canonical, class_size FROM (
+        | SELECT doc_id, fingerprint,
+        |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY fingerprint) AS class_size
+        | FROM afp) t ORDER BY doc_id""".stripMargin,
     // re-derives every hash bit from the synthetic pixel formula by
     // pure integer SQL: NN sample (i·w//6, j·h//6), gray = sum of the
     // three mod-251 channels, H bits 0-29 / V bits 30-59
@@ -938,6 +1014,43 @@ object MultimodalOps {
         |  row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rn,
         |  count(*) OVER (PARTITION BY phash) AS class_size
         | FROM ph) t ORDER BY doc_id""".stripMargin)
+
+  /** Shared oracle CTE stack for the acoustic fingerprint, ending at
+    * `afp` (doc_id, fingerprint) — states the IDENTICAL sample/window/
+    * bit construction as [[audioFingerprint]]: channel-0 sample of
+    * frame f sits at data bytes (f·block, f·block+1), byte i of the
+    * data chunk is i % 251, the LE pair reads as two's-complement
+    * 16-bit, windows split frames by integer division. */
+  private lazy val afpCtesSql: String =
+    s"""ap AS (SELECT doc_id,
+      |  CAST(doc_id % 2 + 1 AS INTEGER) AS c,
+      |  CAST(doc_id % 100 + 1 AS INTEGER) AS fn FROM documents),
+      |smp AS MATERIALIZED (SELECT doc_id, fn, f,
+      |  abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS av
+      | FROM (SELECT ap.doc_id, ap.fn, ff.f,
+      |   ((ff.f * 2 * ap.c) % 251) + 256 * ((ff.f * 2 * ap.c + 1) % 251) AS raw
+      |  FROM ap, (SELECT unnest(generate_series(0, 99)) AS f) ff
+      |  WHERE ff.f < ap.fn) t),
+      |wnd AS (SELECT ap.doc_id, ap.fn, ww.w
+      | FROM ap, (SELECT unnest(generate_series(0, ${AfpWindows - 1})) AS w) ww),
+      |en AS MATERIALIZED (SELECT w.doc_id, w.w, coalesce(sum(s.av), 0) AS e
+      | FROM wnd w LEFT JOIN smp s ON s.doc_id = w.doc_id
+      |  AND s.f >= (w.w * w.fn) // $AfpWindows
+      |  AND s.f < ((w.w + 1) * w.fn) // $AfpWindows
+      | GROUP BY w.doc_id, w.w),
+      |tot AS (SELECT doc_id, sum(e) AS total FROM en GROUP BY doc_id),
+      |ab AS (SELECT en.doc_id,
+      |  CASE WHEN $AfpWindows * en.e > t.total
+      |   THEN CAST(pow(2, en.w) AS BIGINT) ELSE 0 END AS bit
+      | FROM en JOIN tot t USING (doc_id)),
+      |db AS (SELECT a.doc_id,
+      |  CASE WHEN b.e > a.e THEN CAST(pow(2, $AfpWindows + a.w) AS BIGINT)
+      |   ELSE 0 END AS bit
+      | FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      | WHERE a.w < ${AfpWindows - 1}),
+      |afp AS MATERIALIZED (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS fingerprint
+      | FROM (SELECT * FROM ab UNION ALL SELECT * FROM db) u
+      | GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle CTE stack for the perceptual hash, ending at `ph`
     * (doc_id, phash) — states the IDENTICAL grid/gray/bit construction

@@ -973,6 +973,29 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("audio_fingerprint never splits identical tracks; audio_dedup canonicals are exact") {
+    // audio payloads are pure functions of doc_id mod 100 (rate mod 4,
+    // channels mod 2, frames mod 100 — lcm 100): identical tracks must
+    // share a fingerprint; the sketch may merge distinct tracks
+    val fp = operators.MultimodalOps.audioFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.nonEmpty)
+    for ((_, members) <- fp.groupBy(_._1 % 100))
+      assert(members.values.toSet.size == 1,
+        "identical tracks (same id mod 100) received different fingerprints")
+    // max bit index is 62 (32 aHash + 31 diff) → hash is non-negative
+    assert(fp.forall { case (_, h) => h >= 0 })
+    assert(fp.values.toSet.size > 1, "all tracks collapsed to one class — vacuous")
+    val dd = operators.MultimodalOps.audioDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(dd.map(_._1).toSet == fp.keySet)
+    for ((hash, members) <- dd.groupBy(_._2)) {
+      val canonicals = members.filter(_._3)
+      assert(canonicals.length == 1 && canonicals.head._1 == members.map(_._1).min)
+      assert(members.forall(_._4 == members.length))
+    }
+  }
+
   test("dedup_survivorship picks each group's max-quality member, min id on ties") {
     val groups = operators.TextOps.dedupGroups(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
