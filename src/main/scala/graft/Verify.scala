@@ -17,6 +17,13 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The ANN oracle SQL pins probe vec_id = 0; a session-level
+    // spark.graft.ann.probeId would make the Scala side answer a
+    // DIFFERENT query than the oracle compares against (ADVICE round
+    // 11) — refuse to dump under a non-default probe.
+    require(spark.conf.getOption("spark.graft.ann.probeId").forall(_ == "0"),
+      "spark.graft.ann.probeId must be unset or 0 for the oracle dump: " +
+        "the ann_ivfpq/ann_ivfpq_res/ivfpq_res_recall oracles pin probe 0")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for local iteration on a few
     // queries (the driver never sets it → full dump).

@@ -42,7 +42,9 @@ import org.apache.spark.sql.functions._
   * engine's store has the same discipline); manifests publish via
   * write-fsync-then-atomic-rename so a concurrent READER never sees a
   * torn version, and a committed version survives power loss (the tmp
-  * file is forced to disk before the rename).
+  * file's bytes are forced before the rename, and the manifest and
+  * files directories are forced after their renames/moves — directory
+  * entries need the directory's own fsync to be durable).
   */
 object CowTable {
 
@@ -91,6 +93,19 @@ object CowTable {
     listVersions(root).flatMap(v => versionMeta(root, v).get("batch"))
       .map(_.toLong).toSet
 
+  /** Newest recorded committer batch id: walks manifests newest-first
+    * and stops at the FIRST one carrying a `batch` header, skipping
+    * interleaved non-committer versions (compactions). Streaming batch
+    * ids are monotonic, so `batchId <= latestAppliedBatch` is the same
+    * replay check as `appliedBatches.contains(batchId)` at O(1)
+    * manifest reads per micro-batch instead of O(versions) — the
+    * linear-growing driver I/O a long-running stream would otherwise
+    * pay (ADVICE round 11). */
+  def latestAppliedBatch(root: String): Option[Long] =
+    listVersions(root).reverseIterator
+      .map(v => versionMeta(root, v).get("batch"))
+      .collectFirst { case Some(b) => b.toLong }
+
   private def writeManifest(root: String, version: Int, names: Seq[String],
       meta: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(manifestDir(root)))
@@ -109,7 +124,18 @@ object CowTable {
     }
     Files.move(tmp, Paths.get(manifestDir(root), s"v$version.list"),
       StandardCopyOption.ATOMIC_MOVE)
+    // the rename updated a DIRECTORY ENTRY, whose durability needs the
+    // directory's own fsync — without it a power loss can roll back the
+    // move even though the file bytes were forced (ADVICE round 11)
+    fsyncDir(Paths.get(manifestDir(root)))
   }
+
+  /** fsync a directory so renames/moves just performed IN it survive
+    * power loss: POSIX durability of a directory entry requires forcing
+    * the directory itself, not just the file's bytes. */
+  private def fsyncDir(dir: JPath): Unit =
+    Using.resource(java.nio.channels.FileChannel.open(dir,
+      StandardOpenOption.READ))(_.force(true))
 
   /** Write `df` into `nFiles` fresh immutable files, returning their
     * names: stage through a Spark write, then move each part into
@@ -135,6 +161,9 @@ object CowTable {
       }
     listDir(stageDir).foreach(Files.delete)
     Files.delete(stageDir)
+    // data-file moves are directory-entry updates too: force files/ so
+    // a manifest can never outlive the entries of the files it lists
+    fsyncDir(Paths.get(filesDir(root)))
     names
   }
 

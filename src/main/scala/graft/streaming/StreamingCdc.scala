@@ -67,8 +67,8 @@ object StreamingCdc {
     * #4): each micro-batch's latest-per-key change records MERGE into
     * the table via copy-on-write, and the batch id is recorded in the
     * SAME atomic manifest rename as the data it describes, so
-    * at-least-once replay finds its id in [[graft.sources.CowTable
-    * .appliedBatches]] and no-ops — exactly-once table commits over an
+    * at-least-once replay sees it via [[graft.sources.CowTable
+    * .latestAppliedBatch]] and no-ops — exactly-once table commits over an
     * at-least-once stream, with one time-travel version per applied
     * batch. The table keeps the latest change record per key including
     * delete markers, i.e. the same content as [[state]], but with COW
@@ -89,18 +89,42 @@ object StreamingCdc {
     * no-op BEFORE any work; a crash after the manifest rename but
     * before the checkpoint commit replays into the no-op branch, and a
     * crash before the rename replays against the unchanged predecessor
-    * version — either way each batch's merge lands exactly once. */
+    * version — either way each batch's merge lands exactly once.
+    * Streaming batch ids are monotonic, so the replay check compares
+    * against [[graft.sources.CowTable.latestAppliedBatch]] — O(1)
+    * manifest reads per batch, not a scan of every version (ADVICE
+    * round 11).
+    *
+    * Latest-wins across batches: a batch's change record lands only if
+    * it BEATS the row currently in the table by (ts, event_id) — the
+    * same total order [[merge]] folds snapshots by. Without this filter
+    * a later batch carrying an OLDER record for a key (out-of-order
+    * event time across micro-batches) would silently overwrite the
+    * newer one, because mergeUpsert itself is arrival-order-wins
+    * (ADVICE round 11; CowTableSpec drives the out-of-order case). The
+    * filter is one column-pruned read of (key, ts, event_id) joined
+    * against the batch's delta — the same data volume mergeUpsert's own
+    * touched-file discovery already reads. */
   private[graft] def applyCdcBatch(root: String, batch: DataFrame,
       batchId: Long): Unit = {
-    if (graft.sources.CowTable.appliedBatches(root).contains(batchId)) return
+    if (graft.sources.CowTable.latestAppliedBatch(root).exists(batchId <= _))
+      return
     val spark = batch.sparkSession
     val changes = latestChanges(batch)
     val meta = Map("batch" -> batchId.toString)
     if (graft.sources.CowTable.currentVersion(root) == 0)
       graft.sources.CowTable.init(spark, root, changes, "key", nFiles = 2, meta = meta)
-    else
-      graft.sources.CowTable.mergeUpsert(spark, root, changes, "key",
+    else {
+      val cur = graft.sources.CowTable.read(spark, root)
+        .select(col("key"), col("ts").as("cur_ts"), col("event_id").as("cur_eid"))
+      val winners = changes.join(cur, Seq("key"), "left")
+        .filter(col("cur_ts").isNull ||
+          struct(col("ts"), col("event_id")) >
+            struct(col("cur_ts"), col("cur_eid")))
+        .drop("cur_ts", "cur_eid")
+      graft.sources.CowTable.mergeUpsert(spark, root, winners, "key",
         nNewFiles = 2, meta = meta)
+    }
   }
 
   def start(events: DataFrame, statePath: String,

@@ -217,6 +217,39 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     assert(v1 == b0, "version 1 is not exactly batch 0's merge")
   }
 
+  test("streaming cdc is latest-wins when a NEWER record arrived in an EARLIER batch") {
+    import spark.implicits._
+    import graft.streaming.ConsumerPipeline.RawEvent
+    def ev(id: Long, tsSec: Long, user: Long, v: Double) =
+      RawEvent(id, new java.sql.Timestamp(tsSec * 1000L), user, "click", v, "{}")
+    val root = tempDir("cow_ooo")
+    // batch 0 carries user 1's NEWEST record (ts=200) and user 2's oldest;
+    // batch 1 carries an OLDER record for user 1 (ts=100 — must NOT win),
+    // a newer one for user 2, and a brand-new user 3
+    graft.streaming.StreamingCdc.applyCdcBatch(root,
+      Seq(ev(10L, 200L, 1L, 1.0), ev(11L, 50L, 2L, 2.0)).toDF(), 0L)
+    graft.streaming.StreamingCdc.applyCdcBatch(root,
+      Seq(ev(20L, 100L, 1L, 9.0), ev(21L, 60L, 2L, 3.0), ev(22L, 10L, 3L, 4.0))
+        .toDF(), 1L)
+    val got = CowTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("new_value"))).toMap
+    // user 1 keeps batch 0's ts=200 record despite batch 1's later arrival
+    assert(got == Map(1L -> (10L, 1.0), 2L -> (21L, 3.0), 3L -> (22L, 4.0)),
+      s"cow table is not latest-wins by (ts, event_id): $got")
+    // same-ts tie breaks by event_id, also across batches
+    graft.streaming.StreamingCdc.applyCdcBatch(root,
+      Seq(ev(5L, 200L, 1L, 7.0)).toDF(), 2L) // lower event_id at equal ts: loses
+    graft.streaming.StreamingCdc.applyCdcBatch(root,
+      Seq(ev(30L, 200L, 1L, 8.0)).toDF(), 3L) // higher event_id at equal ts: wins
+    val u1 = CowTable.read(spark, root).filter(col("key") === 1L)
+      .select("event_id", "new_value").head()
+    assert((u1.getLong(0), u1.getDouble(1)) == (30L, 8.0))
+    // the batch metas all committed (losing batches still publish their id)
+    assert(CowTable.appliedBatches(root) == Set(0L, 1L, 2L, 3L))
+    assert(CowTable.latestAppliedBatch(root).contains(3L))
+  }
+
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {
     import spark.implicits._
     val root = tempDir("cow_vac")
