@@ -856,6 +856,91 @@ object MultimodalOps {
     }).toDF().orderBy("doc_id")
   }
 
+  case class VideoFp(doc_id: Long, vhash: Long)
+
+  /** Content-derived video fingerprint from REAL decoded AVI bytes: a
+    * position-weighted sum of each frame's CENTER byte (weight k+1, so
+    * reordered frames hash differently) plus the frame geometry
+    * (1000003·fb + n_frames). Linear in the probed bytes, so the oracle
+    * re-derives it exactly from the synthesis formula — and like
+    * [[imagePhash]]/[[audioFingerprint]] it is a perceptual sketch:
+    * byte-identical videos never split, distinct videos may merge.
+    * Map-only until the presentation sort; only (id, 64-bit hash) ever
+    * shuffles. */
+  def videoFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, sfDir).mapPartitions(_.map { row =>
+      var fb = 0L; var n = 0L; var sum = 0L
+      walkAvi(row.payload) { (k, off, sz) =>
+        fb = sz.toLong; n += 1
+        sum += (k + 1).toLong * (row.payload(off + sz / 2) & 0xff)
+      }
+      VideoFp(row.doc_id, 1000003L * fb + n + sum)
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Video dedup by content fingerprint — identical shape to
+    * [[imageDedup]]/[[audioDedup]], completing the multimodal dedup
+    * family: one shuffle of (id, hash), per-class window partitioned by
+    * the hash, min-id canonical; no frame payload ever shuffles. */
+  def videoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("vhash")).orderBy(col("doc_id"))
+    val cw = Window.partitionBy(col("vhash"))
+    videoFingerprint(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("class_size", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("vhash"),
+        (col("rn") === 1).as("is_canonical"), col("class_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-pair absolute byte-delta sums between consecutive frames — the
+    * frame-delta kernel behind [[videoSceneCuts]], exposed for specs to
+    * drive with constructed payloads (the synthetic corpus's frames
+    * differ by a uniform +1 mod 251, so a REAL cut needs a patched
+    * frame). */
+  private[graft] def frameDeltas(payload: Array[Byte]): Seq[Long] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    walkAvi(payload) { (_, off, sz) => frames += ((off, sz)) }
+    (0 until frames.length - 1).map { k =>
+      val (o1, s1) = frames(k); val (o2, _) = frames(k + 1)
+      var d = 0L; var j = 0
+      while (j < s1) {
+        d += math.abs((payload(o2 + j) & 0xff) - (payload(o1 + j) & 0xff))
+        j += 1
+      }
+      d
+    }
+  }
+
+  case class VideoCuts(doc_id: Long, n_frames: Int, n_pairs: Long,
+      sum_delta: Long, max_delta: Long, n_cuts: Long)
+
+  /** Shot-boundary (scene-cut) detection over REAL decoded AVI frames:
+    * each consecutive frame pair's delta is the exact integer sum of
+    * absolute per-byte differences (the classic codec-free frame-delta
+    * detector — the first pass a 100 TB video pipeline runs before any
+    * model-based shot segmentation), and a pair is a CUT when its delta
+    * exceeds 1.2× the video's mean pair delta, decided by integer
+    * cross-multiply (delta·n_pairs·10 > 12·sum_delta) so the flag is
+    * exact under any execution order. Map-only per video — all frames
+    * of one video live in one payload, so deltas never shuffle; the
+    * output is one row per video. The oracle re-derives every delta
+    * arithmetically: frame k's byte j is (k+j) % 251, so consecutive
+    * frames differ by 1 except at the 250→0 wrap, giving delta = fb +
+    * 249·wraps with the wrap count a pure function of (k, fb). */
+  def videoSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, sfDir).mapPartitions(_.map { row =>
+      val deltas = frameDeltas(row.payload)
+      val nP = deltas.length.toLong
+      val sumD = deltas.sum
+      val maxD = if (deltas.isEmpty) 0L else deltas.max
+      val cuts = deltas.count(d => d * nP * 10L > 12L * sumD).toLong
+      VideoCuts(row.doc_id, deltas.length + 1, nP, sumD, maxD, cuts)
+    }).toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "image_meta"      -> (imageMeta _),
@@ -867,7 +952,10 @@ object MultimodalOps {
     "audio_fingerprint" -> (audioFingerprint _),
     "audio_dedup"     -> (audioDedup _),
     "video_meta"      -> (videoMeta _),
-    "video_frame_sample" -> (videoFrameSample _))
+    "video_frame_sample" -> (videoFrameSample _),
+    "video_fingerprint" -> (videoFingerprint _),
+    "video_dedup"     -> (videoDedup _),
+    "video_scene_cuts" -> (videoSceneCuts _))
 
   val oracles: Map[String, String] = Map(
     // independently re-derives what the SNIFF + dispatch decode must
@@ -1013,7 +1101,68 @@ object MultimodalOps {
         | SELECT doc_id, phash,
         |  row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rn,
         |  count(*) OVER (PARTITION BY phash) AS class_size
-        | FROM ph) t ORDER BY doc_id""".stripMargin)
+        | FROM ph) t ORDER BY doc_id""".stripMargin,
+    // re-derives the weighted-center-byte fingerprint arithmetically:
+    // frame k's center byte is (k + fb//2) % 251, fb = padded-row
+    // bytes × height, vhash = 1000003·fb + n_frames + Σ (k+1)·cb
+    "video_fingerprint" ->
+      s"""WITH $vfpCtesSql
+        |SELECT doc_id, vhash FROM vfp ORDER BY doc_id""".stripMargin,
+    "video_dedup" ->
+      s"""WITH $vfpCtesSql
+        |SELECT doc_id, vhash, rn = 1 AS is_canonical, class_size FROM (
+        | SELECT doc_id, vhash,
+        |  row_number() OVER (PARTITION BY vhash ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY vhash) AS class_size
+        | FROM vfp) t ORDER BY doc_id""".stripMargin,
+    // re-derives every frame-pair delta: consecutive synthetic frames
+    // differ by +1 mod 251 per byte, so |Δ| = 1 except at bytes where
+    // frame k holds 250 (→ |Δ| = 250); the number of such wrap bytes in
+    // [0, fb) is a pure function of (k, fb), giving delta = fb +
+    // 249·wraps. Cut rule stated by the same integer cross-multiply as
+    // the Spark side.
+    "video_scene_cuts" ->
+      """WITH vp AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS n_frames,
+        |  ((doc_id % 16 + 2) * 3 + 3) // 4 * 4 * (doc_id % 12 + 2) AS fb
+        | FROM documents),
+        |pr AS MATERIALIZED (SELECT doc_id, fb, k,
+        |  fb + 249 * (CASE WHEN (250 - k) < fb
+        |    THEN (fb - 1 - (250 - k)) // 251 + 1 ELSE 0 END) AS delta
+        | FROM (SELECT doc_id, n_frames, fb,
+        |   unnest(generate_series(0, 6)) AS k FROM vp) t
+        | WHERE k < n_frames - 1),
+        |ag AS MATERIALIZED (SELECT doc_id, count(*) AS n_pairs,
+        |  sum(delta) AS sum_delta, max(delta) AS max_delta
+        | FROM pr GROUP BY doc_id),
+        |ct AS (SELECT pr.doc_id, count(*) AS n_cuts
+        | FROM pr JOIN ag ON ag.doc_id = pr.doc_id
+        | WHERE pr.delta * ag.n_pairs * 10 > 12 * ag.sum_delta
+        | GROUP BY pr.doc_id)
+        |SELECT vp.doc_id, vp.n_frames,
+        | CAST(coalesce(ag.n_pairs, 0) AS BIGINT) AS n_pairs,
+        | CAST(coalesce(ag.sum_delta, 0) AS BIGINT) AS sum_delta,
+        | CAST(coalesce(ag.max_delta, 0) AS BIGINT) AS max_delta,
+        | CAST(coalesce(ct.n_cuts, 0) AS BIGINT) AS n_cuts
+        |FROM vp LEFT JOIN ag ON ag.doc_id = vp.doc_id
+        |LEFT JOIN ct ON ct.doc_id = vp.doc_id
+        |ORDER BY vp.doc_id""".stripMargin)
+
+  /** Shared oracle CTE stack for the video fingerprint, ending at `vfp`
+    * (doc_id, vhash) — states the IDENTICAL center-byte/weight/geometry
+    * construction as [[videoFingerprint]]. */
+  private lazy val vfpCtesSql: String =
+    """vq AS (SELECT doc_id,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS n_frames,
+      |  ((doc_id % 16 + 2) * 3 + 3) // 4 * 4 * (doc_id % 12 + 2) AS fb
+      | FROM documents),
+      |vs AS (SELECT doc_id, n_frames, fb, k, (k + fb // 2) % 251 AS cb
+      | FROM (SELECT doc_id, n_frames, fb,
+      |   unnest(generate_series(0, 7)) AS k FROM vq) t
+      | WHERE k < n_frames),
+      |vfp AS MATERIALIZED (SELECT doc_id,
+      |  CAST(1000003 * max(fb) + max(n_frames) + sum((k + 1) * cb) AS BIGINT) AS vhash
+      | FROM vs GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle CTE stack for the acoustic fingerprint, ending at
     * `afp` (doc_id, fingerprint) — states the IDENTICAL sample/window/

@@ -381,6 +381,29 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException] { MultimodalOps.decodeAvi(lying) }
   }
 
+  test("frame deltas detect a real scene cut in a patched video") {
+    // the synthetic corpus's consecutive frames differ by a uniform
+    // +1 mod 251, so no natural cut exists — patch frame 2 of a 4-frame
+    // 2×2 video to a constant raster and the delta detector must flag
+    // BOTH pairs that straddle it
+    val avi = MultimodalOps.synthAvi(2, 2, 4)
+    val fb = 16 // ((2*3+3)/4)*4 rowBytes = 8, ×2 rows
+    val frame2Payload = 224 + 2 * (8 + fb) + 8
+    (0 until fb).foreach(j => avi(frame2Payload + j) = 200.toByte)
+    val deltas = MultimodalOps.frameDeltas(avi)
+    // pair (0,1): every byte differs by exactly 1 → fb
+    // pair (1,2): Σ |200 − (1+j)| for j<16 = 16·200 − Σ(1..16)
+    // pair (2,3): Σ |(3+j) − 200| for j<16 = 16·200 − Σ(3..18)
+    assert(deltas == Seq(16L, 3064L, 3032L))
+    val sum = deltas.sum; val nP = deltas.length
+    val cuts = deltas.count(d => d * nP * 10L > 12L * sum)
+    assert(cuts == 2, s"expected the two straddling pairs flagged, got $cuts")
+    // and an unpatched video has NO cut (all deltas equal)
+    val clean = MultimodalOps.frameDeltas(MultimodalOps.synthAvi(2, 2, 4))
+    assert(clean == Seq(16L, 16L, 16L))
+    assert(clean.count(d => d * 3 * 10L > 12L * clean.sum) == 0)
+  }
+
   test("wav codec round-trips and rejects malformed payloads") {
     // synth → parse recovers exactly the parameters that built the bytes
     val (rate, ch, n) = (22050, 2, 37)
