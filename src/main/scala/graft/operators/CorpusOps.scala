@@ -110,6 +110,114 @@ object CorpusOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(BpeTopK)
 
+  // ------------------------------------------------- multi-merge BPE trainer
+  /** Merge rounds run by [[bpeTrain]] / [[bpeEncode]]. */
+  private[operators] val BpeTrainMerges = 4
+
+  /** Initial symbol frame: each word as the string "^c  ^a  ^t  " —
+    * every symbol '^'-prefixed and double-space-TERMINATED. The
+    * representation is what makes the merge a single literal
+    * (regex-free) replace: merging pair (x, y) rewrites "^x  ^y  " →
+    * "^xy  ", where the sentinel anchors symbol STARTS (pair (a,b)
+    * never matches inside token "xa"), the terminator anchors symbol
+    * ENDS (token "ba" never matches pair ending in "b"), and each
+    * match consumes its own trailing separator, so non-overlapping
+    * leftmost replace IS the greedy left-to-right pair application of
+    * a real BPE trainer ("a a a a" → "aa aa", "a a a" → "aa a"). */
+  private[graft] def bpeSymInit(words: DataFrame): DataFrame =
+    words.select(regexp_replace(col("word"), "(.)", "^$1  ").as("sym"),
+      col("cnt"))
+
+  /** Adjacent-symbol pair counts over a symbol frame, weighted by word
+    * count — the statistic of one BPE round. Distributed explode +
+    * groupBy with map-side partials; vocab-sized, never corpus-sized. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("cnt"),
+        expr("filter(split(sym, '  '), t -> t != '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(substring(toks[i-1], 2) AS x, substring(toks[i], 2) AS y))"))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** The K-round greedy merge loop over an initial symbol frame:
+    * returns (merge rows, symbol frames v0..vK). Each round collects
+    * ONLY the 1-row argmax (count desc, pair text asc ties) — K
+    * metadata-sized driver reads; a round with no pairs left leaves
+    * the frame unchanged (and records no merge). */
+  private[graft] def bpeChainOf(v0in: DataFrame)
+      : (Seq[(Int, String, String, Long)], Seq[DataFrame]) = {
+    val v0 = v0in.persist().transform(graft.api.Caches.tracked)
+    v0.count()
+    var vocab: DataFrame = v0
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](v0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to BpeTrainMerges) {
+      val best = bpePairCounts(vocab)
+        .orderBy(col("n").desc, col("x"), col("y")).limit(1).collect()
+      best.headOption.foreach { r =>
+        val (x, y, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((step, x, y, n))
+        vocab = vocab.withColumn("sym",
+          expr(s"replace(sym, '^$x  ^$y  ', '^$x$y  ')"))
+      }
+      frames += vocab
+    }
+    (merges.toSeq, frames.toSeq)
+  }
+
+  private def bpeChain(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], Seq[DataFrame]) =
+    bpeChainOf(bpeSymInit(TextOps.normed(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))))
+
+  /** Multi-merge BPE TRAINING (Sennrich et al.'s loop, [[BpeTrainMerges]]
+    * rounds — `bpe_merge_topk` is one round's statistic, this is the
+    * trainer): per round, count adjacent symbol pairs over the word
+    * vocabulary weighted by word count (BPE's defining shortcut — work
+    * is vocab-sized, so a 100 TB corpus trains from ONE vocab
+    * aggregate), pick the most frequent pair (ties on the pair text),
+    * apply it with one literal replace. Deterministic end-to-end:
+    * exact integer counts, total argmax order. The oracle unrolls the
+    * identical rounds as chained CTEs. At production scale the one
+    * refinement is batching top-k non-conflicting merges per round to
+    * cut the round count — same kernel per round. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = bpeChain(spark, sfDir)
+    merges.map { case (s, x, y, n) => (s, x, y, x + y, n) }
+      .toDF("step", "x", "y", "merged", "n")
+      .orderBy("step")
+  }
+
+  /** BPE ENCODING telemetry: the corpus-compression curve of the
+    * learned merges — after each round 0..K, total corpus tokens
+    * (Σ word count × symbols-per-word) and distinct symbol types. The
+    * numbers a tokenizer-budget decision reads (marginal token savings
+    * per added merge). Exact integer aggregates per step over the
+    * vocab-sized symbol frame; empty corpus → no rows (stated
+    * identically in the oracle). */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, frames) = bpeChain(spark, sfDir)
+    val rows = frames.zipWithIndex.flatMap { case (v, step) =>
+      val toks = v.select(col("cnt"),
+        expr("filter(split(sym, '  '), t -> t != '')").as("toks"))
+      val agg = toks.agg(sum(col("cnt") * size(col("toks"))).as("t")).head()
+      if (agg.isNullAt(0)) None
+      else {
+        val nSym = toks.select(explode(col("toks")).as("s"))
+          .agg(count_distinct(col("s"))).head().getLong(0)
+        Some((step, agg.getLong(0), nSym))
+      }
+    }
+    rows.toDF("step", "total_tokens", "n_symbols").orderBy("step")
+  }
+
   // ------------------------------------------------ bigram predictability
   /** Corpus conditional next-token entropy H(V|U) = −Σ p(u,v)·ln p(v|u)
     * over adjacent-token bigrams — the one-scalar predictability probe
@@ -814,6 +922,8 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_topk"    -> (vocabTopk _),
     "bpe_merge_topk" -> (bpeMergeTopk _),
+    "bpe_train"     -> (bpeTrain _),
+    "bpe_encode"    -> (bpeEncode _),
     "zipf_slope"    -> (zipfSlope _),
     "bigram_entropy" -> (bigramEntropy _),
     "bigram_counts" -> (bigramCounts _),
@@ -982,6 +1092,30 @@ object CorpusOps {
         | WHERE i <= length(word) - 1)
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
+    // the trainer's rounds UNROLLED as chained CTEs (the kmeans_iterate
+    // discipline): per round, pair counts over the symbol frame → 1-row
+    // argmax (count desc, pair asc) → literal replace producing the
+    // next frame; a round with no pairs leaves the frame unchanged
+    // (LEFT JOIN ON TRUE fallback — matters only for degenerate input)
+    "bpe_train" ->
+      s"""WITH $bpeCtesSql
+        |SELECT * FROM (
+        | SELECT CAST(1 AS INTEGER) AS step, x, y, x || y AS merged, n FROM b1
+        | UNION ALL SELECT 2, x, y, x || y, n FROM b2
+        | UNION ALL SELECT 3, x, y, x || y, n FROM b3
+        | UNION ALL SELECT 4, x, y, x || y, n FROM b4) u
+        |ORDER BY step""".stripMargin,
+    "bpe_encode" ->
+      s"""WITH $bpeCtesSql
+        |SELECT step, total_tokens, n_symbols FROM (
+        |${(0 to BpeTrainMerges).map(i =>
+          s""" SELECT CAST($i AS INTEGER) AS step,
+            |  (SELECT CAST(sum(cnt * len(list_filter(string_split(sym, '  '), t -> t <> ''))) AS BIGINT)
+            |   FROM v$i) AS total_tokens,
+            |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM (
+            |    SELECT unnest(list_filter(string_split(sym, '  '), t -> t <> '')) AS tok
+            |    FROM v$i) q) AS n_symbols""".stripMargin).mkString("\n UNION ALL\n")}
+        |) u WHERE total_tokens IS NOT NULL ORDER BY step""".stripMargin,
     "bigram_counts" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
@@ -1115,4 +1249,33 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
         | CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** Shared oracle CTE stack for the multi-merge BPE trainer: the word
+    * vocab `w`, the initial symbol frame `v0` ("^c  ^a  ^t  " — the
+    * identical sentinel/terminator representation as [[bpeSymInit]]),
+    * then per round i: toks `t_i`, pair counts `p_i`, 1-row argmax
+    * `b_i`, next frame `v_i` (unchanged via LEFT JOIN ON TRUE when no
+    * pair exists). MATERIALIZED at every multiply-referenced frame. */
+  private lazy val bpeCtesSql: String = {
+    val base =
+      s"""dn AS (SELECT ${TextOps.normSql} AS norm FROM documents),
+        |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        | SELECT unnest(string_split(norm, ' ')) AS word FROM dn) t
+        | WHERE length(word) >= 1 GROUP BY word),
+        |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '^\\1  ', 'g') AS sym, cnt FROM w)""".stripMargin
+    val steps = (1 to BpeTrainMerges).map { i =>
+      s"""t$i AS (SELECT cnt, list_filter(string_split(sym, '  '), t -> t <> '') AS toks FROM v${i - 1}),
+        |p$i AS (SELECT substring(toks[i], 2) AS x, substring(toks[i + 1], 2) AS y,
+        |  CAST(sum(cnt) AS BIGINT) AS n
+        | FROM t$i, (SELECT unnest(generate_series(1,
+        |    greatest((SELECT max(length(word)) FROM w) - 1, 1))) AS i) s
+        | WHERE i + 1 <= len(toks) GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT x, y, n FROM p$i ORDER BY n DESC, x, y LIMIT 1),
+        |v$i AS MATERIALIZED (SELECT CASE WHEN b.x IS NULL THEN v.sym
+        |   ELSE replace(v.sym, '^' || b.x || '  ^' || b.y || '  ', '^' || b.x || b.y || '  ') END AS sym,
+        |  v.cnt
+        | FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 }

@@ -27,6 +27,38 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     if (distinctTokens <= 100) assert(rows.length == distinctTokens)
   }
 
+  test("bpe trainer reproduces hand-computed greedy merges, ties, and overlap handling") {
+    import spark.implicits._
+    // corpus: "aaab"×3, "aab"×2 — hand-traced:
+    //   round 1: (a,a)=3·2+2·1=8, (a,b)=3+2=5 → merge (a,a), n=8;
+    //     greedy overlap: "a a a b" → "aa a b" (leftmost pair only)
+    //   round 2: (aa,a)=3, (a,b)=3, (aa,b)=2 → TIE at 3, pair-text
+    //     tiebreak picks (a,b) ("a" < "aa"); "aab"'s [aa, b] unchanged
+    //   round 3: (aa,ab)=3, (aa,b)=2 → merge (aa,ab) → "aaab" whole
+    //   round 4: (aa,b)=2 → merge (aa,b) → "aab" whole
+    val words = Seq(("aaab", 3L), ("aab", 2L)).toDF("word", "cnt")
+    val (merges, frames) = CorpusOps.bpeChainOf(CorpusOps.bpeSymInit(words))
+    assert(merges == Seq((1, "a", "a", 8L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 3L), (4, "aa", "b", 2L)))
+    // compression curve over the same frames: totals 18→13→10→7→5,
+    // symbol types 2→3→3→3→2
+    val curve = frames.zipWithIndex.map { case (v, step) =>
+      val toks = v.select(col("cnt"),
+        expr("filter(split(sym, '  '), t -> t != '')").as("toks"))
+      (step, toks.agg(sum(col("cnt") * size(col("toks")))).head().getLong(0),
+        toks.select(explode(col("toks")).as("s")).distinct().count())
+    }
+    assert(curve == Seq((0, 18L, 2L), (1, 13L, 3L), (2, 10L, 3L),
+      (3, 7L, 3L), (4, 5L, 2L)))
+    // the sentinel/terminator representation never lets a merge cross a
+    // token boundary: pair (a,b) must NOT match inside ("a","ba")
+    val tricky = Seq(("w1", 1L)).toDF("word", "cnt")
+      .select(lit("^a  ^ba  ").as("sym"), col("cnt"))
+    val merged = tricky.withColumn("sym",
+      expr("replace(sym, '^a  ^b  ', '^ab  ')")).head().getString(0)
+    assert(merged == "^a  ^ba  ", "merge leaked across a token boundary")
+  }
+
   test("bigram_counts honors the cutoff and the (cnt desc, bigram) order") {
     val rows = CorpusOps.bigramCounts(spark, sf).collect()
     assert(rows.nonEmpty)
