@@ -92,6 +92,31 @@ object PipelineOps {
       .orderBy("source", "rank")
   }
 
+  // ------------------------------------------------------ bottom-k sample
+  /** Rows kept by [[bottomkSample]]. */
+  private[operators] val BottomK = 100
+
+  /** Bottom-k hash sampling: the k docs with the SMALLEST seeded hash —
+    * an exact uniform sample WITHOUT replacement (each doc's hash is a
+    * fixed uniform draw, so the k smallest are a uniform k-subset),
+    * reproducible under retries/re-runs and MERGEABLE: the bottom-k of
+    * a union is the bottom-k of the parts' bottom-ks, which is why this
+    * is the sampling shape a 100 TB pipeline ships (per-shard heaps +
+    * one k-row driver merge — here literally Spark's
+    * TakeOrderedAndProject, no global sort, no second scan; contrast
+    * `sample_stratified`'s rate filter, which needs no k but only hits
+    * its size in expectation). doc_id tiebreak makes the cut total. */
+  def bottomkSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("hk"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), keyHash("btk").as("hk"))
+      .orderBy(col("hk"), col("doc_id"))
+      .limit(BottomK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"), col("hk"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------- dp stats release
   /** Laplace scale for [[dpCounts]] — sensitivity 1 (one doc moves one
     * per-source count by one) over ε = 0.1. */
@@ -271,6 +296,7 @@ object PipelineOps {
     "sample_stratified" -> (sampleStratified _),
     "quota_sample"      -> (quotaSample _),
     "dp_counts"         -> (dpCounts _),
+    "bottomk_sample"    -> (bottomkSample _),
     "dataset_split"     -> (datasetSplit _),
     "split_leakage"     -> (splitLeakage _),
     "tfidf_embedding"   -> (tfidfEmbedding _),
@@ -311,6 +337,13 @@ object PipelineOps {
           |   ORDER BY ${keyHashSql("qta")}, doc_id) AS BIGINT) AS rank
           | FROM documents) t
           |WHERE rank <= $QuotaPerSource ORDER BY source, rank""".stripMargin,
+      "bottomk_sample" ->
+        s"""SELECT rank, doc_id, source, lang, hk FROM (
+          | SELECT doc_id, source, lang, ${keyHashSql("btk")} AS hk,
+          |  CAST(row_number() OVER (
+          |   ORDER BY ${keyHashSql("btk")}, doc_id) AS BIGINT) AS rank
+          | FROM documents) t
+          |WHERE rank <= $BottomK ORDER BY rank""".stripMargin,
       "dp_counts" ->
         s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
           |           FROM documents GROUP BY source),

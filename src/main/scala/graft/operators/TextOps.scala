@@ -187,6 +187,45 @@ object TextOps {
   private[operators] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3))
 
+  // -------------------------------------------------- LSH parameter planner
+  /** Signature budget the [[lshTune]] planner allocates (hashes per
+    * doc at production scale) and the target Jaccard threshold (the
+    * corpus's near-dup bar). */
+  private[operators] val LshTuneBudget = 128
+  private[operators] val LshTuneTarget = 0.8
+
+  /** LSH parameter PLANNER (the Leskovec/MMDS S-curve table): for every
+    * (bands b, rows r) split of a [[LshTuneBudget]]-hash signature
+    * budget, the S-curve threshold (1/b)^(1/r) and the candidate
+    * collision probability 1 − (1 − s^r)^b at reference similarities
+    * s ∈ {0.5, 0.8, 0.9}; `chosen` marks the split whose threshold sits
+    * closest to [[LshTuneTarget]] (smaller b on ties). This is the
+    * decision table that SIZES the deployed MinHash grid before a
+    * 100 TB dedup run — the same closed form that justifies the
+    * engine's own 4×2 grid (1 − (1−s²)⁴ = 94% at s = 0.8, TextOps
+    * MinhashBands scaladoc). Pure metadata math: an 8-row literal grid,
+    * no corpus scan at all; every transcendental is the identical
+    * exp/ln chain in both engines, round-6 (the zipf_slope
+    * discipline). */
+  def lshTune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grid = (0 to 7).map(i => (1 << i, LshTuneBudget / (1 << i)))
+      .toDF("b", "r")
+    def pAt(s: String): Column =
+      round(expr(s"1 - exp(cast(b as double) * ln(1 - exp(cast(r as double) * ln($s))))"), 6)
+    val w = Window.orderBy(
+      abs(expr("exp(-ln(cast(b as double)) / cast(r as double))") - lit(LshTuneTarget)),
+      col("b"))
+    grid
+      .withColumn("threshold",
+        round(expr("exp(-ln(cast(b as double)) / cast(r as double))"), 6))
+      .withColumn("p_at_50", pAt("0.5"))
+      .withColumn("p_at_80", pAt("0.8"))
+      .withColumn("p_at_90", pAt("0.9"))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .orderBy("b")
+  }
+
   /** Cross-source near-duplication matrix: MinHash-LSH candidate pairs
     * whose endpoints live in DIFFERENT sources, counted per unordered
     * source pair — the provenance diagnostic (which feeds syndicate /
@@ -1277,6 +1316,7 @@ object TextOps {
     "ngram_jaccard"       -> (ngramJaccard _),
     "minhash_containment" -> (minhashContainment _),
     "cross_source_neardup" -> (crossSourceNeardup _),
+    "lsh_tune"            -> (lshTune _),
     "minhash_est_error"   -> (minhashEstError _),
     "jaccard_band_histogram" -> (jaccardBandHistogram _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
@@ -1446,6 +1486,24 @@ object TextOps {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the S-curve planner table: grid, budget, target, and every
+    // exp/ln chain GENERATED from the same constants as the Scala side
+    "lsh_tune" -> {
+      val grid = (0 to 7).map(i => 1 << i).mkString("[", ", ", "]")
+      def pAt(s: String) =
+        s"round(1 - exp(CAST(b AS DOUBLE) * ln(1 - exp(CAST(r AS DOUBLE) * ln($s)))), 6)"
+      val thr = "exp(-ln(CAST(b AS DOUBLE)) / CAST(r AS DOUBLE))"
+      s"""WITH g AS (SELECT unnest($grid) AS v),
+        |gr AS (SELECT CAST(v AS INTEGER) AS b,
+        |  CAST($LshTuneBudget // v AS INTEGER) AS r FROM g),
+        |t AS (SELECT b, r, round($thr, 6) AS threshold,
+        |  ${pAt("0.5")} AS p_at_50, ${pAt("0.8")} AS p_at_80,
+        |  ${pAt("0.9")} AS p_at_90,
+        |  abs($thr - $LshTuneTarget) AS diff FROM gr)
+        |SELECT b, r, threshold, p_at_50, p_at_80, p_at_90,
+        | row_number() OVER (ORDER BY diff, b) = 1 AS chosen
+        |FROM t ORDER BY b""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT doc_id, content_hash, lang, n_chars FROM (
         | SELECT doc_id, md5(text) AS content_hash, lang, n_chars,

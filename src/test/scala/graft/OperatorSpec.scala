@@ -712,14 +712,16 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       // cache_empty/include_match report a boolean, the recall gates a
       // global aggregate, funnel_steps is four ungrouped aggregates
       // (one zero-count row per stage), triangle_count is a one-row
-      // graph summary, and dq_audit is one row per RULE — all are
-      // fixed-row-count by design, and their DuckDB oracles return the
-      // same rows on empty input too
+      // graph summary, dq_audit is one row per RULE, and lsh_tune is
+      // pure planner math over a literal grid (reads no table at all) —
+      // all are fixed-row-count by design, and their DuckDB oracles
+      // return the same rows on empty input too
       assert(n == 0 || name == "cache_empty" || name == "include_match" ||
           name == "ann_recall" || name == "ivf_recall" || name == "pq_recall" ||
           name == "jl_recall" || name == "ivfpq_res_recall" ||
           name == "funnel_steps" ||
-          name == "triangle_count" || name == "dq_audit",
+          name == "triangle_count" || name == "dq_audit" ||
+          name == "lsh_tune",
         s"$name returned $n rows on empty input")
     }
   }
@@ -1262,6 +1264,55 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       spark.conf.unset(operators.ApproxCuts.EnabledKey)
       graft.api.Caches.release(spark)
     }
+  }
+
+  test("bottomk_sample is the exact hash-order bottom-k and merges like a real sampler") {
+    val out = PipelineOps.bottomkSample(spark, sf).collect()
+    assert(out.length == 100)
+    // ranks dense from 1, hash non-decreasing along rank
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 100L))
+    val hks = out.map(_.getAs[Long]("hk"))
+    assert(hks.zip(hks.tail).forall { case (a, b) => a <= b })
+    // equals the brute-force bottom-k over ALL docs (TakeOrdered ≡ sort+take)
+    val brute = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('btk:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)").as("hk"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(100)
+    assert(out.map(r => (r.getAs[Long]("hk"), r.getAs[Long]("doc_id"))).toSeq
+      == brute.toSeq)
+    // mergeability: bottom-k(all) == bottom-k(bottom-k(evens) ∪ bottom-k(odds))
+    val (evens, odds) = brute.toSeq.partition(_._2 % 2 == 0)
+    val all = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('btk:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)").as("hk"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    val partMerge = (all.filter(_._2 % 2 == 0).sorted.take(100) ++
+      all.filter(_._2 % 2 == 1).sorted.take(100)).sorted.take(100)
+    assert(partMerge.toSeq == brute.toSeq, "bottom-k not mergeable")
+  }
+
+  test("lsh_tune matches the closed-form S-curve and picks the threshold-nearest split") {
+    val rows = TextOps.lshTune(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (b, rr) = (r.getAs[Int]("b"), r.getAs[Int]("r"))
+      assert(b * rr == 128)
+      def p(s: Double) = 1.0 - math.exp(b * math.log(1 - math.exp(rr * math.log(s))))
+      assert(math.abs(r.getAs[Double]("threshold") -
+        math.exp(-math.log(b.toDouble) / rr)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("p_at_80") - p(0.8)) < 1e-6)
+      // the S-curve is a probability and monotone in s
+      assert(r.getAs[Double]("p_at_50") <= r.getAs[Double]("p_at_80") + 1e-9)
+      assert(r.getAs[Double]("p_at_80") <= r.getAs[Double]("p_at_90") + 1e-9)
+    }
+    // thresholds strictly decrease as bands grow; chosen = nearest to 0.8
+    val byB = rows.sortBy(_.getAs[Int]("b"))
+    val thr = byB.map(_.getAs[Double]("threshold"))
+    assert(thr.zip(thr.tail).forall { case (a, c) => a > c })
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1)
+    assert((chosen.head.getAs[Int]("b"), chosen.head.getAs[Int]("r")) == ((8, 16)),
+      "expected the 8x16 split (threshold 0.871) nearest the 0.8 target")
   }
 
   test("quota_sample keeps exactly min(quota, group size) per source, ranks dense from 1") {
