@@ -75,9 +75,34 @@ object CowTable {
     Files.readAllLines(Paths.get(manifestDir(root), s"v$version.list"),
       StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
 
+  /** Raw (non-header) manifest entry lines: `name` or
+    * `name|minEnc|maxEnc` where min/max are the file's URL-encoded key
+    * range — the per-file statistics that power manifest-level FILE
+    * SKIPPING ([[readRange]]), Delta/Iceberg's data-skipping core. */
+  private def entryLines(root: String, version: Int): Seq[String] =
+    manifestLines(root, version).filterNot(_.startsWith("#"))
+
+  private def nameOf(entry: String): String = {
+    val i = entry.indexOf('|')
+    if (i < 0) entry else entry.substring(0, i)
+  }
+
   /** The file names (relative to `files/`) composing `version`. */
   def manifest(root: String, version: Int): Seq[String] =
-    manifestLines(root, version).filterNot(_.startsWith("#"))
+    entryLines(root, version).map(nameOf)
+
+  /** Per-file recorded key ranges of `version`: (name, min, max) for
+    * every entry that carries stats (entries written before stats
+    * existed, or from an empty file, have none and are never pruned). */
+  def fileRanges(root: String, version: Int): Seq[(String, String, String)] =
+    entryLines(root, version).flatMap { l =>
+      l.split("\\|", -1) match {
+        case Array(n, mn, mx) => Some((n,
+          java.net.URLDecoder.decode(mn, "UTF-8"),
+          java.net.URLDecoder.decode(mx, "UTF-8")))
+        case _ => None
+      }
+    }
 
   /** The `#key:value` commit metadata recorded with `version`. */
   def versionMeta(root: String, version: Int): Map[String, String] =
@@ -138,9 +163,12 @@ object CowTable {
       StandardOpenOption.READ))(_.force(true))
 
   /** Write `df` into `nFiles` fresh immutable files, returning their
-    * names: stage through a Spark write, then move each part into
+    * manifest ENTRY lines (`name|minEnc|maxEnc`): stage through a Spark
+    * write, record each staged file's key range with ONE column-pruned
+    * aggregate (manifest-sized result), then move each part into
     * `files/` under a unique name (files are immutable, so a plain
-    * rename is safe). */
+    * rename is safe). The recorded ranges are what [[readRange]] prunes
+    * by — written in the same commit as the data they describe. */
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       nFiles: Int, key: String): Seq[String] = {
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
@@ -150,28 +178,44 @@ object CowTable {
     df.repartitionByRange(math.max(1, nFiles), col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(stage)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val stats: Map[String, (String, String)] =
+      spark.read.parquet(stage)
+        .select(col(key), input_file_name().as("__f"))
+        .groupBy(col("__f"))
+        .agg(min(col(key)).cast("string").as("mn"),
+          max(col(key)).cast("string").as("mx"))
+        .collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+          -> (r.getString(1), r.getString(2)))
+        .toMap
     Files.createDirectories(Paths.get(filesDir(root)))
     val stageDir = Paths.get(stage)
-    val names = listDir(stageDir)
+    val entries = listDir(stageDir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val name = s"${java.util.UUID.randomUUID()}.parquet"
         Files.move(p, Paths.get(filesDir(root), name))
-        name
+        stats.get(p.getFileName.toString) match {
+          case Some((mn, mx)) if mn != null && mx != null =>
+            s"$name|${enc(mn)}|${enc(mx)}"
+          case _ => name // empty file (or null-only keys): never pruned
+        }
       }
     listDir(stageDir).foreach(Files.delete)
     Files.delete(stageDir)
     // data-file moves are directory-entry updates too: force files/ so
     // a manifest can never outlive the entries of the files it lists
     fsyncDir(Paths.get(filesDir(root)))
-    names
+    entries
   }
 
   /** Create the table as version 1. */
   def init(spark: SparkSession, root: String, df: DataFrame, key: String,
       nFiles: Int, meta: Map[String, String] = Map.empty): Int = {
     require(listVersions(root).isEmpty, s"table already exists at $root")
-    writeManifest(root, 1, writeFiles(spark, root, df, nFiles, key), meta)
+    writeManifest(root, 1, writeFiles(spark, root, df, nFiles, key),
+      meta + ("key" -> key))
     1
   }
 
@@ -184,6 +228,47 @@ object CowTable {
   /** Read the newest snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(root))
+
+  /** Range read with manifest-level FILE SKIPPING: only files whose
+    * recorded [min, max] key range intersects [lo, hi] are opened at
+    * all (the Delta/Iceberg data-skipping move — pruning happens on
+    * manifest METADATA, before any footer or row is touched), then the
+    * exact predicate is applied on top, so the result equals
+    * `read(...).filter(lo <= key <= hi)` while a point lookup on a
+    * range-clustered layout opens ONE file. `lo`/`hi` are given in the
+    * key's string form and compared numerically when the key is
+    * numeric, lexicographically otherwise (the same order the stats
+    * were written under — supported for integral/decimal/string/date
+    * keys; the key name travels in the manifest's `key` header).
+    * Entries without stats (legacy manifests, empty files) are always
+    * kept — pruning never changes answers. */
+  def readRange(spark: SparkSession, root: String, lo: String, hi: String): DataFrame = {
+    val cur = currentVersion(root)
+    require(cur > 0, s"no table at $root")
+    val key = versionMeta(root, cur).getOrElse("key",
+      sys.error(s"manifest v$cur of $root records no key column"))
+    val stats = fileRanges(root, cur).map(e => e._1 -> (e._2, e._3)).toMap
+    val all = manifest(root, cur)
+    val numeric = {
+      val sample = spark.read.parquet(s"${filesDir(root)}/${all.head}")
+      sample.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    def le(a: String, b: String): Boolean =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    val kept = all.filter { n =>
+      stats.get(n) match {
+        case Some((mn, mx)) => le(lo, mx) && le(mn, hi)
+        case None => true // no stats: cannot prune
+      }
+    }
+    val keyCol = col(key)
+    val empty = kept.isEmpty
+    val base =
+      if (empty) readVersion(spark, root, cur).limit(0)
+      else spark.read.parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+    base.filter(keyCol >= lit(lo).cast(base.schema(key).dataType) &&
+      keyCol <= lit(hi).cast(base.schema(key).dataType))
+  }
 
   /** MERGE INTO: rows of `updates` replace current rows with the same
     * `key` (matched) and append otherwise (not matched) — publishing a
@@ -228,8 +313,13 @@ object CowTable {
         touchedDf.join(updates.select(col(key)), Seq(key), "left_anti")
           .unionByName(updates)
       }
-    val newNames = writeFiles(spark, root, merged, nNewFiles, key)
-    writeManifest(root, cur + 1, untouched ++ newNames, meta)
+    // carry untouched files' FULL entry lines (their recorded key
+    // ranges stay valid — the files are immutable)
+    val untouchedEntries = entryLines(root, cur)
+      .filter(l => untouched.contains(nameOf(l)))
+    val newEntries = writeFiles(spark, root, merged, nNewFiles, key)
+    writeManifest(root, cur + 1, untouchedEntries ++ newEntries,
+      meta + ("key" -> key))
     cur + 1
   }
 
@@ -247,8 +337,9 @@ object CowTable {
       nFiles: Int): Int = {
     val cur = currentVersion(root)
     require(cur > 0, s"no table at $root")
-    val newNames = writeFiles(spark, root, read(spark, root), nFiles, key)
-    writeManifest(root, cur + 1, newNames, Map("compaction" -> "true"))
+    val newEntries = writeFiles(spark, root, read(spark, root), nFiles, key)
+    writeManifest(root, cur + 1, newEntries,
+      Map("compaction" -> "true", "key" -> key))
     cur + 1
   }
 

@@ -109,7 +109,8 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
 
     val v = CowTable.compact(spark, root, "event_id", nFiles = 4)
     assert(v == preVersion + 1)
-    assert(CowTable.versionMeta(root, v) == Map("compaction" -> "true"))
+    assert(CowTable.versionMeta(root, v)
+      == Map("compaction" -> "true", "key" -> "event_id"))
     // fewer files, range-disjoint again, same rows
     val post = fileRanges(v)
     assert(post.size == 4, s"expected 4 compacted files, got ${post.size}")
@@ -215,6 +216,48 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
         .collect().map(_.toString).sorted.toSeq
     }
     assert(v1 == b0, "version 1 is not exactly batch 0's merge")
+  }
+
+  test("manifest file stats skip files: a point read opens one file and stays exact") {
+    import spark.implicits._
+    val root = tempDir("cow_skip")
+    val base = (0L until 10000L).map(id => (id, id * 3)).toDF("k", "v")
+    CowTable.init(spark, root, base, "k", nFiles = 8)
+    // every file entry carries its recorded key range
+    val ranges = CowTable.fileRanges(root, 1)
+    assert(ranges.size == 8, s"expected stats on all 8 entries, got $ranges")
+    // point lookup on the range-clustered layout: exactly ONE file opened
+    val point = CowTable.readRange(spark, root, "4242", "4242")
+    assert(point.inputFiles.length == 1,
+      s"file skipping failed: opened ${point.inputFiles.length} files")
+    assert(point.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((4242L, 12726L)))
+    // a band read equals the unpruned filtered read, with fewer files
+    val band = CowTable.readRange(spark, root, "1000", "3000")
+    assert(band.inputFiles.length < 8)
+    assert(band.collect().map(_.getLong(0)).sorted.toSeq == (1000L to 3000L))
+    // out-of-range read opens nothing and returns nothing
+    val none = CowTable.readRange(spark, root, "999999", "9999999")
+    assert(none.collect().isEmpty)
+    // after an upsert, carried-over entries keep their stats and new
+    // files get theirs — pruned reads stay exact across versions
+    CowTable.mergeUpsert(spark, root,
+      Seq((4242L, -1L), (20000L, -2L)).toDF("k", "v"), "k")
+    assert(CowTable.fileRanges(root, 2).size == CowTable.manifest(root, 2).size)
+    val after = CowTable.readRange(spark, root, "4242", "4242")
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((4242L, -1L)))
+    // legacy manifests (no stats) are never pruned: rewrite v2's
+    // manifest with bare names — readRange must fall back to all files
+    // and still answer exactly
+    val legacy = CowTable.manifest(root, 2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifest/v2.list"),
+      (Seq("#key:k") ++ legacy).mkString("\n").getBytes("UTF-8"))
+    val fallback = CowTable.readRange(spark, root, "4242", "4242")
+    assert(fallback.inputFiles.length == legacy.size)
+    assert(fallback.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((4242L, -1L)))
   }
 
   test("streaming cdc is latest-wins when a NEWER record arrived in an EARLIER batch") {
