@@ -393,6 +393,76 @@ object SimilarityOps {
         col("m").as("scale"))
       .orderBy("vec_id", "dim")
 
+  /** Per-dimension z-scoring (whitening's diagonal core): every
+    * coordinate standardized by ITS dimension's corpus mean/variance —
+    * the preprocessing step before distance-based indexing when
+    * dimensions carry wildly different scales (a high-variance
+    * dimension otherwise dominates every L2). Statistics come from the
+    * exact fixed-point sums of [[embedDimStats]] (order-independent
+    * under any shuffle); the closing z chain is one identical double
+    * expression both engines, round-6; a zero-variance dimension maps
+    * to z = 0. Scale shape: posexplode → ONE 64-group aggregate →
+    * broadcast stats join back — two passes, no corpus-sized shuffle
+    * beyond the dim aggregate. */
+  def embedStandardize(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = vecs(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+    val st = q.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(dec)).cast("double").as("s1"),
+        sum((col("q") * col("q")).cast(dec)).cast("double").as("s2"))
+    val varE = (col("s2") - col("s1") * col("s1") / col("n")) / col("n") / lit(1e12)
+    q.join(broadcast(st), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(varE <= 0.0, lit(0.0))
+          .otherwise(round((col("q").cast("double") / lit(1e6) -
+            col("s1") / col("n") / lit(1e6)) / sqrt(varE), 6))
+          .as("z"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** Embedding-space OUTLIER gate: each vector's squared distance to
+    * the corpus centroid, z-scored across the corpus, flagged past 2σ —
+    * the cheap embedding-quality filter that catches broken encodes /
+    * off-manifold rows before they poison an index or a dedup pass.
+    * Determinism (the anomaly_mad discipline): per-dim squared
+    * deviations are round-6 DECIMAL terms summed exactly per vector;
+    * the corpus z derives from exact DECIMAL sums of those d²; the flag
+    * compares the ROUNDED z. Scale: posexplode → 64-row broadcast stats
+    * → one vec-keyed aggregate → 1-row corpus stats broadcast back. */
+  def embedOutlier(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = vecs(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+      .persist().transform(graft.api.Caches.tracked)
+    q.count()
+    val st = q.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q").cast(dec)).cast("double").as("s1"))
+    val x = col("q").cast("double") / lit(1e6) - col("s1") / col("n") / lit(1e6)
+    // d² re-narrowed to DECIMAL(12,6) so its SQUARE below stays inside
+    // decimal precision EXACTLY on both engines (a (28,6)×(28,6)
+    // product overflows and the engines shed precision differently)
+    val d = q.join(broadcast(st), Seq("dim"))
+      .select(col("vec_id"), round(x * x, 6).cast(DecimalType(18, 6)).as("t"))
+      .groupBy("vec_id").agg(sum(col("t")).as("s"))
+      .select(col("vec_id"), col("s").cast(DecimalType(12, 6)).as("d2dec"))
+    val cs = d.agg(count(lit(1)).as("cn"),
+      sum(col("d2dec")).cast("double").as("c1"),
+      sum(col("d2dec") * col("d2dec")).cast("double").as("c2"))
+    val zc = (col("d2dec").cast("double") - col("c1") / col("cn")) /
+      sqrt((col("c2") - col("c1") * col("c1") / col("cn")) / col("cn"))
+    d.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("d2dec").cast("double").as("d2"),
+        round(zc, 6).as("z"))
+      .withColumn("is_outlier", col("z") > 2.0)
+      .orderBy("vec_id")
+  }
+
   /** Per-DIMENSION corpus statistics (mean/variance of every embedding
     * coordinate) — the drift-monitoring / whitening-prep op: a feature
     * pipeline compares these against a reference window to catch
@@ -1133,6 +1203,8 @@ object SimilarityOps {
     "jl_project"         -> (jlProject _),
     "jl_recall"          -> (jlRecall _),
     "embed_dim_stats"    -> (embedDimStats _),
+    "embed_standardize"  -> (embedStandardize _),
+    "embed_outlier"      -> (embedOutlier _),
     "dim_corr_topk"      -> (dimCorrTopk _),
     "ann_recall"         -> (annRecall _),
     "ivf_recall"         -> (ivfRecall _),
@@ -1374,6 +1446,49 @@ object SimilarityOps {
         |   - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
         |  / count(*) / 1e12, 6) AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    // the embed_dim_stats fixed-point sums, joined back per coordinate;
+    // z chain stated identically, zero-variance dims map to 0
+    "embed_standardize" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS q
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v)),
+        |st AS MATERIALIZED (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q * q) AS DOUBLE) AS s2
+        | FROM q GROUP BY dim)
+        |SELECT q.vec_id, q.dim,
+        | CASE WHEN (st.s2 - st.s1 * st.s1 / st.n) / st.n / 1e12 <= 0.0 THEN 0.0
+        |  ELSE round((CAST(q.q AS DOUBLE) / 1e6 - st.s1 / st.n / 1e6)
+        |   / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n / 1e12), 6) END AS z
+        |FROM q JOIN st ON st.dim = q.dim
+        |ORDER BY q.vec_id, q.dim""".stripMargin,
+    // round-6 DECIMAL per-dim terms summed exactly per vector, corpus z
+    // from exact DECIMAL sums of d², flag on the ROUNDED z (the
+    // anomaly_mad discipline)
+    "embed_outlier" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS q
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v)),
+        |st AS MATERIALIZED (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS DOUBLE) AS s1 FROM q GROUP BY dim),
+        |d AS MATERIALIZED (SELECT q.vec_id,
+        |  CAST(sum(CAST(round(
+        |   (CAST(q.q AS DOUBLE) / 1e6 - st.s1 / st.n / 1e6)
+        |   * (CAST(q.q AS DOUBLE) / 1e6 - st.s1 / st.n / 1e6), 6) AS DECIMAL(18,6)))
+        |   AS DECIMAL(12,6)) AS d2dec
+        | FROM q JOIN st ON st.dim = q.dim GROUP BY q.vec_id),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS cn,
+        |  CAST(sum(d2dec) AS DOUBLE) AS c1,
+        |  CAST(sum(d2dec * d2dec) AS DOUBLE) AS c2 FROM d)
+        |SELECT d.vec_id, CAST(d2dec AS DOUBLE) AS d2,
+        | round((CAST(d2dec AS DOUBLE) - c1 / cn)
+        |  / sqrt((c2 - c1 * c1 / cn) / cn), 6) AS z,
+        | round((CAST(d2dec AS DOUBLE) - c1 / cn)
+        |  / sqrt((c2 - c1 * c1 / cn) / cn), 6) > 2.0 AS is_outlier
+        |FROM d, cs ORDER BY d.vec_id""".stripMargin,
     // exact-integer sums (hugeint/decimal) → one identical double chain;
     // the same fixed-point construction as embed_dim_stats
     "dim_corr_topk" ->

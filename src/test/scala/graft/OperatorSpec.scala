@@ -1266,6 +1266,28 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("embed_standardize and embed_outlier produce genuinely standardized scores") {
+    // per-dim z: mean ≈ 0, var ≈ 1 for every dimension
+    val z = SimilarityOps.embedStandardize(spark, sf).collect()
+      .groupBy(_.getAs[Int]("dim")).values
+    z.foreach { dimRows =>
+      val zs = dimRows.map(_.getAs[Double]("z"))
+      val m = zs.sum / zs.length
+      val v = zs.map(x => (x - m) * (x - m)).sum / zs.length
+      assert(math.abs(m) < 1e-4, s"dim mean $m not ~0")
+      assert(math.abs(v - 1.0) < 1e-3, s"dim var $v not ~1")
+    }
+    // corpus z over d²: ~0 mean, unit var, and the flag matches z > 2
+    val o = SimilarityOps.embedOutlier(spark, sf).collect()
+    val oz = o.map(_.getAs[Double]("z"))
+    assert(math.abs(oz.sum / oz.length) < 1e-4)
+    assert(math.abs(oz.map(x => x * x).sum / oz.length - 1.0) < 1e-3)
+    o.foreach(r => assert(r.getAs[Boolean]("is_outlier") == (r.getAs[Double]("z") > 2.0)))
+    // flagged fraction is tail-sized, not mass-sized (2σ on ~any shape)
+    val frac = o.count(_.getAs[Boolean]("is_outlier")).toDouble / o.length
+    assert(frac < 0.2, s"$frac of vectors flagged — not an outlier gate")
+  }
+
   test("bottomk_sample is the exact hash-order bottom-k and merges like a real sampler") {
     val out = PipelineOps.bottomkSample(spark, sf).collect()
     assert(out.length == 100)
