@@ -273,6 +273,65 @@ object SimilarityOps {
     * order, id tie-breaks), so the recall itself is deterministic and
     * oracle-checkable — rare for an "approximate" component, and exactly
     * why the engine's sign/tie rules are pinned down. */
+  /** Probe vectors swept by [[annProbeSweep]] (vec_ids 0..9). */
+  private[operators] val SweepProbes = 10
+
+  /** Multi-probe LSH recall SWEEP: recall@5 for TEN probe vectors in one
+    * query — the statistically honest form of [[annRecall]] (a
+    * single-probe recall is one Bernoulli(5) draw; its round-to-round
+    * wiggle is noise, which round-11 established empirically). One
+    * signature pass serves all probes; candidate generation is the same
+    * 22-bucket multi-probe flip set per probe, joined probe-tagged; the
+    * per-probe top-5s come from PARTITIONed rank windows instead of
+    * LIMIT (each probe's partition is candidate-sized). The exact side
+    * scores probes × corpus — 10 scans' worth, the price of ground
+    * truth in any recall audit (at 100 TB you run it on a fixed eval
+    * slice, exactly what this models). Deterministic: round-6 cosines,
+    * vec_id tie-breaks, probes with zero candidate hits still report
+    * (LEFT-join completion). */
+  def annProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val nPlanes = 6
+    val e = vecs(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    e.count()
+    val bucketCol = (0 until nPlanes).map { p =>
+      val plane = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
+      when(graft.functions.VectorFunctions.dot_product(col("v"), plane) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = e.select(col("vec_id"), bucketCol.cast("long").as("bucket"))
+      .persist().transform(graft.api.Caches.tracked)
+    sig.count()
+    val masks: Seq[Long] = 0L +: ((0 until nPlanes).map(i => 1L << i) ++
+      (0 until nPlanes).flatMap(i =>
+        (i + 1 until nPlanes).map(j => (1L << i) | (1L << j))))
+    val probeBuckets = sig.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"),
+        explode(array(masks.map(m => expr(s"bucket ^ ${m}L")): _*)).as("pb"))
+    val pvecs = e.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("v").as("p"))
+    val cand = sig.join(broadcast(probeBuckets), col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("probe"))
+      .select(col("probe"), col("vec_id"))
+    val w = Window.partitionBy(col("probe")).orderBy(col("cos").desc, col("vec_id"))
+    val ann5 = cand.join(e, Seq("vec_id")).join(broadcast(pvecs), Seq("probe"))
+      .select(col("probe"), col("vec_id"), round(cosine("v", "p"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val ex5 = e.crossJoin(broadcast(pvecs))
+      .filter(col("vec_id") =!= col("probe"))
+      .select(col("probe"), col("vec_id"), round(cosine("v", "p"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val hits = ex5.join(ann5, Seq("probe", "vec_id"), "left_semi")
+      .groupBy("probe").agg(count(lit(1)).as("h"))
+    sig.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"))
+      .join(hits, Seq("probe"), "left")
+      .select(col("probe"), coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      .orderBy("probe")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact5 = topkSimilarity(spark, sfDir).limit(5).select(col("vec_id"))
     val lsh5 = annLsh(spark, sfDir).select(col("vec_id"))
@@ -1204,6 +1263,7 @@ object SimilarityOps {
     "jl_recall"          -> (jlRecall _),
     "embed_dim_stats"    -> (embedDimStats _),
     "embed_standardize"  -> (embedStandardize _),
+    "ann_probe_sweep"    -> (annProbeSweep _),
     "embed_outlier"      -> (embedOutlier _),
     "dim_corr_topk"      -> (dimCorrTopk _),
     "ann_recall"         -> (annRecall _),
@@ -1446,6 +1506,53 @@ object SimilarityOps {
         |   - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
         |  / count(*) / 1e12, 6) AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    // the ann_recall construction generalized over a probe dimension:
+    // probe-tagged flip buckets, PARTITIONed rank windows instead of
+    // LIMIT, LEFT-join completion for zero-hit probes; the mask list is
+    // GENERATED from the same flip constants as the Scala side
+    "ann_probe_sweep" -> {
+      val nP = 6
+      val masks: Seq[Long] = 0L +: ((0 until nP).map(i => 1L << i) ++
+        (0 until nP).flatMap(i => (i + 1 until nP).map(j => (1L << i) | (1L << j))))
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |pr AS (SELECT unnest(generate_series(0, ${SweepProbes - 1})) AS probe),
+        |pl AS (
+        | SELECT p.pl, dd.d,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(p.pl AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 1
+        |   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+        | FROM (SELECT unnest(generate_series(0, ${nP - 1})) AS pl) p,
+        |      (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |planevecs AS (SELECT pl, list(s ORDER BY d) AS pvec FROM pl GROUP BY pl),
+        |sig AS MATERIALIZED (
+        | SELECT vec_id,
+        |  CAST(sum(CASE WHEN list_dot_product(v, pvec) > 0 THEN CAST(pow(2, pl) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM v, planevecs GROUP BY vec_id),
+        |pvr AS MATERIALIZED (SELECT vec_id AS probe, v AS p FROM v
+        | WHERE vec_id < $SweepProbes),
+        |pbs AS (SELECT s.vec_id AS probe, xor(s.bucket, m.m) AS probe_bucket
+        | FROM sig s, (SELECT unnest(${masks.mkString("[", ", ", "]")}) AS m) m
+        | WHERE s.vec_id < $SweepProbes),
+        |a5 AS (SELECT probe, vec_id FROM (
+        | SELECT p.probe, s.vec_id,
+        |  row_number() OVER (PARTITION BY p.probe
+        |   ORDER BY round(${cosSql("v.v", "pvr.p")}, 6) DESC, s.vec_id) AS rn
+        | FROM sig s JOIN pbs p ON s.bucket = p.probe_bucket
+        |  JOIN v ON v.vec_id = s.vec_id
+        |  JOIN pvr ON pvr.probe = p.probe
+        | WHERE s.vec_id <> p.probe) t WHERE rn <= 5),
+        |e5 AS (SELECT probe, vec_id FROM (
+        | SELECT pvr.probe, v.vec_id,
+        |  row_number() OVER (PARTITION BY pvr.probe
+        |   ORDER BY round(${cosSql("v.v", "pvr.p")}, 6) DESC, v.vec_id) AS rn
+        | FROM v, pvr WHERE v.vec_id <> pvr.probe) t WHERE rn <= 5),
+        |h AS (SELECT e5.probe, CAST(count(*) AS BIGINT) AS hits
+        | FROM e5 JOIN a5 ON a5.probe = e5.probe AND a5.vec_id = e5.vec_id
+        | GROUP BY e5.probe)
+        |SELECT pr.probe, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+        |FROM pr LEFT JOIN h ON h.probe = pr.probe
+        |ORDER BY pr.probe""".stripMargin
+    },
     // the embed_dim_stats fixed-point sums, joined back per coordinate;
     // z chain stated identically, zero-variance dims map to 0
     "embed_standardize" ->

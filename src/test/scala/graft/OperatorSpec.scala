@@ -1266,6 +1266,24 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ann_probe_sweep reports every probe and contains the single-probe recall") {
+    val rows = SimilarityOps.annProbeSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("probe")).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val (h, rec) = (r.getAs[Long]("hits"), r.getAs[Double]("recall"))
+      assert(h >= 0 && h <= 5 && math.abs(rec - h / 5.0) < 1e-9)
+    }
+    // probe 0's row IS the single-probe ann_recall value — the sweep
+    // subsumes it, the other nine rows are what de-noises it
+    val single = SimilarityOps.annRecall(spark, sf).head().getAs[Long]("hits")
+    assert(rows.find(_.getAs[Long]("probe") == 0L).get.getAs[Long]("hits") == single)
+    // a 22-bucket multi-probe LSH at 6 planes should beat chance easily
+    // ON AVERAGE even when individual probes hit 0 (the noise the sweep
+    // exists to average out)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean > 0.2, s"mean sweep recall $mean suspiciously low")
+  }
+
   test("embed_standardize and embed_outlier produce genuinely standardized scores") {
     // per-dim z: mean ≈ 0, var ≈ 1 for every dimension
     val z = SimilarityOps.embedStandardize(spark, sf).collect()
