@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.operators.TextOps
 import graft.streaming.ConsumerPipeline.RawEvent
-import graft.streaming.{StreamingAnomaly, StreamingCdc, StreamingDedup}
+import graft.streaming.{StreamingAnomaly, StreamingBottomK, StreamingCdc, StreamingDedup}
 
 /** Micro-batch throughput bench for the streaming half of the engine
   * (round-8 verdict item 5: the streaming analogs carry bit-equality
@@ -89,6 +89,21 @@ object StreamBench {
       val state = StreamingCdc.state(spark, s"$stage/cdc_state")
       report("cdc", n, sec,
         s""","state_rows":${state.count()},"state_bytes":${dirBytes(s"$stage/cdc_state")}""")
+      api.Caches.release(spark)
+    }
+
+    // ---- streaming bottom-k: exact uniform sample over the stream -----
+    locally {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/btk_in")
+      val n = spark.read.parquet(s"$stage/btk_in").count()
+      val in = fileStream(s"$stage/btk_in", evs.schema)
+      val q = StreamingBottomK.start(in, s"$stage/btk_state", s"$stage/btk_ckpt")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val state = StreamingBottomK.state(spark, s"$stage/btk_state")
+      report("bottomk", n, sec,
+        s""","state_rows":${state.count()},"state_bytes":${dirBytes(s"$stage/btk_state")}""")
       api.Caches.release(spark)
     }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives shared by the dedup pipelines.
@@ -301,9 +302,61 @@ object GraphOps {
       .crossJoin(broadcast(tri))
   }
 
+  /** Synchronous label-propagation rounds run by [[labelPropagation]]. */
+  private[operators] val LpaRounds = 3
+
+  /** Community detection by synchronous LABEL PROPAGATION
+    * (Raghavan et al.) over the MinHash-LSH candidate-pair graph — the
+    * third member of the graph family (pagerank = centrality,
+    * triangle_count = cohesion, LPA = community structure): every node
+    * starts as its own label, and each round adopts the most frequent
+    * label among its neighbors (ties to the smallest label — the
+    * determinism LPA normally lacks), isolated nodes keeping their own.
+    * [[LpaRounds]] fixed synchronous rounds, exactly the
+    * Pregel/GraphX formulation, so the whole computation is ONE lazy
+    * plan: per round an edge-keyed join + map-side-combinable
+    * (node, label) count + a per-node rank window — no driver collect
+    * anywhere, every step keyed and shuffle-scalable at 100 TB.
+    * Output: (doc_id, community, community_size) for EVERY doc —
+    * clone families collapse to their min doc_id, singletons stay
+    * themselves. */
+  def labelPropagation(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    labelPropagationOf(TextOps.candidatePairs(spark, sfDir),
+      graft.model.Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("node")))
+
+  /** LPA core over an arbitrary pair list + node universe — separated
+    * so the spec can drive it with known-community graphs. */
+  private[graft] def labelPropagationOf(pairsIn: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist().transform(graft.api.Caches.tracked)
+    pairs.count()
+    val ed = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val nb = ed.join(labels.select(col("node").as("u"), col("lbl").as("ulbl")),
+          Seq("u"))
+        .groupBy(col("v"), col("ulbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("ulbl"))
+      val best = nb.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("ulbl").as("nlbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
-    "triangle_count" -> (triangleCount _))
+    "triangle_count" -> (triangleCount _),
+    "label_prop_communities" -> (labelPropagation _))
 
   /** DuckDB oracle: the three iterations unrolled as CTEs, stating the
     * identical integer fixed-point chain (`//` = Spark's `DIV`; both
@@ -353,6 +406,30 @@ object GraphOps {
         |SELECT node_id,
         | CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supp' END AS kind,
         | CAST(pr AS BIGINT) AS pr_e12
-        |FROM p$PagerankIters ORDER BY pr_e12 DESC, node_id LIMIT $PagerankTopK""".stripMargin)
+        |FROM p$PagerankIters ORDER BY pr_e12 DESC, node_id LIMIT $PagerankTopK""".stripMargin,
+      // the synchronous rounds unrolled as CTEs (the pagerank/kmeans
+      // discipline): per round a neighbor-label count + per-node rank-1
+      // window (count desc, label asc) + LEFT-join fallback for
+      // isolated nodes
+      "label_prop_communities" -> {
+        def lpaIter(i: Int): String =
+          s"""nb$i AS (SELECT ed.v, l.lbl, count(*) AS c
+            | FROM ed JOIN l${i - 1} l ON l.node = ed.u GROUP BY ed.v, l.lbl),
+            |b$i AS (SELECT v, lbl FROM (SELECT v, lbl,
+            |  row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+            | FROM nb$i) t WHERE rn = 1),
+            |l$i AS MATERIALIZED (SELECT l.node, coalesce(b.lbl, l.lbl) AS lbl
+            | FROM l${i - 1} l LEFT JOIN b$i b ON b.v = l.node)""".stripMargin
+        s"""WITH ${TextOps.candCtesSql},
+          |ed AS MATERIALIZED (SELECT doc_a AS v, doc_b AS u FROM cand
+          | UNION ALL SELECT doc_b AS v, doc_a AS u FROM cand),
+          |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+          |${(1 to LpaRounds).map(lpaIter).mkString(",\n")},
+          |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+          | FROM l$LpaRounds GROUP BY lbl)
+          |SELECT l.node AS doc_id, l.lbl AS community, sz.community_size
+          |FROM l$LpaRounds l JOIN sz ON sz.lbl = l.lbl
+          |ORDER BY doc_id""".stripMargin
+      })
   }
 }

@@ -123,4 +123,38 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
     // C4 (square): cyclic but triangle-free
     assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))._3 == 0L)
   }
+
+  test("label propagation: cliques collapse to min label, isolates stay singleton") {
+    import spark.implicits._
+    def lpa(pairs: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, (Long, Long)] =
+      GraphOps.labelPropagationOf(
+        pairs.toDF("doc_a", "doc_b"), nodes.toDF("node"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("community"), r.getAs[Long]("community_size")))
+        .toMap
+    // a 4-clique plus an isolated node. Hand-trace: round 1 ties every
+    // member to the min of its NEIGHBOR ids (node 1 → 2, others → 1);
+    // round 2 the majority label 1 wins everywhere; round 3 is stable.
+    // The isolate keeps itself as a singleton community.
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = lpa(clique, Seq(1L, 2L, 3L, 4L, 9L))
+    assert(got(9L) == ((9L, 1L)), "isolated node not a singleton community")
+    assert(Seq(2L, 3L, 4L).forall(got(_) == ((1L, 4L))),
+      s"clique did not collapse to min label: $got")
+    assert(got(1L)._2 == 4L)
+    // two disjoint cliques: independent communities, sizes correct
+    val two = clique ++ Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val g2 = lpa(two, Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L))
+    assert(g2(11L)._1 == 10L && g2(12L)._1 == 10L && g2(10L)._2 == 3L)
+    assert(g2(2L)._1 == 1L)
+    // the corpus-level query partitions consistently: sizes sum to the
+    // doc count and every member of a community reports the same size
+    val full = GraphOps.labelPropagation(spark, sf).collect()
+    val byComm = full.groupBy(_.getAs[Long]("community"))
+    assert(byComm.values.map(_.length).sum == full.length)
+    byComm.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("community_size") == rows.length))
+    }
+  }
 }

@@ -535,6 +535,39 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
   }
 
+  test("streaming bottom-k sample equals the batch bottom-k over everything that arrived") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    val statePath = tempDir("btk_state")
+    val q = graft.streaming.StreamingBottomK.start(
+      stream.toDF(), statePath, tempDir("btk_ckpt"))
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { wave =>
+        stream.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the merge property makes the streamed state BIT-EQUAL to the
+    // batch bottom-k over the union of all waves — k rows of state were
+    // ever kept, never the full history
+    val got = graft.streaming.StreamingBottomK.state(spark, statePath)
+      .collect().map(r => (r.getAs[Long]("hk"), r.getAs[Long]("event_id")))
+      .sorted.toSeq
+    val expect = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"),
+        expr("cast(conv(substring(md5(concat('btk:', cast(event_id as string))), 1, 7), 16, 10) as bigint)").as("hk"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.take(graft.streaming.StreamingBottomK.K).toSeq
+    assert(got == expect, "streamed sample diverged from the batch bottom-k")
+    // pruning leaves at most the current and predecessor snapshots
+    val vdirs = new java.io.File(statePath).list().count(_.startsWith("v="))
+    assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
+  }
+
   test("streaming anomaly scores equal the batch anomaly_zscore window bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
