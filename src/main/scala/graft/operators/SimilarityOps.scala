@@ -522,6 +522,46 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension DRIFT monitor between two windows of the corpus
+    * (reference = even vec_ids, current = odd — standing in for
+    * yesterday's batch vs today's): Welch z of the mean difference per
+    * dimension, flagged past 3σ. This is the check
+    * [[embedDimStats]]'s scaladoc promises ("compare against a
+    * reference window to catch embedding-model or upstream-data
+    * drift"), now a first-class query. Exact fixed-point sums per
+    * (half, dim) — order-independent — then one identical double
+    * Welch chain, round-6; the flag compares the ROUNDED z. One
+    * posexplode scan, one 128-group aggregate, a 64×64 self-join of
+    * metadata-sized stats. */
+  def embedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val st = vecs(spark, sfDir)
+      .select((col("vec_id") % 2 === 0).as("ref"), posexplode(col("v")))
+      .select(col("ref"), col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+      .groupBy("ref", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(dec)).cast("double").as("s1"),
+        sum((col("q") * col("q")).cast(dec)).cast("double").as("s2"))
+    def mean(p: String) = col(s"${p}s1") / col(s"${p}n") / lit(1e6)
+    def varN(p: String) =
+      (col(s"${p}s2") - col(s"${p}s1") * col(s"${p}s1") / col(s"${p}n")) /
+        col(s"${p}n") / lit(1e12)
+    val a = st.filter(col("ref"))
+      .select(col("dim"), col("n").as("an"), col("s1").as("as1"), col("s2").as("as2"))
+    val b = st.filter(!col("ref"))
+      .select(col("dim"), col("n").as("bn"), col("s1").as("bs1"), col("s2").as("bs2"))
+    val z = (mean("a") - mean("b")) /
+      sqrt(varN("a") / col("an") + varN("b") / col("bn"))
+    a.join(b, Seq("dim"))
+      .select(col("dim"),
+        round(mean("a"), 6).as("mean_ref"),
+        round(mean("b"), 6).as("mean_cur"),
+        round(z, 6).as("z_diff"))
+      .withColumn("drifted", abs(col("z_diff")) > 3.0)
+      .orderBy("dim")
+  }
+
   /** Per-DIMENSION corpus statistics (mean/variance of every embedding
     * coordinate) — the drift-monitoring / whitening-prep op: a feature
     * pipeline compares these against a reference window to catch
@@ -1264,6 +1304,7 @@ object SimilarityOps {
     "embed_dim_stats"    -> (embedDimStats _),
     "embed_standardize"  -> (embedStandardize _),
     "ann_probe_sweep"    -> (annProbeSweep _),
+    "embed_drift"        -> (embedDrift _),
     "embed_outlier"      -> (embedOutlier _),
     "dim_corr_topk"      -> (dimCorrTopk _),
     "ann_recall"         -> (annRecall _),
@@ -1553,6 +1594,28 @@ object SimilarityOps {
         |FROM pr LEFT JOIN h ON h.probe = pr.probe
         |ORDER BY pr.probe""".stripMargin
     },
+    // per-(half, dim) exact fixed-point stats → one identical Welch
+    // chain, round-6, flag on the rounded z
+    "embed_drift" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS (SELECT vec_id % 2 = 0 AS ref, i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS q
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v)),
+        |st AS MATERIALIZED (SELECT ref, dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q * q) AS DOUBLE) AS s2
+        | FROM q GROUP BY ref, dim)
+        |SELECT a.dim,
+        | round(a.s1 / a.n / 1e6, 6) AS mean_ref,
+        | round(b.s1 / b.n / 1e6, 6) AS mean_cur,
+        | round((a.s1 / a.n / 1e6 - b.s1 / b.n / 1e6) /
+        |  sqrt((a.s2 - a.s1 * a.s1 / a.n) / a.n / 1e12 / a.n
+        |     + (b.s2 - b.s1 * b.s1 / b.n) / b.n / 1e12 / b.n), 6) AS z_diff,
+        | abs(round((a.s1 / a.n / 1e6 - b.s1 / b.n / 1e6) /
+        |  sqrt((a.s2 - a.s1 * a.s1 / a.n) / a.n / 1e12 / a.n
+        |     + (b.s2 - b.s1 * b.s1 / b.n) / b.n / 1e12 / b.n), 6)) > 3.0 AS drifted
+        |FROM st a JOIN st b ON a.dim = b.dim AND a.ref AND NOT b.ref
+        |ORDER BY a.dim""".stripMargin,
     // the embed_dim_stats fixed-point sums, joined back per coordinate;
     // z chain stated identically, zero-variance dims map to 0
     "embed_standardize" ->
