@@ -263,6 +263,49 @@ object CorpusOps {
       .select(col("nb").as("n_bigrams"), col("n_types"), col("cond_entropy"))
   }
 
+  // ------------------------------------------------- collocation mining
+  /** Minimum bigram count and report size for [[collocationTopk]]. */
+  private[operators] val CollocMinCount = 5
+  private[operators] val CollocTopK = 20
+
+  /** Collocation mining: top-[[CollocTopK]] adjacent-token pairs by
+    * pointwise mutual information with a [[CollocMinCount]] support
+    * floor — the classic phrase-detection statistic (word2vec-era
+    * phrase merging, Manning & Schütze's collocations chapter): high
+    * PMI says the pair co-occurs far above what its parts' frequencies
+    * predict, the support floor keeps hapax noise out (PMI's known
+    * failure mode — a pair seen once between two rare words maxes the
+    * score).
+    *
+    * Determinism: every ln operand is an exact integer (c·N, cu·cv —
+    * all from ONE bigram aggregate), the chain is written identically
+    * in both engines, round-6, (pmi desc, u, v) total order. Scale
+    * shape: one bigram explode → (u,v) aggregate with map-side
+    * partials; margins derive from the bigram table (vocab²-bounded),
+    * the 1-row total broadcasts; the cut is a TakeOrderedAndProject. */
+  def collocationTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = TextOps.normed(spark, sfDir)
+      .select(split(col("norm"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tokens) - 1), i -> struct(tokens[i-1] AS u, tokens[i] AS v))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val cuv = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .persist().transform(graft.api.Caches.tracked)
+    cuv.count()
+    val cu = cuv.groupBy(col("u")).agg(sum(col("c")).as("cu"))
+    val cv = cuv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+    val nb = cuv.agg(sum(col("c")).as("nb"))
+    cuv.filter(col("c") >= CollocMinCount)
+      .join(cu, Seq("u")).join(cv, Seq("v"))
+      .crossJoin(broadcast(nb))
+      .select(col("u"), col("v"), col("c"),
+        round(log(col("c").cast("double") * col("nb").cast("double") /
+          (col("cu").cast("double") * col("cv").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("u"), col("v"))
+      .limit(CollocTopK)
+  }
+
   // -------------------------------------------------- composition PMI
   /** Pointwise mutual information between the `lang` and `source`
     * columns — the dataset-composition association probe (a strongly
@@ -926,6 +969,7 @@ object CorpusOps {
     "bpe_encode"    -> (bpeEncode _),
     "zipf_slope"    -> (zipfSlope _),
     "bigram_entropy" -> (bigramEntropy _),
+    "collocation_topk" -> (collocationTopk _),
     "bigram_counts" -> (bigramCounts _),
     "passage_dedup" -> (passageDedup _),
     "intradoc_dedup" -> (intradocDedup _),
@@ -1081,6 +1125,26 @@ object CorpusOps {
         |   ln(CAST(c AS DOUBLE) / CAST(cu AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
         |  AS cond_entropy
         |FROM cuv JOIN cu USING (u), nbt GROUP BY nb""".stripMargin,
+    // same bigram base; both PMI margins derive from the cuv table,
+    // every ln operand an exact integer, identical chain, support floor
+    "collocation_topk" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |dtk AS (SELECT string_split(norm, ' ') AS tokens FROM dn
+        |        WHERE array_length(string_split(norm, ' ')) >= 2),
+        |bg AS (SELECT tokens[i] AS u, tokens[i + 1] AS v FROM (
+        | SELECT tokens, unnest(generate_series(1, array_length(tokens) - 1)) AS i
+        | FROM dtk) t),
+        |cuv AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS c
+        | FROM bg GROUP BY u, v),
+        |cu AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM cuv GROUP BY u),
+        |cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cuv GROUP BY v),
+        |nbt AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cuv)
+        |SELECT cuv.u, cuv.v, cuv.c,
+        | round(ln(CAST(cuv.c AS DOUBLE) * CAST(nbt.nb AS DOUBLE) /
+        |  (CAST(cu.cu AS DOUBLE) * CAST(cv.cv AS DOUBLE))), 6) AS pmi
+        |FROM cuv JOIN cu USING (u) JOIN cv USING (v), nbt
+        |WHERE cuv.c >= $CollocMinCount
+        |ORDER BY pmi DESC, cuv.u, cuv.v LIMIT $CollocTopK""".stripMargin,
     "bpe_merge_topk" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

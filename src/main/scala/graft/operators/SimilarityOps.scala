@@ -1274,6 +1274,74 @@ object SimilarityOps {
         col("s.dist").as("dist"))
   }
 
+  /** Simplified (centroid-based) SILHOUETTE per cluster — the
+    * clustering-quality gate that tells an IVF/k-means index builder
+    * whether K fits the data: s = (d₂ − d₁)/d₂ per vector, where d₁ is
+    * the distance to its own (nearest) centroid and d₂ to the runner-up
+    * — the linear-time form of Rousseeuw's silhouette that production
+    * systems use (the classic all-pairs form is O(n²) and dead at
+    * scale). Near 1 = tight, well-separated cluster; near 0 = the
+    * vector sits on a boundary.
+    *
+    * Determinism: round-6 distances with cid tie-break; per-vector s is
+    * round-6 DECIMAL summed exactly per cluster; the mean chain is
+    * identical both engines. Scale shape: one broadcast-K scoring scan;
+    * the rank window partitions by vec_id over K rows each; one K-row
+    * aggregate out. */
+  def kmeansSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantCodes(spark, sfDir)
+    val cents = lloydCentroids(q)
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("dist"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid"))
+    val per = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(min(when(col("rn") === 1, struct(col("dist"), col("cid")))).as("own"),
+        min(when(col("rn") === 2, col("dist"))).as("d2"))
+      .select(col("own.cid").as("cluster"), col("own.dist").as("d1"), col("d2"))
+    per.select(col("cluster"),
+        round(when(col("d2") <= 0.0, lit(0.0))
+          .otherwise((col("d2") - col("d1")) / col("d2")), 6)
+          .cast(DecimalType(18, 6)).as("s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("avg_sil"))
+      .orderBy("cluster")
+  }
+
+  /** Leave-one-out 1-NN label accuracy over the LSH candidate graph —
+    * the label-consistency eval of embedding quality (a good encoder
+    * puts same-label vectors next to each other; accuracy near the
+    * label prior says the embedding carries no class signal). The
+    * nearest neighbor comes from the SAME candidate-bounded pair
+    * kernel as `knn_graph` — no all-pairs scan; vectors with no LSH
+    * candidate at cos ≥ 0.4 are excluded (reported via n_scored), the
+    * honest contract of a candidate-bounded eval. Deterministic:
+    * round-6 cosines, nbr tie-break; the one-row summary derives from
+    * exact integer counts. */
+  def knnLabelAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val pairs = neardupPairsUnsorted(spark, sfDir)
+    val sym = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
+    val nn1 = sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("nbr"))
+    val lbl = e.select(col("vec_id"), col("label"))
+    nn1.join(lbl, Seq("vec_id"))
+      .join(lbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")),
+        Seq("nbr"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("label") === col("nbr_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .filter(col("n_scored") > 0)
+      .select(col("n_scored"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_scored"), 6).as("accuracy"))
+  }
+
   /** One exact Lloyd round over the codes: centroids seeded from the
     * first [[KmeansK]] vectors' codes, per-dim mean as exact
     * whole-number sum / count (bit-identical under any partitioning).
@@ -1312,6 +1380,8 @@ object SimilarityOps {
     "ann_lsh"            -> (annLsh _),
     "ann_ivf"            -> (annIvf _),
     "kmeans_assign"      -> (kmeansAssign _),
+    "kmeans_silhouette"  -> (kmeansSilhouette _),
+    "knn_label_accuracy" -> (knnLabelAccuracy _),
     "kmeans_iterate"     -> (kmeansIterate _),
     "ivf_build_stats"    -> (ivfBuildStats _),
     "semantic_dedup"     -> (semanticDedup _),
@@ -1804,6 +1874,40 @@ object SimilarityOps {
         |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
         | FROM qq, c1 c) t WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    // the kmeans stack + per-vec (d1, d2) rank, identical s chain,
+    // round-6 DECIMAL terms summed exactly per cluster
+    "kmeans_silhouette" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$kmeansCtesSql,
+        |rk AS MATERIALIZED (SELECT vec_id, cid, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        | FROM (SELECT qq.vec_id, c.cid,
+        |   ${distSql("qq.qv", "c.c")} AS dist FROM qq, c1 c) t),
+        |per AS (SELECT a.cid AS cluster, a.dist AS d1, b.dist AS d2
+        | FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.rn = 2
+        | WHERE a.rn = 1),
+        |sil AS (SELECT cluster, CAST(round(CASE WHEN d2 <= 0.0 THEN 0.0
+        |  ELSE (d2 - d1) / d2 END, 6) AS DECIMAL(18,6)) AS s FROM per)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_sil
+        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // the knn_graph pair stack; rank-1 neighbor, labels joined back,
+    // exact integer counts in the one-row summary
+    "knn_label_accuracy" ->
+      s"""WITH $neardupCtesSql,
+        |sym AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos FROM pairs
+        | UNION ALL SELECT vec_b, vec_a, cos FROM pairs),
+        |nn1 AS (SELECT vec_id, nbr FROM (SELECT vec_id, nbr,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+        | FROM sym) t WHERE rn = 1),
+        |j AS (SELECT a.label AS la, b.label AS lb FROM nn1
+        | JOIN embeddings a ON a.vec_id = nn1.vec_id
+        | JOIN embeddings b ON b.vec_id = nn1.nbr)
+        |SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        | CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | round(CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 6) AS accuracy
+        |FROM j HAVING count(*) > 0""".stripMargin,
     "product_quantize" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |$pqCtesSql

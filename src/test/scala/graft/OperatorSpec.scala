@@ -1266,6 +1266,32 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("silhouette, 1-NN label accuracy, and collocations hold their defining bounds") {
+    // centroid silhouette: d2 >= d1 by construction, so every cluster
+    // mean sits in [0, 1); cluster ids are the kmeans seeds
+    val sil = SimilarityOps.kmeansSilhouette(spark, sf).collect()
+    assert(sil.nonEmpty && sil.length <= 8)
+    sil.foreach { r =>
+      val s = r.getAs[Double]("avg_sil")
+      assert(s >= 0.0 && s < 1.0, s"avg_sil $s outside [0,1)")
+      assert(r.getAs[Long]("n") >= 1)
+    }
+    // sizes cover the whole corpus (every vector is assigned somewhere)
+    assert(sil.map(_.getAs[Long]("n")).sum ==
+      graft.model.Tables.embeddings(spark, sf).count())
+    // 1-NN label accuracy: a valid fraction over the scored subset
+    val acc = SimilarityOps.knnLabelAccuracy(spark, sf).head()
+    val (n, c, a) = (acc.getAs[Long]("n_scored"), acc.getAs[Long]("n_correct"),
+      acc.getAs[Double]("accuracy"))
+    assert(n >= 1 && c >= 0 && c <= n && math.abs(a - c.toDouble / n) < 1e-6)
+    // collocations: pmi-ordered, support floor respected
+    val col9 = CorpusOps.collocationTopk(spark, sf).collect()
+    assert(col9.nonEmpty && col9.length <= 20)
+    assert(col9.forall(_.getAs[Long]("c") >= 5), "support floor violated")
+    val pmis = col9.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y }, "not pmi-ordered")
+  }
+
   test("ann_probe_sweep reports every probe and contains the single-probe recall") {
     val rows = SimilarityOps.annProbeSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("probe")).toSeq == (0L until 10L))
