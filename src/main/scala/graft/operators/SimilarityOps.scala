@@ -332,6 +332,56 @@ object SimilarityOps {
       .orderBy("probe")
   }
 
+  /** Multi-probe IVF recall sweep — [[annProbeSweep]]'s twin for the
+    * k-means-coarse-quantizer index, so the engine's two oracle-checked
+    * index types (LSH, IVF) carry the same statistically honest recall
+    * audit: recall@5 for probe vectors 0..[[SweepProbes]], each probing
+    * its own 2 nearest lists, top-5s from PARTITIONed rank windows,
+    * zero-hit probes reported. One Lloyd round + one assignment pass
+    * serve all probes; the probed fraction per probe is ~2/K of the
+    * corpus; the exact side is probes × corpus — ground truth's price,
+    * run on a fixed eval slice at 100 TB. */
+  def ivfProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    e.count()
+    val q = quantCodes(spark, sfDir)
+    val cents = lloydCentroids(q).persist().transform(graft.api.Caches.tracked)
+    cents.count()
+    val assigned = assignNearest(q, cents, keepQ = false)
+      .select(col("vec_id"), col("cid"))
+    val pw = Window.partitionBy(col("probe")).orderBy(col("pdist").asc, col("cid"))
+    val probeLists = q.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("q"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe"), col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("pdist"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+      .select(col("probe"), col("cid"))
+    val pvecs = e.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("v").as("p"))
+    val w = Window.partitionBy(col("probe")).orderBy(col("cos").desc, col("vec_id"))
+    val ivf5 = assigned.join(broadcast(probeLists), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe"))
+      .join(e, Seq("vec_id")).join(broadcast(pvecs), Seq("probe"))
+      .select(col("probe"), col("vec_id"), round(cosine("v", "p"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val ex5 = e.crossJoin(broadcast(pvecs))
+      .filter(col("vec_id") =!= col("probe"))
+      .select(col("probe"), col("vec_id"), round(cosine("v", "p"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val hits = ex5.join(ivf5, Seq("probe", "vec_id"), "left_semi")
+      .groupBy("probe").agg(count(lit(1)).as("h"))
+    q.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"))
+      .join(hits, Seq("probe"), "left")
+      .select(col("probe"), coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      .orderBy("probe")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact5 = topkSimilarity(spark, sfDir).limit(5).select(col("vec_id"))
     val lsh5 = annLsh(spark, sfDir).select(col("vec_id"))
@@ -1372,6 +1422,7 @@ object SimilarityOps {
     "embed_dim_stats"    -> (embedDimStats _),
     "embed_standardize"  -> (embedStandardize _),
     "ann_probe_sweep"    -> (annProbeSweep _),
+    "ivf_probe_sweep"    -> (ivfProbeSweep _),
     "embed_drift"        -> (embedDrift _),
     "embed_outlier"      -> (embedOutlier _),
     "dim_corr_topk"      -> (dimCorrTopk _),
@@ -1664,6 +1715,45 @@ object SimilarityOps {
         |FROM pr LEFT JOIN h ON h.probe = pr.probe
         |ORDER BY pr.probe""".stripMargin
     },
+    // the ivf_recall construction generalized over a probe dimension
+    // (the ann_probe_sweep discipline): per-probe 2-list rank, windowed
+    // top-5s, LEFT-join completion
+    "ivf_probe_sweep" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$kmeansCtesSql,
+        |pvr AS MATERIALIZED (SELECT vec_id AS probe, v AS p FROM v
+        | WHERE vec_id < $SweepProbes),
+        |assigned AS MATERIALIZED (SELECT vec_id, cid FROM (
+        | SELECT qq.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c) t WHERE rn = 1),
+        |pls AS MATERIALIZED (SELECT probe, cid FROM (
+        | SELECT qq.vec_id AS probe, c.cid,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+        | FROM qq, c1 c WHERE qq.vec_id < $SweepProbes) t WHERE rn <= 2),
+        |i5 AS (SELECT probe, vec_id FROM (
+        | SELECT p.probe, a.vec_id,
+        |  row_number() OVER (PARTITION BY p.probe
+        |   ORDER BY round(${cosSql("vv.v", "pvr.p")}, 6) DESC, a.vec_id) AS rn
+        | FROM assigned a JOIN pls p ON p.cid = a.cid
+        |  JOIN v vv ON vv.vec_id = a.vec_id
+        |  JOIN pvr ON pvr.probe = p.probe
+        | WHERE a.vec_id <> p.probe) t WHERE rn <= 5),
+        |e5 AS (SELECT probe, vec_id FROM (
+        | SELECT pvr.probe, v.vec_id,
+        |  row_number() OVER (PARTITION BY pvr.probe
+        |   ORDER BY round(${cosSql("v.v", "pvr.p")}, 6) DESC, v.vec_id) AS rn
+        | FROM v, pvr WHERE v.vec_id <> pvr.probe) t WHERE rn <= 5),
+        |h AS (SELECT e5.probe, CAST(count(*) AS BIGINT) AS hits
+        | FROM e5 JOIN i5 ON i5.probe = e5.probe AND i5.vec_id = e5.vec_id
+        | GROUP BY e5.probe),
+        |pr AS (SELECT unnest(generate_series(0, ${SweepProbes - 1})) AS probe)
+        |SELECT pr.probe, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+        |FROM pr LEFT JOIN h ON h.probe = pr.probe
+        |ORDER BY pr.probe""".stripMargin,
     // per-(half, dim) exact fixed-point stats → one identical Welch
     // chain, round-6, flag on the rounded z
     "embed_drift" ->
