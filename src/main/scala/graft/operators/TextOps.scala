@@ -532,6 +532,44 @@ object TextOps {
           (col("sa") + col("sb") - col("i")).cast("double"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Thresholds swept by [[dedupThresholdSweep]]. */
+  private[operators] val DedupSweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup THRESHOLD tuning curve: for each Jaccard cut τ, how many
+    * candidate pairs qualify as duplicates and how many documents they
+    * touch — the table a pipeline owner reads before fixing the dedup
+    * bar (too low deletes paraphrases, too high keeps boilerplate; the
+    * elbow of this curve is where the decision gets made, and at 100 TB
+    * you cannot afford to re-run the pipeline per candidate τ). One
+    * pass over the SAME exact-overlap kernel as `ngram_jaccard` — the
+    * candidate-bounded pair table crossed with a 5-row literal
+    * threshold frame, two aggregates out; no per-τ recomputation.
+    * Thresholds are literals generated from one Scala constant on both
+    * sides; the τ comparison uses the round-6 jaccard both engines
+    * computed identically. */
+  def dedupThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pj = pairOverlap(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("sa") + col("sb") - col("i")).cast("double"), 6).as("jaccard"))
+    val th = DedupSweepThresholds.toDF("threshold")
+    val e = pj.crossJoin(broadcast(th))
+      .filter(col("jaccard") >= col("threshold"))
+      .persist().transform(graft.api.Caches.tracked)
+    e.count()
+    val nPairs = e.groupBy("threshold").agg(count(lit(1)).as("np"))
+    val nDocs = e.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold").agg(count_distinct(col("d")).as("nd"))
+    th.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   /** Containment similarity |A∩B| / min(|A|,|B|) over the same LSH
     * candidates as [[ngramJaccard]] — the doc-IN-doc detector. Jaccard
     * punishes size asymmetry (a passage wholly embedded in a 100× longer
@@ -1314,6 +1352,7 @@ object TextOps {
     "dedup_canonical"     -> (dedupCanonical _),
     "dedup_survivorship"  -> (dedupSurvivorship _),
     "ngram_jaccard"       -> (ngramJaccard _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "minhash_containment" -> (minhashContainment _),
     "cross_source_neardup" -> (crossSourceNeardup _),
     "lsh_tune"            -> (lshTune _),
@@ -1631,6 +1670,37 @@ object TextOps {
         | JOIN sizes sa ON sa.doc_id = i.doc_a
         | JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the ngram_jaccard pair stack crossed with the literal threshold
+    // frame (generated from the same Scala constant), two aggregates,
+    // LEFT-join completion for thresholds no pair reaches
+    "dedup_threshold_sweep" ->
+      s"""WITH $candCtesSql,
+        |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM s3 GROUP BY doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS i
+        | FROM cand c
+        |  JOIN s3 x ON x.doc_id = c.doc_a
+        |  JOIN s3 y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        | GROUP BY c.doc_a, c.doc_b),
+        |pj AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
+        | round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+        | FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b),
+        |th AS (SELECT CAST(unnest(${DedupSweepThresholds.mkString("[", ", ", "]")}) AS DOUBLE) AS threshold),
+        |e AS MATERIALIZED (SELECT th.threshold, pj.doc_a, pj.doc_b
+        | FROM pj, th WHERE pj.jaccard >= th.threshold),
+        |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS np
+        | FROM e GROUP BY threshold),
+        |ndc AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS nd FROM (
+        | SELECT threshold, doc_a AS d FROM e
+        | UNION ALL SELECT threshold, doc_b FROM e) u GROUP BY threshold)
+        |SELECT th.threshold,
+        | CAST(coalesce(np.np, 0) AS BIGINT) AS n_pairs,
+        | CAST(coalesce(ndc.nd, 0) AS BIGINT) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold) LEFT JOIN ndc USING (threshold)
+        |ORDER BY th.threshold""".stripMargin,
     "minhash_est_error" -> {
       val matchSql = (1 to MinhashPieces)
         .map(k => s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END")

@@ -721,7 +721,10 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
           name == "jl_recall" || name == "ivfpq_res_recall" ||
           name == "funnel_steps" ||
           name == "triangle_count" || name == "dq_audit" ||
-          name == "lsh_tune",
+          name == "lsh_tune" ||
+          // one zero-count row per threshold — the tuning curve's frame
+          // is the literal threshold list, like lsh_tune's grid
+          name == "dedup_threshold_sweep",
         s"$name returned $n rows on empty input")
     }
   }
@@ -1263,6 +1266,22 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     } finally {
       spark.conf.unset(operators.ApproxCuts.EnabledKey)
       graft.api.Caches.release(spark)
+    }
+  }
+
+  test("dedup_threshold_sweep is monotone non-increasing and endpoint-consistent") {
+    val rows = TextOps.dedupThresholdSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    val ps = rows.map(_.getAs[Long]("n_pairs"))
+    val ds = rows.map(_.getAs[Long]("n_docs"))
+    // raising the bar can only drop pairs/docs
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, "pairs not monotone")
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, "docs not monotone")
+    // a pair touches exactly 2 docs, docs can repeat across pairs
+    rows.foreach { r =>
+      val (p, d) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))
+      assert(d <= 2 * p, s"docs $d exceed 2×pairs $p")
+      assert(p == 0 || d >= 2, "pairs without docs")
     }
   }
 
