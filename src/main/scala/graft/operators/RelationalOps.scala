@@ -139,6 +139,30 @@ object RelationalOps {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q18 shape: LARGE-VOLUME orders — every order whose total
+    * line quantity exceeds 250, with its customer, ranked by order
+    * value. The classic aggregate-then-semi-enrich pattern: the HAVING
+    * aggregate runs FIRST over the fact table (map-side partials, one
+    * shuffle on the order key), and only the tiny qualifying set joins
+    * back to orders/customer — AQE broadcasts it at runtime, so the
+    * dimension tables are probed, never shuffled. Top-100 is a
+    * TakeOrderedAndProject. DECIMAL quantity sums (the q1_agg
+    * discipline); total order on (price desc, date, orderkey). */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big.join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** ROLLUP over the Q1 grouping — grouping-set aggregation.
     *
     * Known engine divergence (empty input only): the SQL standard's `()`
@@ -584,6 +608,7 @@ object RelationalOps {
     "dq_audit"         -> (dqAudit _),
     "q1_agg"           -> (q1Agg _),
     "q5_revenue"       -> (q5RevenueByNation _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "agg_rollup"       -> (aggRollup _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube"         -> (aggCube _),
@@ -719,6 +744,18 @@ object RelationalOps {
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        | o.o_totalprice, big.sum_qty
+        |FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
