@@ -110,4 +110,29 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       if (cap >= exact.size) assert(fin == exact)
     }
   }
+
+  test("BPE merges conserve every word's characters on random corpora") {
+    import spark.implicits._
+    // the sentinel+terminator representation's load-bearing invariant:
+    // however many merges apply, stripping '^' markers and '  '
+    // separators reconstructs each word EXACTLY — a merge can never
+    // leak across a token boundary, drop a character, or duplicate one
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (ws <- samples(Gen.listOfN(12, word), 8) if ws.nonEmpty) {
+      val vocab = ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+        .toSeq.toDF("word", "cnt")
+      val (merges, frames) = graft.operators.CorpusOps.bpeChainOf(
+        graft.operators.CorpusOps.bpeSymInit(vocab))
+      val got = frames.last.select(col("sym"), col("cnt")).collect()
+        .map(r => r.getString(0).replace(" ", "").replace("^", "") -> r.getLong(1))
+        .sortBy(_._1).toSeq
+      val expect = ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      assert(got == expect, s"merges $merges corrupted the corpus")
+      // every applied merge's pair really was present: its merged token
+      // appears in the final frame or was itself merged further
+      assert(merges.map(_._1) == (1 to merges.length), "rounds not dense")
+    }
+  }
 }
