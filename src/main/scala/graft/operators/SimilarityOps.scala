@@ -382,6 +382,58 @@ object SimilarityOps {
       .orderBy("probe")
   }
 
+  /** Multi-probe PQ (ADC) recall sweep — the third member of the sweep
+    * family ([[annProbeSweep]], [[ivfProbeSweep]]): recall@5 of the ADC
+    * scan for probes 0..[[SweepProbes]]. ONE code table and one shared
+    * codebook serve all probes; the only per-probe artifact is the LUT
+    * (probes × 4 × 8 = 320 broadcast rows); per-probe ADC sums and
+    * top-5s come from probe-keyed aggregates + partitioned rank
+    * windows. Only the residual IVF-PQ composite keeps its sweep at
+    * spec level (its per-probe LUT depends on per-probe list residuals
+    * — conf-driven in OperatorSpec). Exact side and determinism as the
+    * siblings (L2², DECIMAL ADC sums, id ties). */
+  def pqProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    e.count()
+    val sc = subCodes(quantCodes(spark, sfDir))
+      .persist().transform(graft.api.Caches.tracked)
+    sc.count()
+    val cents = pqCentroids(sc).persist().transform(graft.api.Caches.tracked)
+    cents.count()
+    val lut = sc.filter(col("vec_id") < SweepProbes)
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id").as("probe"), col("sub"), col("cid").as("code"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .cast(DecimalType(18, 6)).as("pd"))
+    val w = Window.partitionBy(col("probe")).orderBy(col("adist").asc, col("vec_id"))
+    val a5 = pqAssign(sc, cents)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe"))
+      .groupBy(col("probe"), col("vec_id"))
+      .agg(sum(col("pd")).as("sd"))
+      .select(col("probe"), col("vec_id"), col("sd").cast("double").as("adist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val pvecs = e.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("v").as("p"))
+    val we = Window.partitionBy(col("probe")).orderBy(col("d").asc, col("vec_id"))
+    val e5 = e.crossJoin(broadcast(pvecs))
+      .filter(col("vec_id") =!= col("probe"))
+      .select(col("probe"), col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .withColumn("rn", row_number().over(we)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val hits = e5.join(a5, Seq("probe", "vec_id"), "left_semi")
+      .groupBy("probe").agg(count(lit(1)).as("h"))
+    e.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"))
+      .join(hits, Seq("probe"), "left")
+      .select(col("probe"), coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      .orderBy("probe")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact5 = topkSimilarity(spark, sfDir).limit(5).select(col("vec_id"))
     val lsh5 = annLsh(spark, sfDir).select(col("vec_id"))
@@ -1423,6 +1475,7 @@ object SimilarityOps {
     "embed_standardize"  -> (embedStandardize _),
     "ann_probe_sweep"    -> (annProbeSweep _),
     "ivf_probe_sweep"    -> (ivfProbeSweep _),
+    "pq_probe_sweep"     -> (pqProbeSweep _),
     "embed_drift"        -> (embedDrift _),
     "embed_outlier"      -> (embedOutlier _),
     "dim_corr_topk"      -> (dimCorrTopk _),
@@ -1715,6 +1768,36 @@ object SimilarityOps {
         |FROM pr LEFT JOIN h ON h.probe = pr.probe
         |ORDER BY pr.probe""".stripMargin
     },
+    // the pq_recall construction generalized over a probe dimension:
+    // per-probe LUT (probes × 4 × 8 rows), probe-keyed ADC sums,
+    // windowed top-5s, LEFT-join completion
+    "pq_probe_sweep" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$pqCtesSql,
+        |pvr AS MATERIALIZED (SELECT vec_id AS probe, v AS p FROM v
+        | WHERE vec_id < $SweepProbes),
+        |lut AS MATERIALIZED (SELECT sv.vec_id AS probe, sv.sub, c.cid AS code,
+        |  CAST(${distSql("sv.sq", "c.c")} AS DECIMAL(18,6)) AS pd
+        | FROM sv JOIN pc1 c ON c.sub = sv.sub WHERE sv.vec_id < $SweepProbes),
+        |ad AS (SELECT l.probe, p.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
+        | FROM pcode p JOIN lut l ON l.sub = p.sub AND l.code = p.code
+        | WHERE p.vec_id <> l.probe GROUP BY l.probe, p.vec_id),
+        |a5 AS (SELECT probe, vec_id FROM (SELECT probe, vec_id,
+        |  row_number() OVER (PARTITION BY probe ORDER BY adist, vec_id) AS rn
+        | FROM ad) t WHERE rn <= 5),
+        |e5 AS (SELECT probe, vec_id FROM (
+        | SELECT pvr.probe, v.vec_id,
+        |  row_number() OVER (PARTITION BY pvr.probe
+        |   ORDER BY ${distSql("v.v", "pvr.p")}, v.vec_id) AS rn
+        | FROM v, pvr WHERE v.vec_id <> pvr.probe) t WHERE rn <= 5),
+        |h AS (SELECT e5.probe, CAST(count(*) AS BIGINT) AS hits
+        | FROM e5 JOIN a5 ON a5.probe = e5.probe AND a5.vec_id = e5.vec_id
+        | GROUP BY e5.probe),
+        |pr AS (SELECT unnest(generate_series(0, ${SweepProbes - 1})) AS probe)
+        |SELECT pr.probe, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+        |FROM pr LEFT JOIN h ON h.probe = pr.probe
+        |ORDER BY pr.probe""".stripMargin,
     // the ivf_recall construction generalized over a probe dimension
     // (the ann_probe_sweep discipline): per-probe 2-list rank, windowed
     // top-5s, LEFT-join completion
