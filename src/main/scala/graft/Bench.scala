@@ -19,6 +19,16 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Optional runtime-conf overrides for A/B experiments
+    // (SPARK_GRAFT_CONF="spark.graft.lsh.maxBucket=64,k2=v2"). The
+    // driver never sets it, so official artifacts always run defaults;
+    // builder-side it prices a conf-gated path (round-13: the LSH
+    // hot-bucket ceiling) against the default plan on identical data.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // Untimed warm-up: the first queries otherwise pay one-time JVM costs
     // (classloading, Janino codegen compilation, parquet reader, shuffle
     // and broadcast machinery) that no steady-state deployment would

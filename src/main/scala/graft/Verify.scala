@@ -24,6 +24,14 @@ object Verify {
     require(spark.conf.getOption("spark.graft.ann.probeId").forall(_ == "0"),
       "spark.graft.ann.probeId must be unset or 0 for the oracle dump: " +
         "the ann_ivfpq/ann_ivfpq_res/ivfpq_res_recall oracles pin probe 0")
+    // Same integrity guard for the LSH hot-bucket ceiling (round 13): the
+    // MinHash-family oracles state the UNGATED all-pairs band join, so a
+    // session-level cap would dump a deliberately-thinner pair table than
+    // the SQL the driver compares against.
+    require(spark.conf.getOption(operators.TextOps.LshMaxBucketKey)
+        .forall(v => graft.api.GraftConfig.parseLeadingInt(v, 0) <= 0),
+      s"${operators.TextOps.LshMaxBucketKey} must be unset or <=0 for the " +
+        "oracle dump: the dedup-family oracles state the ungated band join")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for local iteration on a few
     // queries (the driver never sets it → full dump).

@@ -150,14 +150,50 @@ object TextOps {
       .select(col("doc_id"), col("band.band_no"), col("band.bh"))
   }
 
+  /** Hot-bucket ceiling for the band self-join
+    * (`spark.graft.lsh.maxBucket`, default 0 = unbounded, bit-identical
+    * to the ungated plan). The unbounded self-join is quadratic in
+    * bucket size: a clone family of m documents lands all m in the same
+    * [[MinhashBands]] buckets and emits O(m²) pairs — at 100 TB one
+    * viral boilerplate page (10⁶⁺ copies) makes a single bucket emit
+    * 10¹²⁺ pairs and the job never finishes (the repo's own 10× replica
+    * grows candidate pairs ~550×, SCALING.md). With the gate at B > 0
+    * only each bucket's B smallest doc_ids serve as LEFT endpoints, so a
+    * bucket of size m emits a star of Σᵢ₌₁..min(m,B) (m−i) ≤ min(m,B)·m
+    * pairs — LINEAR in bucket size. Buckets at or under B are unchanged
+    * (every member has rank ≤ B). Two properties the specs pin down:
+    * (a) connectivity is preserved for ANY B ≥ 1 — every member beyond
+    * rank B still pairs with the bucket's minimum doc_id, so
+    * connected-component consumers ([[dedupGroups]], [[dedupCanonical]],
+    * survivorship, leakage-safe splits) produce bit-identical groups
+    * gated or not; (b) only pair-LEVEL consumers (Jaccard scoring of
+    * individual candidate pairs) lose the intra-family pairs past the
+    * star, and oversized buckets are near-certain duplicate families
+    * where those pairs carry no tuning signal. Production order is
+    * exact-dedup-first anyway ([[dedupPairsCanonical]]): collapse clone
+    * families to canonicals BEFORE banding, and oversized buckets never
+    * form. */
+  private[graft] val LshMaxBucketKey = "spark.graft.lsh.maxBucket"
+
   /** Band-bucket candidate pairs from a (pre-persisted) signature
     * DataFrame — the band self-join consumes the signature twice in one
-    * job, so callers persist it first. */
+    * job, so callers persist it first. Honors [[LshMaxBucketKey]]
+    * (default off → plan identical to the ungated self-join). */
   private[operators] def candidatePairsFromSig(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band_no") === col("b.band_no") &&
+    val cap = graft.api.GraftConfig.getInt(sig.sparkSession, LshMaxBucketKey, 0)
+    val left =
+      if (cap <= 0) bands
+      else {
+        // rank within bucket; the rank window shuffles on the SAME
+        // (band_no, bh) key the join hashes on, so AQE can reuse the
+        // exchange — the gate costs one window, not an extra shuffle
+        // pattern
+        val w = Window.partitionBy(col("band_no"), col("bh")).orderBy(col("doc_id"))
+        bands.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= cap).drop("rk")
+      }
+    left.as("a").join(bands.as("b"), col("a.band_no") === col("b.band_no") &&
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -186,6 +222,29 @@ object TextOps {
     * [[dedupMinhashPairs]] without the presentation sort. */
   private[operators] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3))
+
+  /** Exact-dedup-first LSH composition — the PRODUCTION pipeline order
+    * for a 100 TB dedup run (the reference's own store dedups by uuid at
+    * ingest before anything downstream sees events —
+    * `lib/hivent/support/memory.ex:90`): collapse normalized clone
+    * families to their canonical (min doc_id per md5(norm), exactly
+    * [[dedupFuzzy]]'s survivor rule) BEFORE shingling, then run the band
+    * kernel over canonicals only. Clone families — the very documents
+    * that blow band buckets quadratic — never reach the self-join: a
+    * 10⁶-copy boilerplate page contributes ONE canonical row instead of
+    * 10⁶ bucket members, so the kernel's cost is governed by the
+    * distinct-content corpus regardless of duplication factor. Composes
+    * with [[LshMaxBucketKey]] as belt-and-braces for near-identical (not
+    * byte-identical) families. */
+  def dedupPairsCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("nh")).orderBy(col("doc_id"))
+    val canon = normed(spark, sfDir)
+      .withColumn("nh", md5(col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("norm"))
+    candidatePairsFrom(shinglesOf(canon, 3)).orderBy("doc_a", "doc_b")
+  }
 
   // -------------------------------------------------- LSH parameter planner
   /** Signature budget the [[lshTune]] planner allocates (hashes per
@@ -1343,6 +1402,7 @@ object TextOps {
     "dedup_fuzzy"         -> (dedupFuzzy _),
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_pairs_canonical" -> (dedupPairsCanonical _),
     "ngram_novelty"       -> (ngramNovelty _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
@@ -1414,43 +1474,66 @@ object TextOps {
     * oracle shares (mirrors [[shinglesOf]] with n=3, including the
     * `greatest(…, 1)` floor that gives sub-3-token docs one whole-text
     * shingle). */
-  private def shingleCtesSql: String =
-    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+  /** The default normalized base CTE (`n`) every shingle-family oracle
+    * starts from; [[canonNCteSql]] swaps in the canonical-survivor base
+    * for the exact-dedup-first composition. */
+  private val defaultNCteSql: String =
+    s"n AS (SELECT doc_id, $normSql AS norm FROM documents)"
+
+  /** Canonical-survivor base: min doc_id per md5(norm) — the identical
+    * survivor rule as the `dedup_fuzzy` oracle, feeding the same shingle
+    * chain (mirrors [[dedupPairsCanonical]]). */
+  private val canonNCteSql: String =
+    s"""cn AS (SELECT doc_id, $normSql AS norm,
+       |  row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+       | FROM documents),
+       |n AS (SELECT doc_id, norm FROM cn WHERE rn = 1)""".stripMargin
+
+  private def shingleCtesSqlFrom(nCte: String): String =
+    s"""$nCte,
        |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
        |sh AS MATERIALIZED (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS sh FROM (
        | SELECT doc_id, tokens, unnest(generate_series(1, greatest(array_length(tokens) - 2, 1))) AS i FROM tk) tt)""".stripMargin
 
-  private def sigCtesSql: String = {
+  private def shingleCtesSql: String = shingleCtesSqlFrom(defaultNCteSql)
+
+  private def sigCtesSqlFrom(nCte: String): String = {
     val hashedCols = (0 until MinhashHashes)
       .map(i => s"md5('$i:' || sh) AS h$i").mkString(", ")
     val sigCols = (0 until MinhashPieces).map { k =>
       s"min(substr(h${k / 4}, ${(k % 4) * 8 + 1}, 8)) AS mh${k + 1}"
     }.mkString(", ")
-    s"""$shingleCtesSql,
+    s"""${shingleCtesSqlFrom(nCte)},
        |hashed AS (SELECT doc_id, $hashedCols FROM sh),
        |sig AS MATERIALIZED (SELECT doc_id, $sigCols
        | FROM hashed GROUP BY doc_id)""".stripMargin
   }
 
+  private def sigCtesSql: String = sigCtesSqlFrom(defaultNCteSql)
+
   /** sig + banded rows (mirrors [[bandsOf]]); MATERIALIZED because the
     * incremental oracle references `bands` twice. */
-  private def bandsCtesSql: String = {
+  private def bandsCtesSqlFrom(nCte: String): String = {
     val bandSelects = (0 until MinhashBands).map { b =>
       val cat = (0 until MinhashRows)
         .map(r => s"mh${b * MinhashRows + r + 1}").mkString(" || ")
       s"SELECT doc_id, ${b + 1} AS band_no, md5($cat) AS bh FROM sig"
     }.mkString("\n UNION ALL\n ")
-    s"""$sigCtesSql,
+    s"""${sigCtesSqlFrom(nCte)},
        |bands AS MATERIALIZED (
        | $bandSelects)""".stripMargin
   }
 
-  private[operators] def candCtesSql: String =
-    s"""$bandsCtesSql,
+  private def bandsCtesSql: String = bandsCtesSqlFrom(defaultNCteSql)
+
+  private def candCtesSqlFrom(nCte: String): String =
+    s"""${bandsCtesSqlFrom(nCte)},
        |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_no = b.band_no AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private[operators] def candCtesSql: String = candCtesSqlFrom(defaultNCteSql)
 
   /** Shared oracle CTEs for the 28-bit token-hash TF featurizer
     * (mirrors [[tokenHashes]]). */
@@ -1559,6 +1642,9 @@ object TextOps {
         |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH $candCtesSql
+        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_pairs_canonical" ->
+      s"""WITH ${candCtesSqlFrom(canonNCteSql)}
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
     "cross_source_neardup" ->
       s"""WITH $candCtesSql,

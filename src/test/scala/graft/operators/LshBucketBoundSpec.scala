@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** The hot-bucket ceiling (`spark.graft.lsh.maxBucket`) — round-13
+  * verdict #1. Three properties:
+  *
+  *  1. BOUND: a clone family of m docs in one bucket emits the star
+  *     Σᵢ₌₁..min(m,B) (m−i) pairs under the gate (linear in m), versus
+  *     C(m,2) ungated (quadratic); buckets at or under B are unchanged.
+  *  2. CONNECTIVITY: every bucket member beyond rank B still pairs with
+  *     the bucket minimum, so connected-component consumers
+  *     (dedup_groups et al.) are BIT-IDENTICAL gated or not — proven on
+  *     the real corpus at the most aggressive setting B = 1.
+  *  3. DEFAULT-OFF: unset (or ≤ 0) is the legacy all-pairs join —
+  *     CORRECTNESS oracles never see the gate.
+  */
+class LshBucketBoundSpec extends AnyFunSuite with SparkTest {
+
+  private val Key = TextOps.LshMaxBucketKey
+
+  /** Pairs from a constructed norm frame under an optional gate. */
+  private def pairsOf(normDf: org.apache.spark.sql.DataFrame,
+      cap: Option[Int]): Set[(Long, Long)] = {
+    cap.foreach(b => spark.conf.set(Key, b.toString))
+    try {
+      val sig = TextOps.signatureFrom(TextOps.shinglesOf(normDf, 3)).persist()
+      sig.count()
+      val got = TextOps.candidatePairsFromSig(sig).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      sig.unpersist()
+      got
+    } finally cap.foreach(_ => spark.conf.unset(Key))
+  }
+
+  test("maxBucket caps a clone family to the star bound; small buckets unchanged") {
+    import spark.implicits._
+    val clone = "the quick brown fox jumps over the lazy dog tonight"
+    val m = 12
+    val family = (1 to m).map(i => (i.toLong, clone))
+    val smallPair = Seq((101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, "alpha beta gamma delta epsilon zeta"))
+    val singles = Seq((201L, "uno dos tres cuatro cinco seis"),
+      (202L, "eins zwei drei vier funf sechs"))
+    val normDf = (family ++ smallPair ++ singles).toDF("doc_id", "norm")
+
+    val ungated = pairsOf(normDf, None)
+    // full family C(12,2) + the small 2-family's single pair
+    assert(ungated.size == m * (m - 1) / 2 + 1, s"ungated ${ungated.size}")
+
+    val b = 3
+    val gated = pairsOf(normDf, Some(b))
+    // star from the B smallest doc_ids: sum_{i=1..B} (m - i)
+    val star = (1 to b).map(m - _).sum + 1
+    assert(gated.size == star, s"gated ${gated.size} != star bound $star")
+    assert(gated.subsetOf(ungated), "gate must only DROP pairs, never invent")
+    // exact star set: left endpoints are ranks 1..B (doc_ids 1..3)
+    val famGated = gated.filter(_._2 <= m.toLong)
+    assert(famGated.forall(_._1 <= b.toLong),
+      "left endpoints past rank B leaked through the gate")
+    // connectivity: every family member beyond the reps still pairs
+    // with the bucket minimum (doc 1)
+    for (d <- (b + 1) to m)
+      assert(gated.contains((1L, d.toLong)), s"doc $d lost its rep-1 edge")
+    // the <= B bucket is untouched
+    assert(gated.contains((101L, 102L)))
+    // B >= bucket size: gate is a no-op even when on
+    assert(pairsOf(normDf, Some(m)) == ungated)
+  }
+
+  test("dedup_groups is bit-identical under the most aggressive gate (B=1)") {
+    val ungated = TextOps.dedupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(Key, "1")
+    val gated =
+      try TextOps.dedupGroups(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset(Key)
+    assert(gated == ungated,
+      "connected components must be invariant under the star gate")
+  }
+
+  test("pair-level recall under B=2 on the real corpus: gated subset, full doc coverage") {
+    val base = TextOps.normed(spark, sf)
+    val ungated = pairsOf(base, None)
+    val gated = pairsOf(base, Some(2))
+    assert(gated.subsetOf(ungated))
+    val cover = (s: Set[(Long, Long)]) => s.flatMap(p => Seq(p._1, p._2))
+    assert(cover(gated) == cover(ungated),
+      "every doc in an ungated pair must survive in some gated pair")
+    val recall = if (ungated.isEmpty) 1.0 else gated.size.toDouble / ungated.size
+    info(f"pair recall at B=2: $recall%.4f (${gated.size} of ${ungated.size})")
+    assert(recall > 0.5, s"pair recall collapsed: $recall")
+  }
+}
