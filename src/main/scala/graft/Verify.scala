@@ -32,6 +32,12 @@ object Verify {
         .forall(v => graft.api.GraftConfig.parseLeadingInt(v, 0) <= 0),
       s"${operators.TextOps.LshMaxBucketKey} must be unset or <=0 for the " +
         "oracle dump: the dedup-family oracles state the ungated band join")
+    // ... and for batched BPE merges: the bpe_train/bpe_encode oracles
+    // unroll the SEQUENTIAL one-merge-per-round trainer.
+    require(spark.conf.getOption(operators.CorpusOps.BpeBatchKey)
+        .forall(v => graft.api.GraftConfig.parseLeadingInt(v, 1) <= 1),
+      s"${operators.CorpusOps.BpeBatchKey} must be unset or 1 for the " +
+        "oracle dump: the BPE oracles state the sequential trainer")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for local iteration on a few
     // queries (the driver never sets it → full dump).

@@ -142,26 +142,56 @@ object CorpusOps {
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(sum(col("cnt")).as("n"))
 
+  /** Merges applied per round (`spark.graft.bpe.batchMerges`, default 1
+    * = the sequential Sennrich trainer the oracles state). At B > 1
+    * each round keeps the top-B mutually NON-CONFLICTING pairs (rank
+    * order n desc / pair text; a candidate is skipped if it shares a
+    * symbol with an already-kept pair — disjoint symbol sets make the
+    * batched replaces order-independent) and applies them in one
+    * projection — the standard production refinement that cuts the
+    * trainer's round count (each round is one distributed pair count +
+    * one metadata-sized collect, so rounds, not data, dominate at
+    * scale; SCALING.md round-13 prices it on the 10× vocab). Batch
+    * training is the usual approximation: within a round the 2nd..Bth
+    * picks use the round's counts, not post-merge recounts —
+    * CorpusOpsSpec pins batch=1 bit-equal to the sequential chain. */
+  private[graft] val BpeBatchKey = "spark.graft.bpe.batchMerges"
+
   /** The K-round greedy merge loop over an initial symbol frame:
     * returns (merge rows, symbol frames v0..vK). Each round collects
-    * ONLY the 1-row argmax (count desc, pair text asc ties) — K
-    * metadata-sized driver reads; a round with no pairs left leaves
-    * the frame unchanged (and records no merge). */
-  private[graft] def bpeChainOf(v0in: DataFrame)
+    * ONLY a batch-sized candidate head (count desc, pair text asc ties)
+    * — K metadata-sized driver reads; a round with no pairs left leaves
+    * the frame unchanged (and records no merge). The merge replace is
+    * built with the COLUMN API (`functions.replace` on literal columns),
+    * never by interpolating learned pair text into a SQL string — a
+    * corpus token containing `'` or `\` would make an interpolated
+    * `expr` unparsable or silently wrong (round-13 ADVICE). */
+  private[graft] def bpeChainOf(v0in: DataFrame, rounds: Int = BpeTrainMerges)
       : (Seq[(Int, String, String, Long)], Seq[DataFrame]) = {
+    val batch = math.max(1, graft.api.GraftConfig.getInt(
+      v0in.sparkSession, BpeBatchKey, 1))
     val v0 = v0in.persist().transform(graft.api.Caches.tracked)
     v0.count()
     var vocab: DataFrame = v0
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame](v0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (step <- 1 to BpeTrainMerges) {
-      val best = bpePairCounts(vocab)
-        .orderBy(col("n").desc, col("x"), col("y")).limit(1).collect()
-      best.headOption.foreach { r =>
+    for (step <- 1 to rounds) {
+      // 4× head room: conflicting candidates are skipped, not replaced,
+      // so the collect stays metadata-sized while usually filling the batch
+      val cands = bpePairCounts(vocab)
+        .orderBy(col("n").desc, col("x"), col("y")).limit(4 * batch).collect()
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      for (r <- cands if kept.size < batch) {
         val (x, y, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (kept.isEmpty || (!used(x) && !used(y))) {
+          kept += ((x, y, n)); used += x; used += y
+        }
+      }
+      for ((x, y, n) <- kept) {
         merges += ((step, x, y, n))
         vocab = vocab.withColumn("sym",
-          expr(s"replace(sym, '^$x  ^$y  ', '^$x$y  ')"))
+          replace(col("sym"), lit(s"^$x  ^$y  "), lit(s"^$x$y  ")))
       }
       frames += vocab
     }

@@ -388,9 +388,8 @@ object SimilarityOps {
     * codebook serve all probes; the only per-probe artifact is the LUT
     * (probes × 4 × 8 = 320 broadcast rows); per-probe ADC sums and
     * top-5s come from probe-keyed aggregates + partitioned rank
-    * windows. Only the residual IVF-PQ composite keeps its sweep at
-    * spec level (its per-probe LUT depends on per-probe list residuals
-    * — conf-driven in OperatorSpec). Exact side and determinism as the
+    * windows. The residual composite's own sweep is
+    * [[ivfpqResProbeSweep]] (r13). Exact side and determinism as the
     * siblings (L2², DECIMAL ADC sums, id ties). */
   def pqProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir).persist().transform(graft.api.Caches.tracked)
@@ -1259,6 +1258,119 @@ object SimilarityOps {
         round(col("hits").cast("double") / 5.0, 6).as("recall"))
   }
 
+  /** Multi-probe recall sweep for the RESIDUAL IVF-ADC composite — the
+    * fourth and final member of the sweep family
+    * ([[annProbeSweep]]/[[ivfProbeSweep]]/[[pqProbeSweep]]), closing the
+    * round-12 gap: the index a deployer would actually ship
+    * ([[annIvfPqRes]]) now carries the same statistically honest
+    * 10-probe recall audit as its siblings. recall@5 per probe
+    * 0..[[SweepProbes]] of the full residual read path: per-probe
+    * 2-nearest coarse lists → per-(probe, list) residual LUT (the
+    * per-list LUT is residual encoding's defining intricacy — probes ×
+    * 2 × [[PqSubspaces]] × [[PqK]] = 640 broadcast rows) → ADC scan of
+    * probed-list members only → top-10 shortlist per probe → exact
+    * full-vector re-rank to top-5.
+    *
+    * Shared-work shape: coarse centroids, residual sub-codes, and the
+    * residual codebooks are computed ONCE for all probes; residual code
+    * assignment covers the UNION of probed lists once (a vector's code
+    * does not depend on the probe — only on its own list residual), so
+    * sweeping 10 probes costs one extra broadcast LUT join over the
+    * single-probe path, not 10 pipelines. The exact side is probes ×
+    * corpus — ground truth's price, run on a fixed eval slice at
+    * 100 TB. Deterministic like the siblings (whole-number residuals,
+    * round-6 distances, DECIMAL ADC sums, id ties); zero-hit probes
+    * report via LEFT-join completion; probe 0 reproduces
+    * [[ivfpqResRecall]] exactly (spec-pinned). */
+  def ivfpqResProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    e.count()
+    val q = quantCodes(spark, sfDir)
+    val cents = lloydCentroids(q).persist().transform(graft.api.Caches.tracked)
+    cents.count()
+    val rsc = resSubCodes(q, cents).persist().transform(graft.api.Caches.tracked)
+    rsc.count()
+    val rcents = pqCentroids(rsc.select(col("vec_id"), col("sub"), col("sq")))
+      .withColumnRenamed("cid", "rcid")
+      .persist().transform(graft.api.Caches.tracked)
+    rcents.count()
+    // per-probe 2 nearest coarse lists (rank window, the ivfProbeSweep move)
+    val pw = Window.partitionBy(col("probe")).orderBy(col("pdist").asc, col("cid"))
+    val probeLists = q.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("q"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe"), col("cid"),
+        round(dot("q", "q") - lit(2.0) * dot("q", "c") + dot("c", "c"), 6)
+          .as("pdist"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+      .select(col("probe"), col("cid").as("plist"))
+    // per-(probe, probed list) residual LUT — the probe's residual
+    // differs per list, so the LUT carries both keys
+    val plCents = cents.join(broadcast(probeLists), col("cid") === col("plist"))
+      .select(col("probe"), col("plist"), col("c"))
+    val probeSub = q.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("q"))
+      .join(broadcast(plCents), Seq("probe"))
+      .select(col("probe"), col("plist"),
+        expr(s"transform(arrays_zip(q, c), " +
+          s"s -> cast(floor((s.q - s.c) * $ResScale + 0.5) as double))").as("rq"))
+      .select(col("probe"), col("plist"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("rq"))
+      .select(col("probe"), col("plist"), col("sub"),
+        expr(s"slice(rq, sub * $PqSubDim + 1, $PqSubDim)").as("psq"))
+    val lut = probeSub.join(broadcast(rcents), Seq("sub"))
+      .select(col("probe"), col("plist"), col("sub"), col("rcid").as("code"),
+        round(dot("psq", "psq") - lit(2.0) * dot("psq", "c") + dot("c", "c"), 6)
+          .cast(DecimalType(18, 6)).as("pd"))
+    // residual-encode members of the UNION of probed lists, ONCE —
+    // code assignment is probe-independent
+    val probedLists = probeLists.select(col("plist")).distinct()
+    val codes = rsc
+      .join(broadcast(probedLists), col("cid") === col("plist"))
+      .join(broadcast(rcents), Seq("sub"))
+      .select(col("vec_id"), col("plist"), col("sub"), col("rcid"),
+        round(dot("sq", "sq") - lit(2.0) * dot("sq", "c") + dot("c", "c"), 6)
+          .as("dist"))
+      .groupBy(col("vec_id"), col("plist"), col("sub"))
+      .agg(min(struct(col("dist"), col("rcid"))).as("s"))
+      .select(col("vec_id"), col("plist"), col("sub"), col("s.rcid").as("code"))
+    // per-probe ADC shortlist (a code row meets only the probes that
+    // probed its list via the (plist, sub, code) join keys)
+    val sw = Window.partitionBy(col("probe")).orderBy(col("adist").asc, col("vec_id"))
+    val short10 = codes.join(broadcast(lut), Seq("plist", "sub", "code"))
+      .filter(col("vec_id") =!= col("probe"))
+      .groupBy(col("probe"), col("vec_id"))
+      .agg(sum(col("pd")).as("sd"))
+      .select(col("probe"), col("vec_id"), col("sd").cast("double").as("adist"))
+      .withColumn("rn", row_number().over(sw)).filter(col("rn") <= 10)
+      .select(col("probe"), col("vec_id"))
+    // exact full-vector re-rank of each probe's shortlist to top-5
+    val pvecs = e.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"), col("v").as("p"))
+    val we = Window.partitionBy(col("probe")).orderBy(col("d").asc, col("vec_id"))
+    val res5 = short10.join(e, Seq("vec_id")).join(broadcast(pvecs), Seq("probe"))
+      .select(col("probe"), col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .withColumn("rn", row_number().over(we)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val ex5 = e.crossJoin(broadcast(pvecs))
+      .filter(col("vec_id") =!= col("probe"))
+      .select(col("probe"), col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "p") + dot("p", "p"), 6)
+          .as("d"))
+      .withColumn("rn", row_number().over(we)).filter(col("rn") <= 5)
+      .select(col("probe"), col("vec_id"))
+    val hits = ex5.join(res5, Seq("probe", "vec_id"), "left_semi")
+      .groupBy("probe").agg(count(lit(1)).as("h"))
+    e.filter(col("vec_id") < SweepProbes)
+      .select(col("vec_id").as("probe"))
+      .join(hits, Seq("probe"), "left")
+      .select(col("probe"), coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      .orderBy("probe")
+  }
+
   /** IVF index-build diagnostics: per-list member count, corpus share,
     * and mean assignment distance under the once-updated k-means
     * centroids — the balance table an ANN deployment reads BEFORE
@@ -1383,13 +1495,18 @@ object SimilarityOps {
     * — the linear-time form of Rousseeuw's silhouette that production
     * systems use (the classic all-pairs form is O(n²) and dead at
     * scale). Near 1 = tight, well-separated cluster; near 0 = the
-    * vector sits on a boundary.
+    * vector sits on a boundary. d₁/d₂ are EUCLIDEAN distances —
+    * sqrt of the engine's round-6 squared-L2 scores (round-13 ADVICE:
+    * forming s over squared distances inflates it vs the cited metric
+    * — d₁=3, d₂=4 scores 0.44 squared but 0.25 true), so the score is
+    * comparable to standard centroid-silhouette values.
     *
-    * Determinism: round-6 distances with cid tie-break; per-vector s is
-    * round-6 DECIMAL summed exactly per cluster; the mean chain is
-    * identical both engines. Scale shape: one broadcast-K scoring scan;
-    * the rank window partitions by vec_id over K rows each; one K-row
-    * aggregate out. */
+    * Determinism: round-6 squared distances with cid tie-break; sqrt is
+    * IEEE-correctly-rounded so both engines take it identically;
+    * per-vector s is round-6 DECIMAL summed exactly per cluster; the
+    * mean chain is identical both engines. Scale shape: one broadcast-K
+    * scoring scan; the rank window partitions by vec_id over K rows
+    * each; one K-row aggregate out. */
   def kmeansSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantCodes(spark, sfDir)
     val cents = lloydCentroids(q)
@@ -1406,7 +1523,7 @@ object SimilarityOps {
       .select(col("own.cid").as("cluster"), col("own.dist").as("d1"), col("d2"))
     per.select(col("cluster"),
         round(when(col("d2") <= 0.0, lit(0.0))
-          .otherwise((col("d2") - col("d1")) / col("d2")), 6)
+          .otherwise((sqrt(col("d2")) - sqrt(col("d1"))) / sqrt(col("d2"))), 6)
           .cast(DecimalType(18, 6)).as("s"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
@@ -1494,7 +1611,8 @@ object SimilarityOps {
     "pq_recall"          -> (pqRecall _),
     "ann_ivfpq"          -> (annIvfPq _),
     "ann_ivfpq_res"      -> (annIvfPqRes _),
-    "ivfpq_res_recall"   -> (ivfpqResRecall _))
+    "ivfpq_res_recall"   -> (ivfpqResRecall _),
+    "ivfpq_res_probe_sweep" -> (ivfpqResProbeSweep _))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String): String =
@@ -2060,7 +2178,7 @@ object SimilarityOps {
         | FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.rn = 2
         | WHERE a.rn = 1),
         |sil AS (SELECT cluster, CAST(round(CASE WHEN d2 <= 0.0 THEN 0.0
-        |  ELSE (d2 - d1) / d2 END, 6) AS DECIMAL(18,6)) AS s FROM per)
+        |  ELSE (sqrt(d2) - sqrt(d1)) / sqrt(d2) END, 6) AS DECIMAL(18,6)) AS s FROM per)
         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_sil
         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
@@ -2150,6 +2268,17 @@ object SimilarityOps {
         |SELECT s.vec_id, ${distSql("vv.v", "pv.p")} AS d
         |FROM rshort s JOIN v vv ON vv.vec_id = s.vec_id, pv
         |ORDER BY d, s.vec_id LIMIT 5""".stripMargin,
+    "ivfpq_res_probe_sweep" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
+        |$qqCteSql,
+        |$kmeansTailSql,
+        |$resCodebookSql,
+        |$resSweepSql,
+        |pr AS (SELECT unnest(generate_series(0, ${SweepProbes - 1})) AS probe)
+        |SELECT pr.probe, CAST(coalesce(sh.hits, 0) AS BIGINT) AS hits,
+        | round(CAST(coalesce(sh.hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+        |FROM pr LEFT JOIN sh ON sh.probe = pr.probe
+        |ORDER BY pr.probe""".stripMargin,
     "ivfpq_res_recall" ->
       s"""WITH v AS MATERIALIZED (SELECT vec_id, $vSql AS v FROM embeddings),
         |$qqCteSql,
@@ -2218,7 +2347,14 @@ object SimilarityOps {
     * probe LUT of [[annIvfPqRes]]. Assumes `qq` and `c1` are already
     * defined ([[qqCteSql]] + [[kmeansTailSql]]). MATERIALIZED on every
     * multiply-referenced CTE (DuckDB re-inlines otherwise). */
-  private lazy val resTailSql: String =
+  private lazy val resTailSql: String = s"$resCodebookSql,\n$resProbe0Sql"
+
+  /** Probe-INDEPENDENT half of the residual stack: coarse assignment →
+    * whole-number residuals → residual sub-codes → residual codebooks
+    * (`rpc1`). Shared verbatim by the probe-0 tail ([[resProbe0Sql]])
+    * and the 10-probe sweep ([[resSweepSql]]) so the two oracles cannot
+    * drift. */
+  private lazy val resCodebookSql: String =
     s"""rassign AS MATERIALIZED (SELECT vec_id, cid, qv FROM (
       | SELECT qq.vec_id, c.cid, qq.qv,
       |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
@@ -2243,8 +2379,12 @@ object SimilarityOps {
       | FROM rpa1, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) s
       | GROUP BY sub, rcid, i),
       |rpc1 AS MATERIALIZED (SELECT sub, rcid, list(cd ORDER BY dim) AS c
-      | FROM rpupd GROUP BY sub, rcid),
-      |probe_lists AS MATERIALIZED (
+      | FROM rpupd GROUP BY sub, rcid)""".stripMargin
+
+  /** Probe-0 tail of the residual stack (ends at `rshort`, the 10-row
+    * ADC shortlist) — consumed by `ann_ivfpq_res` / `ivfpq_res_recall`. */
+  private lazy val resProbe0Sql: String =
+    s"""probe_lists AS MATERIALIZED (
       | SELECT c.cid AS probe_cid
       | FROM (SELECT qv FROM qq WHERE vec_id = 0) p, c1 c
       | ORDER BY ${distSql("p.qv", "c.c")}, c.cid LIMIT 2),
@@ -2271,6 +2411,62 @@ object SimilarityOps {
       |  ON l.plist = r.plist AND l.sub = r.sub AND l.code = r.code
       | WHERE r.vec_id <> 0
       | GROUP BY r.vec_id ORDER BY adist, r.vec_id LIMIT 10)""".stripMargin
+
+  /** 10-probe tail of the residual stack — [[resProbe0Sql]] generalized
+    * over a probe dimension (the pq_probe_sweep discipline): per-probe
+    * 2-list rank, per-(probe, list) residual LUTs, code assignment over
+    * the UNION of probed lists (probe-independent, computed once),
+    * per-probe windowed shortlist → exact re-rank → LEFT-join
+    * completion. Mirrors [[ivfpqResProbeSweep]]. */
+  private lazy val resSweepSql: String =
+    s"""spl AS MATERIALIZED (SELECT probe, cid AS plist FROM (
+      | SELECT qq.vec_id AS probe, c.cid,
+      |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+      |   ${distSql("qq.qv", "c.c")}, c.cid) AS rn
+      | FROM qq, c1 c WHERE qq.vec_id < $SweepProbes) t WHERE rn <= 2),
+      |sprq AS MATERIALIZED (SELECT probe, plist, list(rv ORDER BY dim) AS rq FROM (
+      | SELECT pl.probe, pl.plist, i - 1 AS dim,
+      |  CAST(floor((qq.qv[i] - c.c[i]) * $ResScale + 0.5) AS DOUBLE) AS rv
+      | FROM spl pl JOIN qq ON qq.vec_id = pl.probe JOIN c1 c ON c.cid = pl.plist,
+      |  (SELECT unnest(generate_series(1, (SELECT max(array_length(qv)) FROM qq))) AS i) s
+      | WHERE i <= array_length(qq.qv)) t GROUP BY probe, plist),
+      |spsub AS (SELECT probe, plist, m.sub,
+      |  rq[m.sub * $PqSubDim + 1 : m.sub * $PqSubDim + $PqSubDim] AS psq
+      | FROM sprq, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS sub) m),
+      |srlut AS MATERIALIZED (SELECT p.probe, p.plist, p.sub, c.rcid AS code,
+      |  CAST(${distSql("p.psq", "c.c")} AS DECIMAL(18,6)) AS pd
+      | FROM spsub p JOIN rpc1 c ON c.sub = p.sub),
+      |srcode AS MATERIALIZED (SELECT vec_id, plist, sub, rcid AS code FROM (
+      | SELECT rsv.vec_id, rsv.cid AS plist, rsv.sub, c.rcid,
+      |  row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub ORDER BY
+      |   ${distSql("rsv.sq", "c.c")}, c.rcid) AS rn
+      | FROM rsv JOIN rpc1 c ON c.sub = rsv.sub
+      | WHERE rsv.cid IN (SELECT plist FROM spl)) t WHERE rn = 1),
+      |sshort AS MATERIALIZED (SELECT probe, vec_id FROM (
+      | SELECT probe, vec_id,
+      |  row_number() OVER (PARTITION BY probe ORDER BY adist, vec_id) AS rn
+      | FROM (SELECT l.probe, r.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adist
+      |  FROM srcode r JOIN srlut l
+      |   ON l.plist = r.plist AND l.sub = r.sub AND l.code = r.code
+      |  WHERE r.vec_id <> l.probe
+      |  GROUP BY l.probe, r.vec_id) g) t WHERE rn <= 10),
+      |pvr AS MATERIALIZED (SELECT vec_id AS probe, v AS p FROM v
+      | WHERE vec_id < $SweepProbes),
+      |sres5 AS (SELECT probe, vec_id FROM (
+      | SELECT s.probe, s.vec_id,
+      |  row_number() OVER (PARTITION BY s.probe ORDER BY
+      |   ${distSql("vv.v", "pvr.p")}, s.vec_id) AS rn
+      | FROM sshort s JOIN v vv ON vv.vec_id = s.vec_id
+      |  JOIN pvr ON pvr.probe = s.probe) t WHERE rn <= 5),
+      |sex5 AS (SELECT probe, vec_id FROM (
+      | SELECT pvr.probe, v.vec_id,
+      |  row_number() OVER (PARTITION BY pvr.probe
+      |   ORDER BY ${distSql("v.v", "pvr.p")}, v.vec_id) AS rn
+      | FROM v, pvr WHERE v.vec_id <> pvr.probe) t WHERE rn <= 5),
+      |sh AS (SELECT sex5.probe, CAST(count(*) AS BIGINT) AS hits
+      | FROM sex5 JOIN sres5 ON sres5.probe = sex5.probe
+      |  AND sres5.vec_id = sex5.vec_id
+      | GROUP BY sex5.probe)""".stripMargin
 
   /** Shared oracle CTE stack for the PQ family, ending at `pcode` (the
     * per-(vector, subspace) code assignment): states the IDENTICAL

@@ -110,7 +110,7 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     val v = CowTable.compact(spark, root, "event_id", nFiles = 4)
     assert(v == preVersion + 1)
     assert(CowTable.versionMeta(root, v)
-      == Map("compaction" -> "true", "key" -> "event_id"))
+      == Map("compaction" -> "true", "key" -> "event_id", "keytype" -> "bigint"))
     // fewer files, range-disjoint again, same rows
     val post = fileRanges(v)
     assert(post.size == 4, s"expected 4 compacted files, got ${post.size}")
@@ -291,6 +291,108 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     // the batch metas all committed (losing batches still publish their id)
     assert(CowTable.appliedBatches(root) == Set(0L, 1L, 2L, 3L))
     assert(CowTable.latestAppliedBatch(root).contains(3L))
+  }
+
+  test("optimistic concurrency: interleaved mergeUpserts both land, loser leaves no orphans") {
+    import spark.implicits._
+    val root = tempDir("cow_occ")
+    val base = (0L until 1000L).map(id => (id, 0L)).toDF("k", "v")
+    CowTable.init(spark, root, base, "k", nFiles = 4)
+    val aUpd = (500L until 510L).map(id => (id, -1L)).toDF("k", "v")
+    val bUpd = (10L until 20L).map(id => (id, -2L)).toDF("k", "v")
+    // deterministic race: writer B commits v2 BETWEEN writer A's diff
+    // (against v1) and A's commit attempt — A must lose the CAS, delete
+    // its staged files, re-diff against B's snapshot, and land as v3
+    var bVersion = -1
+    val aVersion = CowTable.mergeUpsertRetrying(spark, root, aUpd, "k", 2,
+      Map.empty, attempt =>
+        if (attempt == 1) bVersion = CowTable.mergeUpsert(spark, root, bUpd, "k"))
+    assert(bVersion == 2, "the injected competing writer should commit v2")
+    assert(aVersion == 3, s"loser must retry and land as v3, got $aVersion")
+    assert(CowTable.currentVersion(root) == 3)
+    // BOTH writers' rows are in the final snapshot, no duplicates
+    val fin = CowTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin.size == 1000)
+    assert((10L until 20L).forall(fin(_) == -2L), "B's rows lost in the retry")
+    assert((500L until 510L).forall(fin(_) == -1L), "A's rows lost in the retry")
+    // time travel: v2 is B's snapshot — B's rows applied, A's not yet
+    val v2 = CowTable.readVersion(spark, root, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2(10L) == -2L && v2(500L) == 0L)
+    // the losing attempt's data files were reclaimed: every file on
+    // disk is referenced by some manifest (nothing for vacuum but history)
+    val referenced = (1 to 3).flatMap(v => CowTable.manifest(root, v)).toSet
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/files"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(onDisk == referenced,
+      s"orphans after losing a race: ${onDisk.diff(referenced)}")
+    // vacuum to newest only: final snapshot still exact
+    CowTable.vacuum(root, keepVersions = 1)
+    val post = CowTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(post == fin)
+  }
+
+  test("readRange prunes and classifies from manifest metadata alone — zero footers") {
+    import spark.implicits._
+    val root = tempDir("cow_nofooter")
+    val base = (0L until 10000L).map(id => (id, id * 3)).toDF("k", "v")
+    CowTable.init(spark, root, base, "k", nFiles = 8)
+    assert(CowTable.versionMeta(root, 1).get("keytype").contains("bigint"))
+    // corrupt every data file EXCEPT the one whose range holds 4242: if
+    // the point read opened ANY other file — for schema sniffing or
+    // otherwise — parquet reading would throw on the garbage bytes
+    val keeper = CowTable.fileRanges(root, 1)
+      .find(e => e._2.toLong <= 4242L && 4242L <= e._3.toLong).get._1
+    CowTable.manifest(root, 1).filterNot(_ == keeper).foreach { n =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/files/$n"),
+        "not a parquet file".getBytes("UTF-8"))
+    }
+    val point = CowTable.readRange(spark, root, "4242", "4242")
+    assert(point.inputFiles.length == 1)
+    assert(point.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((4242L, 12726L)))
+  }
+
+  test("string-key pruning compares UTF-8 bytes, not UTF-16 (supplementary chars)") {
+    import spark.implicits._
+    val root = tempDir("cow_utf8")
+    val supp = new String(Character.toChars(0x10000)) // beyond the BMP
+    val keys = Seq("a", "￿", supp)
+    CowTable.init(spark, root, keys.map(k => (k, 1L)).toDF("k", "v"),
+      "k", nFiles = 1)
+    // Spark's recorded max is the UTF-8-binary max (the supplementary
+    // char); a Java-String compare would call "￿" > max and prune
+    // the file, silently dropping the row (round-13 ADVICE)
+    val got = CowTable.readRange(spark, root, "￿", "￿").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("￿"),
+      "UTF-16 bound compare wrongly pruned the file holding U+FFFF")
+    // and the full range read still equals the unpruned filter
+    val all = CowTable.readRange(spark, root, "a", supp).collect()
+    assert(all.map(_.getString(0)).sorted.toSeq == keys.sorted)
+  }
+
+  test("empty manifests read as empty frames; malformed numeric bounds fail clearly") {
+    import spark.implicits._
+    val root = tempDir("cow_guards")
+    CowTable.init(spark, root,
+      (0L until 10L).map(id => (id, id)).toDF("k", "v"), "k", nFiles = 2)
+    // malformed bound against a numeric key: a clear error, not a
+    // NumberFormatException from deep inside BigDecimal
+    val ex = intercept[IllegalArgumentException] {
+      CowTable.readRange(spark, root, "abc", "zzz")
+    }
+    assert(ex.getMessage.contains("not numeric"))
+    // a hand-written version with ZERO files: empty frame of the key
+    // column (the only schema the manifest vouches for), no throw
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifest/v2.list"),
+      "#key:k\n#keytype:bigint".getBytes("UTF-8"))
+    val empty = CowTable.readRange(spark, root, "0", "9")
+    assert(empty.schema.fieldNames.toSeq == Seq("k"))
+    assert(empty.collect().isEmpty)
   }
 
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {

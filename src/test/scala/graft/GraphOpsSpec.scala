@@ -157,4 +157,22 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
       assert(rows.forall(_.getAs[Long]("community_size") == rows.length))
     }
   }
+
+  test("LPA plan size is constant in the round count (per-round lineage truncation)") {
+    import spark.implicits._
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    def planNodes(rounds: Int): Int =
+      GraphOps.labelPropagationOf(clique, nodes, rounds)
+        .queryExecution.analyzed.collect { case p => p }.size
+    val n1 = planNodes(1)
+    val n6 = planNodes(6)
+    assert(n6 == n1,
+      s"analyzed-plan node count grew with rounds: $n1 at 1 round, $n6 at 6 " +
+        "— per-round truncation is not taking effect")
+    // a caller raising rounds still converges to the same communities
+    val deep = GraphOps.labelPropagationOf(clique, nodes, 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
+    assert(deep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -1351,6 +1351,20 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(rows.find(_.getAs[Long]("probe") == 0L).get.getAs[Long]("hits") == single)
   }
 
+  test("ivfpq_res_probe_sweep mirrors the sweep contract and probe 0 matches ivfpq_res_recall") {
+    val rows = SimilarityOps.ivfpqResProbeSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("probe")).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val (h, rec) = (r.getAs[Long]("hits"), r.getAs[Double]("recall"))
+      assert(h >= 0 && h <= 5 && math.abs(rec - h / 5.0) < 1e-9)
+    }
+    // probe 0's row IS the single-probe ivfpq_res_recall value — the
+    // full residual read path (per-list LUTs, probed-list encode, exact
+    // re-rank) reproduced under the sweep's windowed form
+    val single = SimilarityOps.ivfpqResRecall(spark, sf).head().getAs[Long]("hits")
+    assert(rows.find(_.getAs[Long]("probe") == 0L).get.getAs[Long]("hits") == single)
+  }
+
   test("embed_standardize and embed_outlier produce genuinely standardized scores") {
     // per-dim z: mean ≈ 0, var ≈ 1 for every dimension
     val z = SimilarityOps.embedStandardize(spark, sf).collect()
