@@ -102,7 +102,9 @@ object EventSource {
   def streamTopic(spark: SparkSession, dir: String, topic: String,
       partitions: Seq[Int] = Nil,
       partitionCount: Int = Tables.DefaultPartitionCount,
-      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+      maxBytesPerTrigger: Option[Long] = None,
+      group: Option[(String, String)] = None,
+      memberTtlMillis: Long = 10000L): DataFrame = {
     var reader = spark.readStream
       .format(classOf[GraftTopicProvider].getName)
       .option("path", dir)
@@ -110,6 +112,10 @@ object EventSource {
       .option("partition.count", partitionCount)
     if (partitions.nonEmpty)
       reader = reader.option("partitions", partitions.mkString(","))
+    group.foreach { case (service, member) =>
+      reader = reader.option("group", service).option("member", member)
+        .option("member.ttl.ms", memberTtlMillis)
+    }
     maxBytesPerTrigger.foreach(b => reader = reader.option("maxBytesPerTrigger", b))
     reader.load()
   }

@@ -33,12 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    monotonic per partition, preserving Kafka's ordering contract.
   *
   * Consumer groups: each group member runs one streaming query over a
-  * DISJOINT `partitions` subset (see [[GraftTopicLog.assignment]] — the
-  * round-robin assignor). Members share nothing; the union of their
-  * outputs is the topic, mirroring the reference's partition sharing
-  * across same-`@service` consumers. Group offsets live in each member's
-  * checkpoint — the Spark-native rendition of the server-held consumer
-  * offsets.
+  * DISJOINT partition subset — either a STATIC `partitions` option (see
+  * [[GraftTopicLog.assignment]] — the round-robin assignor) or, since
+  * round 13, DYNAMIC membership (`group`/`member` options): the broker
+  * directory doubles as the group coordinator, assignment is re-derived
+  * from the alive-member registry at every micro-batch, and a takeover
+  * resumes from the departed member's committed group offsets — the
+  * reference server's reassignment-within-a-`@service` semantics
+  * (`consumer.ex:92-96`) without a coordinator process. The union of
+  * member outputs is the topic. Per-member offsets live in each
+  * member's checkpoint (static mode) plus the shared group registry
+  * (dynamic mode) — the Spark-native rendition of the server-held
+  * consumer offsets.
   *
   * Single-writer-per-partition is the broker contract (the reference
   * serializes appends through the server); appends are whole flushed
@@ -114,6 +120,110 @@ object GraftTopicLog {
     }.toMap
   }
 
+  // ------------------------------------------------ consumer-group registry
+  /** The shared broker directory doubles as the GROUP COORDINATOR
+    * (round 13): the reference's server reassigns a topic's queues
+    * across the live members of one `@service`
+    * (`lib/hivent/consumer.ex:92-96`); here the same reassignment is
+    * derived by every member from shared registry state, with no
+    * coordinator process:
+    *
+    *  - membership: each member keeps a heartbeat file
+    *    `<dir>/<topic>/.group-<service>/hb-<member>` fresh (touched at
+    *    every micro-batch planning step); a member is ALIVE when its
+    *    heartbeat is younger than the TTL. Graceful stop deletes the
+    *    file (immediate rebalance); a crash ages out after the TTL.
+    *  - assignment: round-robin over the SORTED alive member ids —
+    *    deterministic, so every member independently computes the same
+    *    disjoint + complete partition split, re-evaluated at every
+    *    micro-batch (membership changes rebalance the NEXT batch, no
+    *    restart).
+    *  - group offsets: each member merges its committed per-partition
+    *    end offsets into its OWN file (`offsets-<member>.json`,
+    *    single-writer, atomic rename — no cross-member read-modify-write
+    *    race); the group position of a partition is the MAX across all
+    *    member files (offsets only grow). A member taking over a
+    *    partition absent from its checkpoint resumes from the group
+    *    position — the dead member's last committed offset — instead of
+    *    byte 0.
+    *
+    * Handovers are at-least-once: a batch read but not yet committed
+    * when the partition moves re-reads on the new owner — the same
+    * contract as the engine's streaming sinks (batch-id idempotence /
+    * dropDuplicates), and exactly why those exist. */
+  private def groupDir(dir: String, topic: String, service: String): File =
+    new File(new File(dir, topic), s".group-$service")
+
+  /** Register (or refresh) a member's heartbeat. Idempotent. */
+  def registerMember(dir: String, topic: String, service: String,
+      member: String): Unit = {
+    val d = groupDir(dir, topic, service)
+    d.mkdirs()
+    Files.write(new File(d, s"hb-$member").toPath,
+      Array.emptyByteArray)
+    ()
+  }
+
+  /** Graceful leave: the next batch of every surviving member
+    * rebalances immediately, without waiting out the TTL. */
+  def deregisterMember(dir: String, topic: String, service: String,
+      member: String): Unit = {
+    Files.deleteIfExists(new File(groupDir(dir, topic, service),
+      s"hb-$member").toPath)
+    ()
+  }
+
+  /** Sorted ids of members whose heartbeat is younger than `ttlMillis`
+    * (ttl <= 0: every registered member counts). */
+  def aliveMembers(dir: String, topic: String, service: String,
+      ttlMillis: Long): Seq[String] = {
+    val d = groupDir(dir, topic, service)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(_.getName.startsWith("hb-"))
+      .filter(f => ttlMillis <= 0 ||
+        System.currentTimeMillis() - f.lastModified() <= ttlMillis)
+      .map(_.getName.stripPrefix("hb-"))
+      .sorted
+  }
+
+  /** Merge `offsets` into the member's own committed-offset file
+    * (per-partition max — offsets only grow; single writer, atomic
+    * publish via tmp + rename). */
+  def commitMemberOffsets(dir: String, topic: String, service: String,
+      member: String, offsets: Map[Int, Long]): Unit = {
+    val d = groupDir(dir, topic, service)
+    d.mkdirs()
+    val f = new File(d, s"offsets-$member.json")
+    val prior =
+      if (f.exists())
+        offsetsFromJson(new String(Files.readAllBytes(f.toPath), UTF_8))
+      else Map.empty[Int, Long]
+    val merged = (prior.keySet ++ offsets.keySet).map { p =>
+      p -> math.max(prior.getOrElse(p, 0L), offsets.getOrElse(p, 0L))
+    }.toMap
+    val tmp = new File(d, s".offsets-$member.tmp")
+    Files.write(tmp.toPath, offsetsToJson(merged).getBytes(UTF_8))
+    Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The group's position per partition: max committed offset across
+    * every member's offset file (dead members' files included — that is
+    * precisely what a takeover resumes from). */
+  def groupOffsets(dir: String, topic: String, service: String): Map[Int, Long] = {
+    val d = groupDir(dir, topic, service)
+    if (!d.isDirectory) return Map.empty
+    d.listFiles().toSeq
+      .filter(f => f.getName.startsWith("offsets-") && f.getName.endsWith(".json"))
+      .flatMap(f => offsetsFromJson(
+        new String(Files.readAllBytes(f.toPath), UTF_8)).toSeq)
+      .groupBy(_._1)
+      .map { case (p, vs) => p -> vs.map(_._2).max }
+  }
+
   /** Largest record-boundary byte offset in (start, limit] of a partition
     * log (a boundary sits just after a '\n'). If no newline lies in that
     * window — a single record larger than the whole byte budget — returns
@@ -178,24 +288,62 @@ private[sources] case class GraftTopicInputPartition(topic: String, partition: I
   * proportionally to their backlog and clamped to record boundaries, so
   * every batch is bounded AND every offset is replayable. */
 private[sources] class GraftTopicMicroBatchStream(dir: String, topic: String,
-    partitions: Seq[Int], maxBytesPerTrigger: Option[Long])
+    partitions: Seq[Int], maxBytesPerTrigger: Option[Long],
+    group: Option[GroupMembership] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  group.foreach(g =>
+    GraftTopicLog.registerMember(dir, topic, g.service, g.member))
+
+  /** This member's partition set for the NEXT batch: static when no
+    * group is configured; otherwise re-derived from the alive member
+    * registry at every planning step (heartbeat refreshed first). Self
+    * is always counted alive — it is executing this very call. */
+  private def currentPartitions(): Seq[Int] = group match {
+    case None => partitions
+    case Some(g) =>
+      GraftTopicLog.registerMember(dir, topic, g.service, g.member) // heartbeat
+      val alive = (GraftTopicLog.aliveMembers(dir, topic, g.service, g.ttlMillis)
+        :+ g.member).distinct.sorted
+      GraftTopicLog.assignment(g.partitionCount, alive.indexOf(g.member), alive.size)
+  }
+
+  /** Effective start byte for a partition: the member's checkpointed
+    * offset, else — for a partition just taken over in a rebalance —
+    * the GROUP's committed position, else 0. */
+  private def startFor(s: Map[Int, Long], grp: => Map[Int, Long])(p: Int): Long =
+    s.getOrElse(p, if (group.isDefined) grp.getOrElse(p, 0L) else 0L)
+
   override def initialOffset(): Offset =
-    GraftTopicOffset(partitions.map(_ -> 0L).toMap)
+    GraftTopicOffset(
+      if (group.isDefined) Map.empty
+      else partitions.map(_ -> 0L).toMap)
 
   // uncapped fallback — the engine calls the 2-arg admission-control
   // overload below for SupportsAdmissionControl sources
   override def latestOffset(): Offset =
-    GraftTopicOffset(GraftTopicLog.endOffsets(dir, topic, partitions))
+    GraftTopicOffset(GraftTopicLog.endOffsets(dir, topic, currentPartitions()))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GraftTopicOffset].offsets
-    val ends = GraftTopicLog.endOffsets(dir, topic, partitions)
+    val s0 = start.asInstanceOf[GraftTopicOffset].offsets
+    val parts = currentPartitions()
+    // publish the member's PROCESSED position to the group registry:
+    // `start` here is the previous batch's end offset, which the engine
+    // only advances to after that batch fully committed — so this is
+    // exactly the position a takeover may safely resume from. (The
+    // commit(end) hook below also publishes, but the engine does not
+    // guarantee it fires before a query stops; the planning path runs
+    // every trigger.)
+    group.foreach(g => if (s0.nonEmpty)
+      GraftTopicLog.commitMemberOffsets(dir, topic, g.service, g.member, s0))
+    lazy val grp = group.map(g =>
+      GraftTopicLog.groupOffsets(dir, topic, g.service)).getOrElse(Map.empty)
+    val s = parts.map(p => p -> startFor(s0, grp)(p)).toMap
+    val ends = GraftTopicLog.endOffsets(dir, topic, parts)
     maxBytesPerTrigger match {
       case None => GraftTopicOffset(ends)
       case Some(cap) =>
@@ -227,8 +375,10 @@ private[sources] class GraftTopicMicroBatchStream(dir: String, topic: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftTopicOffset].offsets
     val e = end.asInstanceOf[GraftTopicOffset].offsets
+    lazy val grp = group.map(g =>
+      GraftTopicLog.groupOffsets(dir, topic, g.service)).getOrElse(Map.empty)
     e.toSeq.sortBy(_._1).flatMap { case (p, endByte) =>
-      val startByte = s.getOrElse(p, 0L)
+      val startByte = startFor(s, grp)(p)
       if (endByte > startByte)
         Some(GraftTopicInputPartition(topic, p,
           GraftTopicLog.partitionFile(dir, topic, p).getAbsolutePath,
@@ -240,9 +390,24 @@ private[sources] class GraftTopicMicroBatchStream(dir: String, topic: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTopicReaderFactory
 
-  override def commit(end: Offset): Unit = () // retention is external
-  override def stop(): Unit = ()
+  /** Retention is external; with a group configured, a completed batch
+    * additionally publishes its end offsets to the member's group file —
+    * the position a rebalanced takeover resumes from. */
+  override def commit(end: Offset): Unit = group.foreach { g =>
+    GraftTopicLog.commitMemberOffsets(dir, topic, g.service, g.member,
+      end.asInstanceOf[GraftTopicOffset].offsets)
+  }
+
+  /** Graceful leave on query stop: survivors rebalance at their next
+    * batch without waiting out the TTL; the member's offset file stays
+    * (it IS the handover state). */
+  override def stop(): Unit = group.foreach(g =>
+    GraftTopicLog.deregisterMember(dir, topic, g.service, g.member))
 }
+
+/** Dynamic consumer-group settings for [[GraftTopicMicroBatchStream]]. */
+private[sources] case class GroupMembership(service: String, member: String,
+    partitionCount: Int, ttlMillis: Long)
 
 private[sources] class GraftTopicReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -304,14 +469,16 @@ private[sources] class GraftTopicPartitionReader(p: GraftTopicInputPartition)
 }
 
 private[sources] class GraftTopicScan(dir: String, topic: String,
-    partitions: Seq[Int], maxBytesPerTrigger: Option[Long]) extends Scan {
+    partitions: Seq[Int], maxBytesPerTrigger: Option[Long],
+    group: Option[GroupMembership]) extends Scan {
   override def readSchema(): StructType = GraftTopicLog.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTopicMicroBatchStream(dir, topic, partitions, maxBytesPerTrigger)
+    new GraftTopicMicroBatchStream(dir, topic, partitions, maxBytesPerTrigger, group)
 }
 
 private[sources] class GraftTopicTable(dir: String, topic: String,
-    partitions: Seq[Int], maxBytesPerTrigger: Option[Long])
+    partitions: Seq[Int], maxBytesPerTrigger: Option[Long],
+    group: Option[GroupMembership])
     extends Table with SupportsRead {
   override def name(): String = s"graft-topic($topic)"
   override def schema(): StructType = GraftTopicLog.Schema
@@ -320,7 +487,7 @@ private[sources] class GraftTopicTable(dir: String, topic: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new GraftTopicScan(dir, topic, partitions, maxBytesPerTrigger)
+        new GraftTopicScan(dir, topic, partitions, maxBytesPerTrigger, group)
     }
 }
 
@@ -333,7 +500,19 @@ private[sources] class GraftTopicTable(dir: String, topic: String,
   *  - `partition.count` total partitions (default 4, the reference's
   *                      `config/config.exs:8` default)
   *  - `partitions`      comma-separated subset this member consumes
-  *                      (default: all) — the consumer-group assignment
+  *                      (default: all) — the STATIC consumer-group
+  *                      assignment
+  *  - `group` + `member` DYNAMIC consumer-group membership (r13): the
+  *                      member joins `@service`-style group `group`
+  *                      under id `member`; its partition set is
+  *                      re-derived per micro-batch from the alive
+  *                      member registry (see GraftTopicLog's registry
+  *                      scaladoc) — members joining/leaving/dying
+  *                      rebalance the NEXT batch with takeovers
+  *                      resuming from the group's committed offsets.
+  *                      Mutually exclusive with `partitions`.
+  *  - `member.ttl.ms`   heartbeat TTL for crash detection (default
+  *                      10000; graceful stop deregisters immediately)
   *  - `maxBytesPerTrigger` admission-control byte budget per micro-batch
   *                      (default: unbounded) — bounds restart-after-
   *                      backlog batches; split across partitions
@@ -386,6 +565,14 @@ class GraftTopicProvider extends TableProvider
       require(n > 0, s"graft-topic: maxBytesPerTrigger must be positive, got $n")
       n
     }
-    new GraftTopicTable(dir, topic, partitions, maxBytes)
+    val groupOpt = Option(options.get("group")).filter(_.nonEmpty).map { svc =>
+      require(options.get("partitions") == null,
+        "graft-topic: 'group' (dynamic assignment) and 'partitions' " +
+          "(static assignment) are mutually exclusive")
+      val member = required(options, "member")
+      GroupMembership(svc, member, count,
+        options.getLong("member.ttl.ms", 10000L))
+    }
+    new GraftTopicTable(dir, topic, partitions, maxBytes, groupOpt)
   }
 }

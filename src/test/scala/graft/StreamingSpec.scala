@@ -251,6 +251,80 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .filter(col("nparts") > 1).count() == 0)
   }
 
+  test("rebalance: survivor takes over a departed member's partitions from its committed offsets") {
+    import spark.implicits._
+    val topicDir = tempDir("broker_reb")
+    val topic = "order:confirmed"
+    val phase1 = (1 to 40).map(i =>
+      RawEvent(i.toLong, ts(i % 60), i.toLong, "click", i.toDouble, "{}"))
+    appendFixture(topicDir, topic, phase1)
+    val n = graft.model.Tables.DefaultPartitionCount
+    // pre-register both members so the FIRST batch already splits the
+    // topic disjointly (dynamic join mid-stream is exercised below by
+    // the departure)
+    graft.sources.GraftTopicLog.registerMember(topicDir, topic, "svc", "a")
+    graft.sources.GraftTopicLog.registerMember(topicDir, topic, "svc", "b")
+
+    def member(name: String, id: String) =
+      graft.sources.EventSource.parseTopicEvents(
+        graft.sources.EventSource.streamTopic(spark, topicDir, topic,
+          group = Some(("svc", id))))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempDir(s"ck_$name")).start()
+
+    val qa = member("reb_a", "a")
+    val qb = member("reb_b", "b")
+    try {
+      qa.processAllAvailable(); qb.processAllAvailable()
+      // dynamic assignment matches the static round-robin split over
+      // the sorted alive ids ("a" -> index 0, "b" -> index 1)
+      val aP1 = spark.table("reb_a").select("partition").distinct().as[Int].collect().toSet
+      val bP1 = spark.table("reb_b").select("partition").distinct().as[Int].collect().toSet
+      assert(aP1.subsetOf(graft.sources.GraftTopicLog.assignment(n, 0, 2).toSet))
+      assert(bP1.subsetOf(graft.sources.GraftTopicLog.assignment(n, 1, 2).toSet))
+      assert(spark.table("reb_a").unionByName(spark.table("reb_b"))
+        .select("event_id").as[Long].collect().sorted
+        .sameElements(phase1.map(_.event_id).sorted))
+
+      // phase 2: more records arrive, then B leaves gracefully —
+      // A's very next batch must cover ALL partitions, resuming B's
+      // old partitions from B's committed group offsets
+      val phase2 = (41 to 80).map(i =>
+        RawEvent(i.toLong, ts(i % 60), i.toLong, "click", i.toDouble, "{}"))
+      appendFixture(topicDir, topic, phase2)
+      qb.stop() // deregisters -> immediate rebalance, no TTL wait
+      qa.processAllAvailable()
+
+      val a = spark.table("reb_a")
+      val b = spark.table("reb_b")
+      // survivor picked up every partition phase 2 landed on
+      val p2Parts = phase2.map(e => graft.sources.GraftTopicLog
+        .partitionFor(e.user_id.toString, n)).toSet
+      val aPhase2Parts = a.filter(col("event_id") > 40)
+        .select("partition").distinct().as[Int].collect().toSet
+      assert(aPhase2Parts == p2Parts,
+        s"survivor covered $aPhase2Parts, phase-2 data lives on $p2Parts")
+      // EXACTLY ONCE across the group: had A restarted B's partitions
+      // from byte 0 instead of B's committed offsets, A would now also
+      // hold B's phase-1 records and the intersect would be non-empty
+      assert(a.select("event_id").intersect(b.select("event_id")).count() == 0,
+        "takeover re-read records the departed member had already processed")
+      assert(a.unionByName(b).select("event_id").as[Long].collect().sorted
+        .sameElements((phase1 ++ phase2).map(_.event_id).sorted))
+    } finally { if (qa.isActive) qa.stop(); if (qb.isActive) qb.stop() }
+
+    // crash path: a member that stops heartbeating ages out after the
+    // TTL (graceful leave above needed no TTL); ttl <= 0 disables aging
+    graft.sources.GraftTopicLog.registerMember(topicDir, topic, "svc2", "x")
+    graft.sources.GraftTopicLog.registerMember(topicDir, topic, "svc2", "y")
+    new java.io.File(s"$topicDir/$topic/.group-svc2/hb-y")
+      .setLastModified(System.currentTimeMillis() - 60000L)
+    assert(graft.sources.GraftTopicLog.aliveMembers(topicDir, topic, "svc2", 5000L)
+      == Seq("x"))
+    assert(graft.sources.GraftTopicLog.aliveMembers(topicDir, topic, "svc2", 0L)
+      == Seq("x", "y"))
+  }
+
   test("topic source resumes from checkpointed offsets across appends and restart") {
     import spark.implicits._
     val topicDir = tempDir("broker")
