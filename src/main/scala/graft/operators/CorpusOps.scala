@@ -125,7 +125,8 @@ object CorpusOps {
     * leftmost replace IS the greedy left-to-right pair application of
     * a real BPE trainer ("a a a a" → "aa aa", "a a a" → "aa a"). */
   private[graft] def bpeSymInit(words: DataFrame): DataFrame =
-    words.select(regexp_replace(col("word"), "(.)", "^$1  ").as("sym"),
+    words.select(col("word"),
+      regexp_replace(col("word"), "(.)", "^$1  ").as("sym"),
       col("cnt"))
 
   /** Adjacent-symbol pair counts over a symbol frame, weighted by word
@@ -222,6 +223,35 @@ object CorpusOps {
     merges.map { case (s, x, y, n) => (s, x, y, x + y, n) }
       .toDF("step", "x", "y", "merged", "n")
       .orderBy("step")
+  }
+
+  /** Per-document token accounting under the TRAINED tokenizer: for
+    * every doc, its word count, character-level token count (the
+    * round-0 baseline — every character a symbol) and the BPE token
+    * count after the [[BpeTrainMerges]] learned merges, with the
+    * compression ratio. The per-document numbers a data-budget owner
+    * reads (sequence length under the production tokenizer decides
+    * packing, truncation and cost; `bpe_encode` gives the corpus
+    * curve, this gives the per-doc breakdown). Scale shape: each
+    * word's symbol count is computed ONCE on the vocab-sized final
+    * frame and JOINED back to the (doc, word) explode — the vocab side
+    * is broadcast-sized at any corpus scale, never a per-document
+    * re-tokenization. */
+  def bpeDocTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, frames) = bpeChain(spark, sfDir)
+    val wordSyms = frames.last.select(col("word"),
+      size(expr("filter(split(sym, '  '), t -> t != '')")).as("n_syms"))
+    TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordSyms, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_char_tokens"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_bpe_tokens").cast("double") / col("n_char_tokens"), 6))
+      .orderBy("doc_id")
   }
 
   /** BPE ENCODING telemetry: the corpus-compression curve of the
@@ -997,6 +1027,7 @@ object CorpusOps {
     "bpe_merge_topk" -> (bpeMergeTopk _),
     "bpe_train"     -> (bpeTrain _),
     "bpe_encode"    -> (bpeEncode _),
+    "bpe_doc_tokens" -> (bpeDocTokens _),
     "zipf_slope"    -> (zipfSlope _),
     "bigram_entropy" -> (bigramEntropy _),
     "collocation_topk" -> (collocationTopk _),
@@ -1210,6 +1241,20 @@ object CorpusOps {
             |    SELECT unnest(list_filter(string_split(sym, '  '), t -> t <> '')) AS tok
             |    FROM v$i) q) AS n_symbols""".stripMargin).mkString("\n UNION ALL\n")}
         |) u WHERE total_tokens IS NOT NULL ORDER BY step""".stripMargin,
+    "bpe_doc_tokens" ->
+      s"""WITH $bpeCtesSql,
+        |ws AS (SELECT word,
+        |  CAST(len(list_filter(string_split(sym, '  '), t -> t <> '')) AS BIGINT) AS n_syms
+        | FROM v$BpeTrainMerges),
+        |dw AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM (
+        | SELECT doc_id, ${TextOps.normSql} AS norm FROM documents) n),
+        |j AS (SELECT doc_id, dw.word, ws.n_syms FROM dw JOIN ws ON ws.word = dw.word
+        | WHERE length(dw.word) >= 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(length(word)) AS BIGINT) AS n_char_tokens,
+        | CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+        | round(CAST(sum(n_syms) AS DOUBLE) / sum(length(word)), 6) AS compression
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bigram_counts" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),
@@ -1356,7 +1401,7 @@ object CorpusOps {
         |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
         | SELECT unnest(string_split(norm, ' ')) AS word FROM dn) t
         | WHERE length(word) >= 1 GROUP BY word),
-        |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '^\\1  ', 'g') AS sym, cnt FROM w)""".stripMargin
+        |v0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '^\\1  ', 'g') AS sym, cnt FROM w)""".stripMargin
     val steps = (1 to BpeTrainMerges).map { i =>
       s"""t$i AS (SELECT cnt, list_filter(string_split(sym, '  '), t -> t <> '') AS toks FROM v${i - 1}),
         |p$i AS (SELECT substring(toks[i], 2) AS x, substring(toks[i + 1], 2) AS y,
@@ -1365,7 +1410,7 @@ object CorpusOps {
         |    greatest((SELECT max(length(word)) FROM w) - 1, 1))) AS i) s
         | WHERE i + 1 <= len(toks) GROUP BY 1, 2),
         |b$i AS MATERIALIZED (SELECT x, y, n FROM p$i ORDER BY n DESC, x, y LIMIT 1),
-        |v$i AS MATERIALIZED (SELECT CASE WHEN b.x IS NULL THEN v.sym
+        |v$i AS MATERIALIZED (SELECT v.word, CASE WHEN b.x IS NULL THEN v.sym
         |   ELSE replace(v.sym, '^' || b.x || '  ^' || b.y || '  ', '^' || b.x || b.y || '  ') END AS sym,
         |  v.cnt
         | FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)""".stripMargin

@@ -117,6 +117,36 @@ object PipelineOps {
       .orderBy("rank")
   }
 
+  // -------------------------------------------- weighted (A-Res) sampling
+  /** Rows kept by [[weightedSample]]. */
+  private[operators] val WeightedK = 100
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-Res):
+    * each doc draws key = u^(1/w), u its fixed hash-uniform draw and
+    * w = n_chars; the k LARGEST keys are a weighted k-subset whose
+    * inclusion probability rises with w — the "sample by length/token
+    * budget" cut a curation pipeline uses when long documents should
+    * anchor an eval slice ([[bottomkSample]] is the unweighted special
+    * case w ≡ const). Same deployment virtues as bottom-k:
+    * deterministic under retries/re-runs, and MERGEABLE — the A-Res
+    * keys make top-k of a union = top-k of the parts' top-ks, so the
+    * plan is per-shard heaps + one k-row driver merge (literally
+    * TakeOrderedAndProject; no global sort, no RNG state). Cross-engine
+    * determinism: the key is the IDENTICAL exp(ln(u)/w) chain both
+    * sides, round-6, doc_id tiebreak. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (keyHash("wks") + lit(0.5)) / lit(268435456.0)
+    val wkey = round(exp(log(u) / col("n_chars").cast("double")), 6)
+    val w = Window.orderBy(col("wkey").desc, col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), wkey.as("wkey"))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(WeightedK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("wkey"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------- dp stats release
   /** Laplace scale for [[dpCounts]] — sensitivity 1 (one doc moves one
     * per-source count by one) over ε = 0.1. */
@@ -297,6 +327,7 @@ object PipelineOps {
     "quota_sample"      -> (quotaSample _),
     "dp_counts"         -> (dpCounts _),
     "bottomk_sample"    -> (bottomkSample _),
+    "weighted_sample"   -> (weightedSample _),
     "dataset_split"     -> (datasetSplit _),
     "split_leakage"     -> (splitLeakage _),
     "tfidf_embedding"   -> (tfidfEmbedding _),
@@ -344,6 +375,16 @@ object PipelineOps {
           |   ORDER BY ${keyHashSql("btk")}, doc_id) AS BIGINT) AS rank
           | FROM documents) t
           |WHERE rank <= $BottomK ORDER BY rank""".stripMargin,
+      "weighted_sample" -> {
+        val wkeySql = s"round(exp(ln((${keyHashSql("wks")} + 0.5) / 268435456.0)" +
+          " / CAST(n_chars AS DOUBLE)), 6)"
+        s"""SELECT rank, doc_id, n_chars, wkey FROM (
+          | SELECT doc_id, n_chars, $wkeySql AS wkey,
+          |  CAST(row_number() OVER (
+          |   ORDER BY $wkeySql DESC, doc_id) AS BIGINT) AS rank
+          | FROM documents) t
+          |WHERE rank <= $WeightedK ORDER BY rank""".stripMargin
+      },
       "dp_counts" ->
         s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
           |           FROM documents GROUP BY source),

@@ -163,6 +163,59 @@ object RelationalOps {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape: the FORECAST-REVENUE-CHANGE scan-aggregate — one
+    * year of shipments, a discount band, a quantity cap, one summed
+    * product. The purest pushdown benchmark in the canon: zero joins,
+    * zero group keys — the whole query is three PushedFilters over a
+    * 4-column pruned scan feeding a map-side-combined 1-row DECIMAL
+    * sum; at 100 TB its cost is exactly the bytes the scan cannot
+    * skip, which is why it is the standard I/O-path probe. The
+    * discount band compares against exact DECIMAL(9,4) literals (the
+    * doubles 0.05/0.07 are not exactly representable — casting the
+    * column once keeps both engines on the identical lattice). */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("l_discount").cast(DecimalType(9, 4))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        d >= lit("0.05").cast(DecimalType(9, 4)) &&
+        d <= lit("0.07").cast(DecimalType(9, 4)) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * d)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 0)
+  }
+
+  /** TPC-H Q10 shape: RETURNED-ITEM revenue report — the top 20
+    * customers by revenue lost to returned items in one quarter, with
+    * their nation. Completes the TPC-H canon quartet+1
+    * (q1/q3/q5/q18/q10): where q5 is the all-dims star join and q18
+    * the aggregate-then-enrich, Q10 is the selective-fact star — the
+    * `l_returnflag = 'R'` and quarter predicates push into the two
+    * FACT scans (PushedFilters), the customer join shuffles only the
+    * qualifying slice, the 25-row nation dim broadcasts, and the
+    * top-20 is a TakeOrderedAndProject. Revenue sums [[discPrice]]
+    * decimals (exact under any shuffle order); total order on
+    * (revenue desc, c_custkey). */
+  def q10ReturnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** ROLLUP over the Q1 grouping — grouping-set aggregation.
     *
     * Known engine divergence (empty input only): the SQL standard's `()`
@@ -609,6 +662,8 @@ object RelationalOps {
     "q1_agg"           -> (q1Agg _),
     "q5_revenue"       -> (q5RevenueByNation _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "agg_rollup"       -> (aggRollup _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube"         -> (aggCube _),
@@ -756,6 +811,32 @@ object RelationalOps {
         | JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(9,4)) >= CAST('0.05' AS DECIMAL(9,4))
+        |  AND CAST(l_discount AS DECIMAL(9,4)) <= CAST('0.07' AS DECIMAL(9,4))
+        |  AND l_quantity < 24
+        |HAVING count(*) > 0""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        | c.c_acctbal, n.n_name
+        |FROM orders o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -104,6 +104,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     assert(syms.contains("^\\\\  "), s"backslash merge not applied: $syms")
   }
 
+  test("bpe_doc_tokens: per-doc bounds hold and totals reconcile with bpe_encode") {
+    val rows = CorpusOps.bpeDocTokens(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, c, b, ratio) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_char_tokens"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Double]("compression"))
+      assert(b <= c, "merges can only shrink the symbol count")
+      assert(b >= w, "a word is at least one symbol")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - b.toDouble / c) < 1e-6)
+    }
+    // cross-query reconciliation: per-doc sums equal bpe_encode's corpus
+    // curve endpoints (step 0 = characters, final step = BPE tokens)
+    val curve = CorpusOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("total_tokens")).toMap
+    assert(rows.map(_.getAs[Long]("n_char_tokens")).sum == curve(0))
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum == curve(curve.keys.max))
+  }
+
   test("bigram_counts honors the cutoff and the (cnt desc, bigram) order") {
     val rows = CorpusOps.bigramCounts(spark, sf).collect()
     assert(rows.nonEmpty)

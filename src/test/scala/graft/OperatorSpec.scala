@@ -1387,6 +1387,81 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(frac < 0.2, s"$frac of vectors flagged — not an outlier gate")
   }
 
+  test("weighted_sample is the exact A-Res top-k, skews long, and merges like bottom-k") {
+    val out = PipelineOps.weightedSample(spark, sf).collect()
+    assert(out.length == 100)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 100L))
+    // keys in (0, 1], non-increasing along rank
+    val keys = out.map(_.getAs[Double]("wkey"))
+    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // equals the brute-force A-Res top-k over ALL docs
+    def allKeys = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        round(exp(log((expr("cast(conv(substring(md5(concat('wks:', cast(doc_id as string))), 1, 7), 16, 10) as bigint)") + lit(0.5)) / lit(268435456.0))
+          / col("n_chars").cast("double")), 6).as("wkey"))
+      .collect().map(r => (-r.getDouble(2), r.getLong(0), r.getLong(1)))
+    val brute = allKeys.sorted.take(100)
+    assert(out.map(r => (-r.getAs[Double]("wkey"), r.getAs[Long]("doc_id"))).toSeq
+      == brute.map(t => (t._1, t._2)).toSeq)
+    // WEIGHTED: inclusion probability rises with n_chars, so the sample
+    // mean length must exceed the corpus mean decisively
+    val sampleMean = out.map(_.getAs[Long]("n_chars").toDouble).sum / out.length
+    val corpusMean = allKeys.map(_._3.toDouble).sum / allKeys.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+    // mergeability (the A-Res property): top-k(all) == top-k(top-k(evens) ∪ top-k(odds))
+    val partMerge = (allKeys.filter(_._2 % 2 == 0).sorted.take(100) ++
+      allKeys.filter(_._2 % 2 == 1).sorted.take(100)).sorted.take(100)
+    assert(partMerge.toSeq == brute.toSeq)
+  }
+
+  test("q10_returned_revenue equals the unlimited aggregate's true top-20") {
+    val out = RelationalOps.q10ReturnedRevenue(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.forall(_ > 0.0))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not revenue-ordered")
+    // independent recomputation without the limit: the query's rows are
+    // exactly the global top-20 under (revenue desc, custkey)
+    val full = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(graft.model.Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(9,4)"))).cast("double").as("rev"))
+      .collect().map(r => (-r.getDouble(1), r.getLong(0)))
+      .sorted.take(out.length)
+    assert(out.map(r => (-r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey"))).toSeq
+      == full.toSeq)
+  }
+
+  test("q6_forecast_revenue matches a driver-side exact-decimal recomputation") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val row = RelationalOps.q6ForecastRevenue(spark, sf).head()
+    val (rev, n) = (row.getAs[Double]("revenue"), row.getAs[Long]("n_lines"))
+    assert(n > 0 && rev > 0.0)
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .select(col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (new JBD(r.getDouble(0)).setScale(2, RoundingMode.HALF_UP),
+        new JBD(r.getDouble(1)).setScale(4, RoundingMode.HALF_UP)))
+      .filter { case (_, d) =>
+        d.compareTo(new JBD("0.05")) >= 0 && d.compareTo(new JBD("0.07")) <= 0 }
+    assert(n == rows.length)
+    val exact = rows.map { case (ep, d) => ep.multiply(d) }
+      .foldLeft(JBD.ZERO)(_.add(_))
+    assert(math.abs(rev - exact.doubleValue()) < 1e-6,
+      s"engine revenue $rev != exact ${exact.doubleValue()}")
+  }
+
   test("bottomk_sample is the exact hash-order bottom-k and merges like a real sampler") {
     val out = PipelineOps.bottomkSample(spark, sf).collect()
     assert(out.length == 100)

@@ -642,6 +642,42 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
   }
 
+  test("streaming weighted sample equals the batch A-Res top-k over everything that arrived") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // weight = user_id + 1 (positive, deterministic per event)
+    val evs = graft.model.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    val statePath = tempDir("wks_state")
+    val weighted = stream.toDF()
+      .select(col("event_id"), (col("user_id") + 1L).as("w"))
+    val q = graft.streaming.StreamingWeightedSample.start(
+      weighted, statePath, tempDir("wks_ckpt"))
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { wave =>
+        stream.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // A-Res keys merge exactly like bottom-k hashes, so the streamed
+    // k-row state is BIT-EQUAL to the batch weighted top-k over the
+    // union of all waves
+    val got = graft.streaming.StreamingWeightedSample.state(spark, statePath)
+      .collect().map(r => (-r.getAs[Double]("wkey"), r.getAs[Long]("event_id")))
+      .sorted.toSeq
+    val expect = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"),
+        round(exp(log((expr("cast(conv(substring(md5(concat('wks:', cast(event_id as string))), 1, 7), 16, 10) as bigint)") + lit(0.5))
+          / lit(268435456.0)) / (col("user_id") + 1L).cast("double")), 6).as("wkey"))
+      .collect().map(r => (-r.getDouble(1), r.getLong(0)))
+      .sorted.take(graft.streaming.StreamingWeightedSample.K).toSeq
+    assert(got == expect, "streamed weighted sample diverged from the batch A-Res top-k")
+    val vdirs = new java.io.File(statePath).list().count(_.startsWith("v="))
+    assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
+  }
+
   test("streaming anomaly scores equal the batch anomaly_zscore window bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
