@@ -246,6 +246,28 @@ object TextOps {
     candidatePairsFrom(shinglesOf(canon, 3)).orderBy("doc_a", "doc_b")
   }
 
+  /** Band-bucket size histogram — the OBSERVABILITY table that sizes
+    * [[LshMaxBucketKey]] before a 100 TB dedup run: for each bucket
+    * size s, how many (band, bh) buckets have exactly s members and
+    * the candidate pairs they contribute ungated (s·(s−1)/2 each — the
+    * quadratic mass the ceiling caps). A pipeline owner reads the tail
+    * of this table to decide whether hot buckets exist at all, where
+    * to set B, and how much pair mass the star join will shed —
+    * complements [[lshTune]] (which sizes the GRID) and
+    * `dedup_threshold_sweep` (which places the Jaccard bar). Two
+    * cascaded map-side-combinable aggregates (the key_skew_profile
+    * count-of-counts shape); second pass costs one row per distinct
+    * bucket; output ≤ max-bucket-size rows — metadata at any scale. */
+  def lshBucketProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = bandsOf(signatureFrom(shingles(spark, sfDir, 3)))
+      .groupBy(col("band_no"), col("bh")).agg(count(lit(1)).as("sz"))
+    sizes.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("sz").as("bucket_sz"), col("n_buckets"),
+        expr("CAST(n_buckets * sz * (sz - 1) div 2 AS BIGINT)").as("n_pairs"))
+      .orderBy("bucket_sz")
+  }
+
   // -------------------------------------------------- LSH parameter planner
   /** Signature budget the [[lshTune]] planner allocates (hashes per
     * doc at production scale) and the target Jaccard threshold (the
@@ -1403,6 +1425,7 @@ object TextOps {
     "minhash_signature"   -> (minhashSignature _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_pairs_canonical" -> (dedupPairsCanonical _),
+    "lsh_bucket_profile"  -> (lshBucketProfile _),
     "ngram_novelty"       -> (ngramNovelty _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
@@ -1646,6 +1669,13 @@ object TextOps {
     "dedup_pairs_canonical" ->
       s"""WITH ${candCtesSqlFrom(canonNCteSql)}
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "lsh_bucket_profile" ->
+      s"""WITH $bandsCtesSql,
+        |bs AS (SELECT band_no, bh, CAST(count(*) AS BIGINT) AS sz
+        | FROM bands GROUP BY band_no, bh)
+        |SELECT sz AS bucket_sz, CAST(count(*) AS BIGINT) AS n_buckets,
+        | CAST(count(*) * sz * (sz - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM bs GROUP BY sz ORDER BY bucket_sz""".stripMargin,
     "cross_source_neardup" ->
       s"""WITH $candCtesSql,
         |xs AS (SELECT least(da.source, db.source) AS source_a,

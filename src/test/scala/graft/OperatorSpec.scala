@@ -1441,6 +1441,27 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       == full.toSeq)
   }
 
+  test("lsh_bucket_profile tiles the band rows exactly and bounds the candidate pairs") {
+    val rows = operators.TextOps.lshBucketProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every doc contributes exactly MinhashBands band rows (any doc has
+    // >= 1 shingle), so the histogram tiles 4 x N
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("bucket_sz") * r.getAs[Long]("n_buckets")).sum
+      == 4 * nDocs, "bucket sizes do not tile the band rows")
+    // per-row pair arithmetic is the exact C(sz,2) mass
+    rows.foreach { r =>
+      val (sz, nb, np) = (r.getAs[Long]("bucket_sz"), r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("n_pairs"))
+      assert(np == nb * sz * (sz - 1) / 2)
+    }
+    // the histogram's pair mass upper-bounds the DISTINCT candidate
+    // pairs (a pair colliding in several bands is counted per band
+    // here, once in the cand table)
+    val distinctPairs = operators.TextOps.dedupMinhashPairs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum >= distinctPairs)
+  }
+
   test("q6_forecast_revenue matches a driver-side exact-decimal recomputation") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val row = RelationalOps.q6ForecastRevenue(spark, sf).head()
