@@ -135,4 +135,5 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       assert(merges.map(_._1) == (1 to merges.length), "rounds not dense")
     }
   }
+
 }

@@ -95,4 +95,36 @@ class LshBucketBoundSpec extends AnyFunSuite with SparkTest {
     info(f"pair recall at B=2: $recall%.4f (${gated.size} of ${ungated.size})")
     assert(recall > 0.5, s"pair recall collapsed: $recall")
   }
+
+  test("PROPERTY: the gate preserves connected components on ANY corpus (B = 1)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random small corpora over a 4-word vocabulary — dense collisions
+    // by construction, so band buckets of every size occur; the star
+    // gate at its most aggressive setting must never change the
+    // component structure (the invariant every CC consumer relies on)
+    val doc = Gen.choose(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("red", "blue", "fox", "dog")).map(_.mkString(" ")))
+    val corpora = (0 until 6).flatMap(i =>
+      Gen.listOfN(14, doc).apply(Gen.Parameters.default, Seed(i.toLong)))
+    for (docs <- corpora if docs.nonEmpty) {
+      val normDf = docs.zipWithIndex
+        .map { case (d, i) => (i.toLong + 1L, d) }.toDF("doc_id", "norm")
+      def components(cap: Option[Int]): Map[Long, Long] = {
+        cap.foreach(b => spark.conf.set(Key, b.toString))
+        try {
+          val sig = TextOps.signatureFrom(TextOps.shinglesOf(normDf, 3)).persist()
+          sig.count()
+          val cc = GraphOps
+            .connectedComponents(TextOps.candidatePairsFromSig(sig), "doc_a", "doc_b")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          sig.unpersist()
+          cc
+        } finally cap.foreach(_ => spark.conf.unset(Key))
+      }
+      assert(components(Some(1)) == components(None),
+        s"star gate changed the components for corpus $docs")
+    }
+  }
 }
