@@ -678,6 +678,46 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
   }
 
+  test("streaming quota sample equals the per-group batch bottom-k over everything that arrived") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    val statePath = tempDir("qta_state")
+    val records = stream.toDF()
+      .select(col("event_id").as("id"), col("event_type").as("grp"))
+    val q = graft.streaming.StreamingQuotaSample.start(
+      records, statePath, tempDir("qta_ckpt"))
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { wave =>
+        stream.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // per-group merge property: the streamed state is BIT-EQUAL to the
+    // per-group bottom-k over the union of all waves — state was only
+    // ever groups x k rows
+    val got = graft.streaming.StreamingQuotaSample.state(spark, statePath)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("hk"),
+        r.getAs[Long]("id"))).sorted.toSeq
+    val expect = graft.model.Tables.events(spark, sf)
+      .select(col("event_type").as("grp"), col("event_id").as("id"),
+        expr("cast(conv(substring(md5(concat('qta:', cast(event_id as string))), 1, 7), 16, 10) as bigint)").as("hk"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(t => (t._2, t._3))
+        .take(graft.streaming.StreamingQuotaSample.PerGroup))
+      .toSeq.sorted
+    assert(got == expect, "streamed quota sample diverged from the per-group batch bottom-k")
+    // every group that ever arrived holds at most the quota
+    assert(got.groupBy(_._1).values.forall(_.size <=
+      graft.streaming.StreamingQuotaSample.PerGroup))
+    val vdirs = new java.io.File(statePath).list().count(_.startsWith("v="))
+    assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
+  }
+
   test("streaming anomaly scores equal the batch anomaly_zscore window bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
