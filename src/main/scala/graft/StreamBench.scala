@@ -107,6 +107,38 @@ object StreamBench {
       api.Caches.release(spark)
     }
 
+    // ---- streaming weighted sample: exact A-Res over the stream -------
+    locally {
+      val recs = Tables.events(spark, sfDir)
+        .select(col("event_id"), (col("user_id") + 1L).as("w"))
+      recs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/wks_in")
+      val n = spark.read.parquet(s"$stage/wks_in").count()
+      val in = fileStream(s"$stage/wks_in", recs.schema)
+      val q = graft.streaming.StreamingWeightedSample.start(
+        in, s"$stage/wks_state", s"$stage/wks_ckpt")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val state = graft.streaming.StreamingWeightedSample.state(spark, s"$stage/wks_state")
+      report("weighted_sample", n, sec,
+        s""","state_rows":${state.count()},"state_bytes":${dirBytes(s"$stage/wks_state")}""")
+      api.Caches.release(spark)
+    }
+
+    // ---- streaming quota sample: exact per-group budgets --------------
+    locally {
+      val recs = Tables.events(spark, sfDir)
+        .select(col("event_id").as("id"), col("event_type").as("grp"))
+      recs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/qta_in")
+      val n = spark.read.parquet(s"$stage/qta_in").count()
+      val in = fileStream(s"$stage/qta_in", recs.schema)
+      val q = graft.streaming.StreamingQuotaSample.start(
+        in, s"$stage/qta_state", s"$stage/qta_ckpt")
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val state = graft.streaming.StreamingQuotaSample.state(spark, s"$stage/qta_state")
+      report("quota_sample", n, sec,
+        s""","state_rows":${state.count()},"state_bytes":${dirBytes(s"$stage/qta_state")}""")
+      api.Caches.release(spark)
+    }
+
     // ---- streaming anomaly: trailing z-score rings per event_type -----
     locally {
       // rate measurement only: file order does not reproduce the batch
