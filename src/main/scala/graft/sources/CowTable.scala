@@ -248,10 +248,16 @@ object CowTable {
     1
   }
 
-  /** Read a specific snapshot (defaults handled by [[read]]). */
+  /** Read a specific snapshot (defaults handled by [[read]]).
+    * `mergeSchema` makes mixed-schema snapshots — the state after an
+    * ADD-COLUMN upsert ([[mergeUpsert]] schema evolution) — read as the
+    * UNION schema, with nulls where a file predates a column; the
+    * standard parquet-footer merge (Delta/Iceberg read the schema from
+    * commit metadata instead — the same move as the `#keytype` header,
+    * left as the recorded refinement). */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val paths = manifest(root, version).map(n => s"${filesDir(root)}/$n")
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Read the newest snapshot. */
@@ -323,7 +329,11 @@ object CowTable {
     val keyCol = col(key)
     val base =
       if (kept.isEmpty) readVersion(spark, root, cur).limit(0)
-      else spark.read.parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+      // mergeSchema over the KEPT files only (the zero-footer guarantee
+      // concerns pruned files): a mixed-schema snapshot after an
+      // add-column upsert reads the union schema here too
+      else spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
     base.filter(keyCol >= lit(lo).cast(base.schema(key).dataType) &&
       keyCol <= lit(hi).cast(base.schema(key).dataType))
   }
@@ -406,14 +416,21 @@ object CowTable {
         s"${touchedNames.size} resolve to manifest entries of $root v$cur " +
         s"(unresolved: ${touched.filterNot(p => touchedNames.exists(n => p.endsWith("/" + n)))})")
     val untouched = names.diff(touchedNames)
-    // survivors from rewritten files (their un-matched rows) + all updates
+    // survivors from rewritten files (their un-matched rows) + all
+    // updates. allowMissingColumns = SCHEMA EVOLUTION (round 13): an
+    // upsert whose updates carry a NEW column widens the table — the
+    // rewritten files get the union schema with nulls for survivors,
+    // untouched files keep their narrower schema and read as nulls
+    // through the mergeSchema read path ([[readVersion]]); a later
+    // [[compact]] rewrites everything to the union schema. Time travel
+    // is untouched — old manifests list only old-schema files.
     val merged =
       if (touchedNames.isEmpty) updates
       else {
-        val touchedDf = spark.read.parquet(
+        val touchedDf = spark.read.option("mergeSchema", "true").parquet(
           touchedNames.map(n => s"${filesDir(root)}/$n"): _*)
         touchedDf.join(updates.select(col(key)), Seq(key), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
       }
     // carry untouched files' FULL entry lines (their recorded key
     // ranges stay valid — the files are immutable)

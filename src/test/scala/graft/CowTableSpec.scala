@@ -395,6 +395,38 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     assert(empty.collect().isEmpty)
   }
 
+  test("schema evolution: an add-column upsert widens the table; old versions keep their schema") {
+    import spark.implicits._
+    val root = tempDir("cow_evo")
+    CowTable.init(spark, root,
+      (0L until 100L).map(id => (id, id * 2)).toDF("k", "v"), "k", nFiles = 4)
+    // upsert carries a NEW column `tag`: matched keys rewritten with it,
+    // new keys appended with it, untouched files stay narrow on disk
+    val updates = Seq((10L, -1L, "hot"), (500L, -2L, "new")).toDF("k", "v", "tag")
+    val v2 = CowTable.mergeUpsert(spark, root, updates, "k")
+    assert(v2 == 2)
+    val cur = CowTable.read(spark, root)
+    assert(cur.schema.fieldNames.toSet == Set("k", "v", "tag"))
+    val byK = cur.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(byK.size == 101)
+    assert(byK(10L) == ((-1L, Some("hot"))))
+    assert(byK(500L) == ((-2L, Some("new"))))
+    // survivors and untouched rows read the new column as null
+    assert(byK(11L)._2.isEmpty && byK(99L)._2.isEmpty)
+    // time travel: v1 still reads its ORIGINAL 2-column schema
+    assert(CowTable.readVersion(spark, root, 1).schema.fieldNames.toSet
+      == Set("k", "v"))
+    // pruned range reads work across the mixed-schema snapshot
+    val pt = CowTable.readRange(spark, root, "10", "10").collect()
+    assert(pt.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, -1L)))
+    // compaction unifies every file to the union schema
+    CowTable.compact(spark, root, "k", nFiles = 2)
+    val post = CowTable.read(spark, root)
+    assert(post.schema.fieldNames.toSet == Set("k", "v", "tag"))
+    assert(post.count() == 101)
+  }
+
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {
     import spark.implicits._
     val root = tempDir("cow_vac")
