@@ -216,6 +216,342 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape: ORDER-PRIORITY checking — how many orders per
+    * priority had at least one line shipped late in one quarter.
+    * Adapted to the synthetic schema: lineitem carries no
+    * l_commitdate/l_receiptdate (TESTDATA.md), so "late" is a line
+    * shipped more than 30 days after the order date — the same
+    * correlated-EXISTS-with-inequality shape. Spark plans the EXISTS
+    * as a LEFT SEMI join on the order key with the date inequality as
+    * the join residual: one shuffle on l_orderkey, lineitem pruned to
+    * two columns, the quarter predicate pushed into the orders scan.
+    * Nothing here is per-order re-execution — at 100 TB this is a
+    * single co-partitioned semi join. */
+  def q4PriorityWaiting(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    val late = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7 shape: VOLUME SHIPPING between two nations by year — the
+    * bidirectional-trade query. The scalable move is ORDER of
+    * elimination: both 1-or-2-row nation slices broadcast FIRST into
+    * supplier and customer, so the two facts join against dimension
+    * sides already pruned to 2/25 of their rows (inner joins cascade
+    * the prune into lineitem/orders); the asymmetric pair filter
+    * (supp ≠ cust) rides as a residual. GroupBy is 2×2×years rows —
+    * partial aggregation collapses everything map-side. */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("NATION_1", "NATION_2")
+    val n1 = broadcast(Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(n1, col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(n2, col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: NATIONAL MARKET SHARE — of all ECONOMY-part
+    * revenue sold into ASIA-region customers per year, what fraction
+    * was supplied from NATION_5. The conditional-fraction aggregate:
+    * numerator and denominator come out of ONE groupBy (a sum(CASE)
+    * and a sum over the same decimal term — no second pass), the
+    * region/nation chain broadcasts into customer, the p_type slice of
+    * part is left to AQE (part SCALES with the corpus — a forced
+    * broadcast is the data-dependent hazard), and the year window
+    * pushes into the orders scan. Both sums are exact DECIMAL(18,2),
+    * so the final double division is bit-identical on any engine. */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaCust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_5", discPrice)
+          .otherwise(lit(0).cast(Dec))).cast("double")
+        / sum(discPrice).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q13 shape: CUSTOMER ORDER-COUNT DISTRIBUTION — how many
+    * customers placed 0, 1, 2, … non-urgent orders. The canonical
+    * left-outer-join-then-double-aggregate: the outer join keeps
+    * zero-order customers (count(o_orderkey) ignores the null side),
+    * the first groupBy shuffles on c_custkey, the second collapses to
+    * ≤ max-order-count rows map-side. The priority predicate lives in
+    * the JOIN condition, not a WHERE — pulling it below the outer join
+    * would silently drop the zero bucket. */
+  def q13OrderCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q14 shape: PROMOTION-REVENUE share — the percent of one
+    * month's revenue from PROMO-type parts. Same one-pass
+    * conditional-fraction pattern as [[q8MarketShare]]: sum(CASE) and
+    * the total from a single aggregate over the month's join slice;
+    * the month window pushes into the lineitem scan so only ~1/36 of
+    * the fact joins part. The n_lines guard keeps the empty-table
+    * sweep exact (Spark's global aggregate would otherwise emit one
+    * NULL row where SQL HAVING emits none). */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(Dec))).cast("double")
+          / sum(discPrice).cast("double")).as("promo_revenue"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 0)
+
+  /** TPC-H Q15 shape: TOP SUPPLIER — the supplier(s) with maximum
+    * revenue in one quarter. Aggregate-then-argmax: the quarter's
+    * revenue per supplier is one shuffle on l_suppkey; the scalar max
+    * is a 1-row aggregate that BROADCASTS back for the equality probe
+    * (never a sort of the whole revenue table), and only then does the
+    * ≤handful of winners join supplier. The max comparison happens on
+    * the exact DECIMAL sums — comparing after a double cast could
+    * produce phantom ties. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("rev_dec"))
+    val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+    rev.join(broadcast(top), col("rev_dec") === col("max_dec"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape: SMALL-QUANTITY-ORDER revenue — average yearly
+    * revenue lost if orders below 20% of a part's mean quantity were
+    * not taken, for one brand. The correlated-average query. Scalable
+    * shape: the brand slice prunes FIRST (part→lineitem inner join —
+    * AQE broadcasts the small brand slice), the per-part mean is ONE
+    * groupBy over that pruned slice (TPC-H's correlated subquery
+    * decorrelated by hand — never per-row re-execution), and the
+    * threshold probe is a co-partitioned self-join on l_partkey.
+    * The mean is the double-cast DECIMAL sum over the double-cast
+    * count and the 0.2 multiply is stated in the identical order on
+    * both engines, so the float threshold is bit-identical. */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandParts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thresh = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast(Dec)).cast("double")
+        / count(lit(1)).cast("double"))).as("qty_thresh"))
+      .withColumnRenamed("l_partkey", "t_partkey")
+    li.join(thresh, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 0)
+  }
+
+  /** TPC-H Q19 shape: BRACKETED-DISCOUNT revenue — three disjunctive
+    * (brand, size-range, quantity-range) brackets over the
+    * lineitem⋈part join. The disjunction spans both tables so no
+    * engine can push it through the join; the scalable move is the
+    * DERIVED single-table envelopes stated explicitly (brand IN the
+    * three brands, size ≤ the widest bracket, quantity ≤ the widest
+    * cap) — those DO push into both scans (PushedFilters) and the
+    * exact disjunction evaluates as a cheap residual on the survivors.
+    * This constraint-derivation is what Q19 exists to test. */
+  def q19BracketRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#24")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin(brands: _*) &&
+        col("p_size") >= 1 && col("p_size") <= 30)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size") <= 10 &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+      (col("p_brand") === "Brand#23" && col("p_size") <= 20 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#24" && col("p_size") <= 30 &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 0)
+  }
+
+  /** TPC-H Q22 shape: GLOBAL SALES OPPORTUNITY — wealthy-but-idle
+    * customers per country. Adapted to the synthetic schema: customer
+    * carries no c_phone (TESTDATA.md), so the country code is the
+    * odd-nationkey slice and "idle" means no order since 1999 (every
+    * customer here has SOME order, unlike real TPC-H). The shape is
+    * intact: a scalar average over the positive-balance slice
+    * broadcast into the filter (1-row cross join, the sanctioned
+    * broadcast-bounded form), an anti join against recent orders
+    * (date pushed into the orders scan), and a per-country rollup of
+    * exact DECIMAL balances. */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = sel.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(Dec)).cast("double")
+        / count(lit(1)).cast("double")).as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey"))
+    sel.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q12 shape: SHIPPING MODES AND ORDER PRIORITY — for each
+    * "mode", how many critical- vs non-critical-priority orders shipped
+    * late in one year. Adapted to the synthetic schema: lineitem
+    * carries no l_shipmode/commitdate/receiptdate (TESTDATA.md), so
+    * the two-valued l_linestatus plays the mode and "late" is shipped
+    * more than 60 days after the order date. The shape is intact: a
+    * fact⋈dim join whose date residual cannot be pushed (it relates
+    * COLUMNS OF BOTH TABLES), a two-way CASE split inside one
+    * aggregate, and a 2-row result. At 100 TB: the year window IS
+    * pushed into the lineitem scan (PushedFilters), orders is pruned
+    * to three columns, the join co-partitions on the order key, and
+    * both CASE sums come out of the same map-side-combined pass. */
+  def q12LateLinesPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q21 shape: SUPPLIERS WHO KEPT ORDERS WAITING — suppliers in
+    * one nation who were the SOLE late supplier on a finished
+    * multi-supplier order. Adapted: "late" is shipped >60 days after
+    * the order date (no receipt/commit dates in the synthetic schema)
+    * and numwait counts DISTINCT waiting orders (the textbook counts
+    * l1 rows, double-counting a supplier with two late lines in one
+    * order — documented divergence, stated identically in the oracle).
+    *
+    * The textbook form is a double correlated EXISTS / NOT EXISTS
+    * self-join on the fact. The Spark-first shape decorrelates BOTH by
+    * hand into per-order aggregates — the form Catalyst's rewrite
+    * would chase anyway, stated directly so the plan is two map-side-
+    * combined aggregates over the fact plus co-partitioned joins, and
+    * the EXISTS pair never becomes two extra fact shuffles:
+    * `n_supp >= 2` ⟺ "another supplier has a line in this order";
+    * `n_late = 1` + the lone late suppkey ⟺ "no OTHER supplier was
+    * late". The nation slice broadcasts into supplier, and only the
+    * ≤orders-sized (orderkey, suppkey) table flows between stages —
+    * pixels of the fact (price/quantity columns) are never read. */
+  def q21WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // distinct late (order, supplier) pairs on finished orders
+    val late = li
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // orders whose ONLY late supplier is this one
+    val loneLate = late.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_late"), min(col("l_suppkey")).as("lone_supp"))
+      .filter(col("n_late") === 1)
+      .select(col("l_orderkey"), col("lone_supp"))
+    // multi-supplier orders (any line status — the "exists another
+    // supplier's line" leg of the textbook query)
+    val multiSupp = li.select(col("l_orderkey").as("m_orderkey"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("m_orderkey")).agg(count(lit(1)).as("n_supp"))
+      .filter(col("n_supp") >= 2)
+      .select(col("m_orderkey"))
+    val natSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    loneLate
+      .join(multiSupp, col("l_orderkey") === col("m_orderkey"), "left_semi")
+      .join(natSupp, col("lone_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** ROLLUP over the Q1 grouping — grouping-set aggregation.
     *
     * Known engine divergence (empty input only): the SQL standard's `()`
@@ -664,6 +1000,17 @@ object RelationalOps {
     "q18_large_orders" -> (q18LargeOrders _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q4_priority_waiting" -> (q4PriorityWaiting _),
+    "q7_nation_volume"  -> (q7NationVolume _),
+    "q8_market_share"   -> (q8MarketShare _),
+    "q13_order_counts"  -> (q13OrderCounts _),
+    "q14_promo_share"   -> (q14PromoShare _),
+    "q15_top_supplier"  -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_bracket_revenue" -> (q19BracketRevenue _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
+    "q12_late_lines_priority" -> (q12LateLinesPriority _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "agg_rollup"       -> (aggRollup _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube"         -> (aggCube _),
@@ -822,6 +1169,157 @@ object RelationalOps {
         |  AND CAST(l_discount AS DECIMAL(9,4)) <= CAST('0.07' AS DECIMAL(9,4))
         |  AND l_quantity < 24
         |HAVING count(*) > 0""".stripMargin,
+    "q4_priority_waiting" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        | FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        | GROUP BY c.c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS promo_revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |HAVING count(*) > 0""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS MATERIALIZED (
+        | SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS rev_dec
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(rev.rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS MATERIALIZED (
+        | SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | WHERE p.p_brand = 'Brand#23'),
+        |th AS (
+        | SELECT l_partkey,
+        |  0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS qty_thresh
+        | FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly, count(*) AS n_lines
+        |FROM li JOIN th ON li.l_partkey = th.l_partkey
+        |WHERE li.l_quantity < th.qty_thresh
+        |HAVING count(*) > 0""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 30
+        |    AND l.l_quantity BETWEEN 20 AND 30)
+        |HAVING count(*) > 0""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH sel AS MATERIALIZED (
+        | SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        | WHERE c_nationkey % 2 = 1),
+        |ab AS (
+        | SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS avg_bal
+        | FROM sel WHERE c_acctbal > 0.0)
+        |SELECT sel.c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(sel.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM sel, ab
+        |WHERE sel.c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = sel.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY sel.c_nationkey ORDER BY sel.c_nationkey""".stripMargin,
+    "q12_late_lines_priority" ->
+      """SELECT l.l_linestatus,
+        | sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS high_line_count,
+        | sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH late AS MATERIALIZED (
+        | SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderstatus = 'F'
+        |   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        |lone AS (
+        | SELECT l_orderkey, min(l_suppkey) AS lone_supp
+        | FROM late GROUP BY l_orderkey HAVING count(*) = 1),
+        |multi AS (
+        | SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        | GROUP BY l_orderkey HAVING count(*) >= 2)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM lone
+        |JOIN multi ON lone.l_orderkey = multi.l_orderkey
+        |JOIN supplier s ON lone.lone_supp = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c.c_custkey, c.c_name,
         | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -1417,6 +1417,97 @@ object TextOps {
           IpRe, "<IP>")).as("scrubbed_hash"))
       .orderBy("doc_id")
 
+  // ------------------------------------------- exact-substring dedup (spans)
+  /** Exact-substring dedup, Spark-first. The single-node literature
+    * builds a corpus-wide suffix array and scans it for repeated
+    * ≥L-token runs; a suffix array is a global sorted structure that
+    * does not distribute. The standard distributed equivalent keeps the
+    * exact same guarantee — every maximal cross-document repeated run
+    * of ≥ [[SubstrK]] tokens is found, with exact boundaries — from
+    * k-token WINDOWS: a run of length R ≥ k is repeated iff all of its
+    * R−k+1 windows are repeated, so repeated-window positions, merged
+    * while consecutive (gaps-islands), reconstruct exactly the maximal
+    * repeated runs. Window generation is a pure map (one `split` per
+    * doc, `slice` per position — no window-function shuffle); the one
+    * big shuffle is the gram groupBy, the same key-distribution shape
+    * as the LSH band join. At 100 TB the gram KEY should be a 128-bit
+    * hash of the gram rather than the k-word string (shuffle bytes ÷
+    * ~6; collisions 2⁻⁶⁴-improbable but the hashed variant is then
+    * probabilistic) — the oracle-checked query keys on the exact text
+    * so the answer is provably exact on both engines. */
+  private[operators] val SubstrK = 8
+
+  /** (doc_id, n_tokens, i, gram): every k-token window of the normalized
+    * text at 1-based position i. Docs shorter than k tokens have no
+    * window (a sub-k doc cannot contain a k-run). */
+  private def substrWindows(spark: SparkSession, sfDir: String): DataFrame =
+    normed(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"), col("tokens"))
+      .filter(col("n_tokens") >= SubstrK)
+      .select(col("doc_id"), col("n_tokens"), col("tokens"),
+        explode(expr(s"sequence(1, n_tokens - ${SubstrK - 1})")).as("i"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        array_join(slice(col("tokens"), col("i"), lit(SubstrK)), " ").as("gram"))
+
+  /** Maximal cross-document repeated token runs (≥ k tokens) per doc:
+    * repeated windows (≥ 2 distinct docs share the gram) merged while
+    * consecutive. `start_pos`/`end_pos` are 1-based token positions,
+    * inclusive; `n_windows` = span_tokens − k + 1 by construction (the
+    * spec asserts the identity). The islands window partitions by
+    * doc_id — bounded by document length, never global. */
+  def substringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = substrWindows(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    g.count()
+    val rep = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    g.join(rep, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("i")).as("start_pos"),
+        (max(col("i")) + lit(SubstrK - 1)).as("end_pos"),
+        (max(col("i")) - min(col("i")) + lit(SubstrK)).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+      .orderBy("doc_id", "start_pos")
+  }
+
+  /** Per-document cut report for exact-substring dedup under the
+    * keep-first policy (the min-doc_id occurrence of each repeated gram
+    * survives; every other document's occurrence is removable): tokens
+    * covered by the union of removable windows, and the fraction of the
+    * document they are. This is the table that prices a dedup run
+    * BEFORE committing to it — corpus-level removable mass, its skew
+    * across docs, and which docs are near-total clones. Same kernel as
+    * [[substringSpans]] (one windows pass, one gram aggregate); the
+    * union coverage is the islands sum Σ (max−min+k) per doc. */
+  def substringDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = substrWindows(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    g.count()
+    val rep = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("fdoc"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("fdoc"))
+    val removable = g.join(rep, Seq("gram"))
+      .filter(col("doc_id") =!= col("fdoc"))
+      .select(col("doc_id"), col("n_tokens"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    removable
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("n_tokens"), col("grp"))
+      .agg((max(col("i")) - min(col("i")) + lit(SubstrK)).as("span_len"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("span_len")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
@@ -1426,6 +1517,8 @@ object TextOps {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_pairs_canonical" -> (dedupPairsCanonical _),
     "lsh_bucket_profile"  -> (lshBucketProfile _),
+    "substring_spans"     -> (substringSpans _),
+    "substring_dedup_stats" -> (substringDedupStats _),
     "ngram_novelty"       -> (ngramNovelty _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
@@ -1511,6 +1604,20 @@ object TextOps {
        |  row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
        | FROM documents),
        |n AS (SELECT doc_id, norm FROM cn WHERE rn = 1)""".stripMargin
+
+  /** norm → tokens → k-token positioned windows, generated from
+    * [[SubstrK]] (same no-drift rule as the minhash grid): `g` carries
+    * (doc_id, n_tokens, i, gram) with 1-based i, sub-k docs excluded —
+    * mirrors [[substrWindows]] exactly. */
+  private def substrCtesSql: String =
+    s"""$defaultNCteSql,
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+       |sw AS (SELECT doc_id, array_length(tokens) AS n_tokens, tokens FROM tk
+       | WHERE array_length(tokens) >= $SubstrK),
+       |g AS MATERIALIZED (SELECT doc_id, n_tokens, i,
+       |  array_to_string(tokens[i:i+${SubstrK - 1}], ' ') AS gram FROM (
+       |  SELECT doc_id, n_tokens, tokens,
+       |   unnest(generate_series(1, n_tokens - ${SubstrK - 1})) AS i FROM sw) tt)""".stripMargin
 
   private def shingleCtesSqlFrom(nCte: String): String =
     s"""$nCte,
@@ -1669,6 +1776,33 @@ object TextOps {
     "dedup_pairs_canonical" ->
       s"""WITH ${candCtesSqlFrom(canonNCteSql)}
         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "substring_spans" ->
+      s"""WITH $substrCtesSql,
+        |rep AS (SELECT gram FROM g GROUP BY gram
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g.doc_id, g.i FROM g JOIN rep USING (gram)),
+        |isl AS (SELECT doc_id, i,
+        | i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM hit)
+        |SELECT doc_id, CAST(min(i) AS INTEGER) AS start_pos,
+        | CAST(max(i) + ${SubstrK - 1} AS INTEGER) AS end_pos,
+        | CAST(max(i) - min(i) + $SubstrK AS INTEGER) AS span_tokens,
+        | count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
+    "substring_dedup_stats" ->
+      s"""WITH $substrCtesSql,
+        |rep AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |rm AS (SELECT g.doc_id, g.n_tokens, g.i
+        | FROM g JOIN rep USING (gram) WHERE g.doc_id <> rep.fdoc),
+        |isl AS (SELECT doc_id, n_tokens, i,
+        | i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM rm),
+        |sp AS (SELECT doc_id, n_tokens, max(i) - min(i) + $SubstrK AS span_len
+        | FROM isl GROUP BY doc_id, n_tokens, grp)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+        | round(CAST(CAST(sum(span_len) AS BIGINT) AS DOUBLE)
+   / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+        |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "lsh_bucket_profile" ->
       s"""WITH $bandsCtesSql,
         |bs AS (SELECT band_no, bh, CAST(count(*) AS BIGINT) AS sz
