@@ -239,25 +239,48 @@ object CowTable {
   private def keyTypeMeta(df: DataFrame, key: String): (String, String) =
     "keytype" -> df.schema(key).dataType.catalogString
 
+  /** `#schema` header value: the SNAPSHOT's full schema in DDL form,
+    * URL-encoded (DDL carries spaces/commas), recorded at every commit —
+    * the Delta/Iceberg move of making the manifest, not parquet footers,
+    * the source of schema truth. With it, [[readVersion]] reads with an
+    * EXPLICIT schema: zero footer merges, every version reproduces its
+    * exact committed schema (time travel returns the columns of THAT
+    * version), and a mixed-schema snapshot (add-column upsert) reads
+    * the union with nulls no matter which file the reader samples
+    * first. Legacy manifests without the header fall back to
+    * `mergeSchema`. */
+  private def schemaMeta(schema: org.apache.spark.sql.types.StructType): (String, String) =
+    "schema" -> java.net.URLEncoder.encode(schema.toDDL, "UTF-8")
+
+  private def recordedSchema(root: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] =
+    versionMeta(root, version).get("schema").map(enc =>
+      org.apache.spark.sql.types.StructType.fromDDL(
+        java.net.URLDecoder.decode(enc, "UTF-8")))
+
   /** Create the table as version 1. */
   def init(spark: SparkSession, root: String, df: DataFrame, key: String,
       nFiles: Int, meta: Map[String, String] = Map.empty): Int = {
     require(listVersions(root).isEmpty, s"table already exists at $root")
     writeManifest(root, 1, writeFiles(spark, root, df, nFiles, key),
-      meta + ("key" -> key) + keyTypeMeta(df, key))
+      meta + ("key" -> key) + keyTypeMeta(df, key) + schemaMeta(df.schema))
     1
   }
 
-  /** Read a specific snapshot (defaults handled by [[read]]).
-    * `mergeSchema` makes mixed-schema snapshots — the state after an
-    * ADD-COLUMN upsert ([[mergeUpsert]] schema evolution) — read as the
-    * UNION schema, with nulls where a file predates a column; the
-    * standard parquet-footer merge (Delta/Iceberg read the schema from
-    * commit metadata instead — the same move as the `#keytype` header,
-    * left as the recorded refinement). */
+  /** Read a specific snapshot (defaults handled by [[read]]). The
+    * schema comes from the version's `#schema` manifest header
+    * (recorded at every commit), read as an EXPLICIT schema: no footer
+    * merge, each version reproduces its exact committed columns (an
+    * ADD-COLUMN upsert's mixed-schema snapshot reads the union with
+    * nulls where a file predates a column; time travel to before the
+    * widen shows the narrow schema). Manifests from before the header
+    * existed fall back to the parquet-footer `mergeSchema` merge. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val paths = manifest(root, version).map(n => s"${filesDir(root)}/$n")
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    recordedSchema(root, version) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** Read the newest snapshot. */
@@ -298,9 +321,15 @@ object CowTable {
     val keyType: Option[org.apache.spark.sql.types.DataType] =
       hdr.get("keytype").map(org.apache.spark.sql.types.DataType.fromDDL)
     if (all.isEmpty) {
+      // the #schema header vouches for the FULL empty frame; older
+      // manifests degrade to the key column (#keytype), then error
+      recordedSchema(root, cur).foreach { s =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      }
       val dt = keyType.getOrElse(sys.error(
         s"manifest v$cur of $root lists no files and records no #keytype " +
-          "header — cannot derive a schema for the empty range read"))
+          "or #schema header — cannot derive a schema for the empty range read"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(
@@ -329,11 +358,16 @@ object CowTable {
     val keyCol = col(key)
     val base =
       if (kept.isEmpty) readVersion(spark, root, cur).limit(0)
-      // mergeSchema over the KEPT files only (the zero-footer guarantee
-      // concerns pruned files): a mixed-schema snapshot after an
-      // add-column upsert reads the union schema here too
-      else spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+      else recordedSchema(root, cur) match {
+        // explicit recorded schema: zero footer reads even on the kept
+        // files — the point lookup opens exactly one file's data pages
+        case Some(s) => spark.read.schema(s)
+          .parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+        // legacy manifest: mergeSchema over the KEPT files only (the
+        // zero-footer guarantee concerns pruned files)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+      }
     base.filter(keyCol >= lit(lo).cast(base.schema(key).dataType) &&
       keyCol <= lit(hi).cast(base.schema(key).dataType))
   }
@@ -371,11 +405,12 @@ object CowTable {
     var attempt = 0
     while (attempt < CommitRetries) {
       attempt += 1
-      val (next, newEntries) =
+      val (next, newEntries, snapSchema) =
         mergeAttempt(spark, root, updates, key, nNewFiles, meta)
       beforeCommit(attempt)
       if (tryCommitManifest(root, next, newEntries._1 ++ newEntries._2,
-          meta + ("key" -> key) + keyTypeMeta(updates, key)))
+          meta + ("key" -> key) + keyTypeMeta(updates, key) +
+            schemaMeta(snapSchema)))
         return next
       // lost the race: reclaim this attempt's data files before re-diffing
       newEntries._2.map(nameOf).foreach(n =>
@@ -390,10 +425,18 @@ object CowTable {
     * attempt would publish and (carried entry lines, fresh entry
     * lines); the caller owns the commit (and the cleanup on loss). */
   private def mergeAttempt(spark: SparkSession, root: String,
-      updates: DataFrame, key: String, nNewFiles: Int,
-      meta: Map[String, String]): (Int, (Seq[String], Seq[String])) = {
+      updates: DataFrame, key: String, nNewFiles: Int, meta: Map[String, String])
+      : (Int, (Seq[String], Seq[String]), org.apache.spark.sql.types.StructType) = {
     val cur = currentVersion(root)
     require(cur > 0, s"no table at $root")
+    // the NEW snapshot's schema: current columns + any updates add.
+    // Derived from the CURRENT version's schema (not the touched files'
+    // union): an upsert touching only pre-widen files must not drop a
+    // column an earlier evolution added to files it leaves untouched.
+    val curSchema = readVersion(spark, root, cur).schema
+    val snapSchema = org.apache.spark.sql.types.StructType(
+      curSchema ++ updates.schema.filterNot(f =>
+        curSchema.fieldNames.contains(f.name)))
     val names = manifest(root, cur)
     val touched: Set[String] = {
       val cols = readVersion(spark, root, cur)
@@ -421,13 +464,15 @@ object CowTable {
     // upsert whose updates carry a NEW column widens the table — the
     // rewritten files get the union schema with nulls for survivors,
     // untouched files keep their narrower schema and read as nulls
-    // through the mergeSchema read path ([[readVersion]]); a later
+    // under the version's recorded `#schema` ([[readVersion]]); a later
     // [[compact]] rewrites everything to the union schema. Time travel
-    // is untouched — old manifests list only old-schema files.
+    // is untouched — old manifests record their own (narrower) schema.
     val merged =
       if (touchedNames.isEmpty) updates
       else {
-        val touchedDf = spark.read.option("mergeSchema", "true").parquet(
+        // current-version schema is already in hand — explicit-schema
+        // read of the touched files (no footer merge)
+        val touchedDf = spark.read.schema(curSchema).parquet(
           touchedNames.map(n => s"${filesDir(root)}/$n"): _*)
         touchedDf.join(updates.select(col(key)), Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
@@ -437,7 +482,7 @@ object CowTable {
     val untouchedEntries = entryLines(root, cur)
       .filter(l => untouched.contains(nameOf(l)))
     val newEntries = writeFiles(spark, root, merged, nNewFiles, key)
-    (cur + 1, (untouchedEntries, newEntries))
+    (cur + 1, (untouchedEntries, newEntries), snapSchema)
   }
 
   /** Re-cluster the CURRENT snapshot into `nFiles` range-disjoint files
@@ -460,7 +505,8 @@ object CowTable {
       val snap = read(spark, root)
       val newEntries = writeFiles(spark, root, snap, nFiles, key)
       if (tryCommitManifest(root, cur + 1, newEntries,
-          Map("compaction" -> "true", "key" -> key) + keyTypeMeta(snap, key)))
+          Map("compaction" -> "true", "key" -> key) + keyTypeMeta(snap, key) +
+            schemaMeta(snap.schema)))
         return cur + 1
       // an upsert won this version: reclaim and re-compact its snapshot
       newEntries.map(nameOf).foreach(n =>

@@ -109,8 +109,11 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
 
     val v = CowTable.compact(spark, root, "event_id", nFiles = 4)
     assert(v == preVersion + 1)
-    assert(CowTable.versionMeta(root, v)
+    val meta = CowTable.versionMeta(root, v)
+    assert(meta - "schema"
       == Map("compaction" -> "true", "key" -> "event_id", "keytype" -> "bigint"))
+    assert(java.net.URLDecoder.decode(meta("schema"), "UTF-8")
+      == CowTable.read(spark, root).schema.toDDL)
     // fewer files, range-disjoint again, same rows
     val post = fileRanges(v)
     assert(post.size == 4, s"expected 4 compacted files, got ${post.size}")
@@ -425,6 +428,41 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     val post = CowTable.read(spark, root)
     assert(post.schema.fieldNames.toSet == Set("k", "v", "tag"))
     assert(post.count() == 101)
+  }
+
+  test("schema comes from the manifest, not parquet footers — and survives narrow-file upserts") {
+    import spark.implicits._
+    val root = tempDir("cow_schemahdr")
+    CowTable.init(spark, root,
+      (0L until 100L).map(id => (id, id * 2)).toDF("k", "v"), "k", nFiles = 4)
+    // every commit records the snapshot DDL
+    val ddl1 = java.net.URLDecoder.decode(
+      CowTable.versionMeta(root, 1)("schema"), "UTF-8")
+    assert(ddl1 == Seq((0L, 0L)).toDF("k", "v").schema.toDDL)
+    // v2 widens via one touched file; v3 then touches ONLY a still-narrow
+    // file with 2-column updates — the recorded v3 schema must keep `tag`
+    // (deriving it from the touched files' union would drop it)
+    CowTable.mergeUpsert(spark, root,
+      Seq((10L, -1L, "hot")).toDF("k", "v", "tag"), "k")
+    CowTable.mergeUpsert(spark, root, Seq((90L, -9L)).toDF("k", "v"), "k")
+    val v3 = CowTable.read(spark, root)
+    assert(v3.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    val byK = v3.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(byK(10L) == ((-1L, Some("hot"))))
+    assert(byK(90L) == ((-9L, None)))
+    // footer-blindness: replace EVERY data file with garbage — the
+    // recorded header still answers schema questions for every version
+    // (the legacy mergeSchema path would have to open footers and throw)
+    CowTable.manifest(root, 3).foreach { n =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/files/$n"),
+        "not a parquet file".getBytes("UTF-8"))
+    }
+    assert(CowTable.readVersion(spark, root, 1).schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    assert(CowTable.readVersion(spark, root, 3).schema.fieldNames.toSeq
+      == Seq("k", "v", "tag"))
   }
 
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {
