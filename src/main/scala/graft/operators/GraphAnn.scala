@@ -1,0 +1,310 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Graph ANN (HNSW-family): navigable-small-world graphs built per
+  * SHARD, searched with a greedy best-first beam — the graph-index
+  * alternative to the IVF/PQ family, runtime-only (graph construction
+  * is iterative and stateful; no SQL surface, so no DuckDB oracle —
+  * the spec gates recall against the exact brute force instead, the
+  * same bar the `*_recall` queries set).
+  *
+  * Distribution model (the DiskANN/partitioned-HNSW deployment): the
+  * corpus hash-shards into [[Params.nShards]] groups, each shard builds
+  * an INDEPENDENT single-layer NSW graph inside one `mapPartitions`
+  * call, and a query beam-searches every shard (or, composed with the
+  * IVF router, only probed shards) and merges the per-shard top-k —
+  * a k-sized window, never a corpus shuffle. A shard must fit one
+  * executor's memory: that is the sizing rule of EVERY serving-grade
+  * graph index, and it is what the shard count parameterizes. At 100 TB
+  * the build cost is one shuffle of (id, vector) rows into shards plus
+  * a linear in-memory insert pass per shard; queries touch
+  * O(ef·degree·log n) vectors per shard instead of the shard's whole
+  * corpus — the spec asserts the visited-fraction bound as well as
+  * recall.
+  *
+  * Single layer, not hierarchical: HNSW's upper layers buy a faster
+  * ENTRY into a billion-node monolithic graph; with per-shard graphs
+  * the entry walk is already short (shards are memory-bounded), and a
+  * flat graph with a fixed min-id entry point keeps construction fully
+  * deterministic — insertion order is vec_id order, every tie breaks
+  * by id, so two builds of the same shard are bit-identical (spec).
+  *
+  * Vectors are unit-normalized at build; all distances are
+  * `1 − dot(unit, unit)` (cosine distance), composed of sequential-fold
+  * dot products like the rest of the similarity family.
+  */
+object GraphAnn {
+
+  /** `m`: out-degree target (neighbor cap is 2m after backlinks);
+    * `efConstruction`/`efSearch`: beam widths; `nShards`: independent
+    * sub-graphs (executor-memory sizing knob). */
+  case class Params(
+      m: Int = 8,
+      efConstruction: Int = 32,
+      efSearch: Int = 32,
+      nShards: Int = 4)
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def unit(a: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotd(a, a))
+    if (n == 0.0) a else a.map(_ / n)
+  }
+
+  /** Greedy best-first beam over one shard's graph: returns up to `ef`
+    * nearest (dist, id), ascending, deterministic (ties by id). */
+  private def beam(
+      q: Array[Double],
+      entry: Long,
+      vec: collection.Map[Long, Array[Double]],
+      adj: collection.Map[Long, mutable.ArrayBuffer[Long]],
+      ef: Int): (List[(Double, Long)], Int) = {
+    def d(id: Long) = 1.0 - dotd(q, vec(id))
+    val asc = implicitly[Ordering[(Double, Long)]]
+    val visited = mutable.Set(entry)
+    val cand = mutable.PriorityQueue((d(entry), entry))(asc.reverse) // nearest-first
+    val res = mutable.PriorityQueue((d(entry), entry))(asc)         // farthest-first
+    var done = false
+    while (cand.nonEmpty && !done) {
+      val (cd, c) = cand.dequeue()
+      if (res.size >= ef && asc.gt((cd, c), res.head)) done = true
+      else adj.getOrElse(c, mutable.ArrayBuffer.empty).foreach { n =>
+        if (!visited(n)) {
+          visited += n
+          val cand2 = (d(n), n)
+          if (res.size < ef || asc.lt(cand2, res.head)) {
+            cand.enqueue(cand2)
+            res.enqueue(cand2)
+            if (res.size > ef) res.dequeue()
+          }
+        }
+      }
+    }
+    (res.toList.sorted, visited.size)
+  }
+
+  /** NSW insert pass over one shard, ids in ascending order (the
+    * determinism contract). Returns the adjacency. */
+  private def buildShard(
+      rows: Seq[(Long, Array[Double])],
+      p: Params): Map[Long, Array[Long]] = {
+    val ordered = rows.sortBy(_._1)
+    val vec = ordered.toMap
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    if (ordered.isEmpty) return Map.empty
+    val entry = ordered.head._1
+    adj(entry) = mutable.ArrayBuffer.empty
+    ordered.tail.foreach { case (id, v) =>
+      val near = beam(v, entry, vec, adj, p.efConstruction)._1
+      val nbrs = near.collect { case (_, nid) if nid != id => nid }.take(p.m)
+      adj(id) = mutable.ArrayBuffer(nbrs: _*)
+      nbrs.foreach { n =>
+        val an = adj(n)
+        an += id
+        if (an.length > 2 * p.m) {
+          // prune backlinked overflow to the 2m closest (ties by id)
+          val kept = an.map(x => (1.0 - dotd(vec(n), vec(x)), x))
+            .sorted.take(2 * p.m).map(_._2)
+          adj(n) = mutable.ArrayBuffer(kept.toSeq: _*)
+        }
+      }
+    }
+    adj.map { case (k, v) => k -> v.toArray }.toMap
+  }
+
+  /** Build the sharded index from (vec_id, v): one shuffle into shards,
+    * one in-memory NSW pass per shard. Output rows
+    * (shard, vec_id, v_unit, nbrs) are everything a searcher needs —
+    * vectors ride WITH the adjacency so search is shuffle-free. */
+  def buildIndex(vecs: DataFrame, p: Params): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .select(pmod(col("vec_id"), lit(p.nShards)).cast("int").as("shard"),
+        col("vec_id"), col("v"))
+      .repartition(p.nShards, col("shard"))
+      .as[(Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val unitRows = rows.map(r => r._2 -> unit(r._3))
+          val adj = buildShard(unitRows, p)
+          val uv = unitRows.toMap
+          adj.toSeq.sortBy(_._1).map { case (id, nbrs) =>
+            (shard, id, uv(id), nbrs)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "v_unit", "nbrs")
+  }
+
+  /** Search every shard for every probe and merge: per (shard, probe)
+    * one beam from the shard's min-id entry, k best out; global top-k
+    * per probe by (cos desc, vec_id) — a probes×k-sized window. Probes
+    * are broadcast as a plain local value (query-sized). */
+  def search(index: DataFrame, probes: Seq[(Long, Array[Double])], k: Int,
+      p: Params): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val pnorm = probes.map { case (pid, pv) => (pid, unit(pv)) }
+    val perShard = index
+      .select(col("shard"), col("vec_id"), col("v_unit"), col("nbrs"))
+      .repartition(p.nShards, col("shard"))
+      .as[(Int, Long, Array[Double], Array[Long])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val vec: Map[Long, Array[Double]] = rows.map(r => r._2 -> r._3).toMap
+          val adj = mutable.Map(rows.map(r =>
+            r._2 -> mutable.ArrayBuffer(r._4: _*)): _*)
+          val entry = vec.keys.min
+          pnorm.iterator.flatMap { case (pid, pv) =>
+            beam(pv, entry, vec, adj, math.max(p.efSearch, k))._1.take(k)
+              .map { case (dist, id) => (pid, id, 1.0 - dist) }
+          }
+        }
+      }
+      .toDF("probe_id", "vec_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    perShard.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Voronoi routing seeds: the unit vectors of the [[Params.nShards]]
+    * LOWEST vec_ids — deterministic, collected once (nShards rows).
+    * Production would refine these with the exact quantized k-means
+    * ([[SimilarityOps]] `kmeans_iterate`) before sharding; nearest-seed
+    * cells already give the routing property the read path needs. */
+  def routingSeeds(vecs: DataFrame, p: Params): Array[(Int, Array[Double])] =
+    vecs.orderBy(col("vec_id")).limit(p.nShards).collect()
+      .map(r => unit(r.getSeq[Double](r.fieldIndex("v")).toArray))
+      .zipWithIndex.map { case (v, i) => (i, v) }
+
+  private def nearestSeed(v: Array[Double],
+      seeds: Array[(Int, Array[Double])]): Int =
+    seeds.map { case (i, s) => (1.0 - dotd(v, s), i) }.min._2
+
+  /** Cluster-sharded build: shard = nearest routing seed, so shards are
+    * VORONOI CELLS and a query need only probe the cells nearest to it
+    * — the IVF-routing composition, the read path that makes graph ANN
+    * sublinear in SHARD COUNT too (hash shards force probing all of
+    * them). Same NSW build per cell. */
+  def buildIndexRouted(vecs: DataFrame, p: Params): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val seeds = routingSeeds(vecs, p)
+    val bSeeds = spark.sparkContext.broadcast(seeds)
+    vecs.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (id, v) => (nearestSeed(unit(v), bSeeds.value), id, v) }
+      .toDF("shard", "vec_id", "v")
+      .repartition(p.nShards, col("shard"))
+      .as[(Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val unitRows = rows.map(r => r._2 -> unit(r._3))
+          val adj = buildShard(unitRows, p)
+          val uv = unitRows.toMap
+          adj.toSeq.sortBy(_._1).map { case (id, nbrs) =>
+            (shard, id, uv(id), nbrs)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "v_unit", "nbrs")
+  }
+
+  /** Routed search: each probe beams ONLY its `probeShards` nearest
+    * Voronoi cells (cell choice by seed distance, deterministic ties by
+    * cell id) and merges their top-k — at 1000 shards a probe touching
+    * 2 of them reads 0.2% of the corpus' graphs. Recall cost of the
+    * routing is measured by the spec against the probe-all search. */
+  def searchRouted(index: DataFrame, seeds: Array[(Int, Array[Double])],
+      probes: Seq[(Long, Array[Double])], k: Int, p: Params,
+      probeShards: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val routed = probes.map { case (pid, pv) =>
+      val u = unit(pv)
+      val cells = seeds.map { case (i, s) => (1.0 - dotd(u, s), i) }
+        .sorted.take(probeShards).map(_._2).toSet
+      (pid, u, cells)
+    }
+    val perShard = index
+      .select(col("shard"), col("vec_id"), col("v_unit"), col("nbrs"))
+      .repartition(p.nShards, col("shard"))
+      .as[(Int, Long, Array[Double], Array[Long])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val vec: Map[Long, Array[Double]] = rows.map(r => r._2 -> r._3).toMap
+          val adj = mutable.Map(rows.map(r =>
+            r._2 -> mutable.ArrayBuffer(r._4: _*)): _*)
+          val entry = vec.keys.min
+          routed.iterator.filter(_._3.contains(shard)).flatMap { case (pid, pv, _) =>
+            beam(pv, entry, vec, adj, math.max(p.efSearch, k))._1.take(k)
+              .map { case (dist, id) => (pid, id, 1.0 - dist) }
+          }
+        }
+      }
+      .toDF("probe_id", "vec_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    perShard.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** [[search]] with per-(probe, shard) work accounting: how many
+    * vectors the beam actually VISITED out of the shard — the number
+    * that separates a graph index from a scan (the spec gates
+    * visited ≪ shard size on the 10× corpus, the same honesty bar as
+    * the recall sweeps). */
+  def searchStats(index: DataFrame, probes: Seq[(Long, Array[Double])],
+      k: Int, p: Params): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val pnorm = probes.map { case (pid, pv) => (pid, unit(pv)) }
+    index
+      .select(col("shard"), col("vec_id"), col("v_unit"), col("nbrs"))
+      .repartition(p.nShards, col("shard"))
+      .as[(Int, Long, Array[Double], Array[Long])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val vec: Map[Long, Array[Double]] = rows.map(r => r._2 -> r._3).toMap
+          val adj = mutable.Map(rows.map(r =>
+            r._2 -> mutable.ArrayBuffer(r._4: _*)): _*)
+          val entry = vec.keys.min
+          pnorm.iterator.map { case (pid, pv) =>
+            val visited = beam(pv, entry, vec, adj, math.max(p.efSearch, k))._2
+            (pid, shard, visited.toLong, rows.size.toLong)
+          }
+        }
+      }
+      .toDF("probe_id", "shard", "visited", "shard_size")
+      .orderBy("probe_id", "shard")
+  }
+
+  /** Convenience: index + search the driver-table embeddings with the
+    * sweep-family probes (vec_ids 0 until nProbes), k best each. */
+  def searchEmbeddings(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nProbes: Int, k: Int, p: Params = Params()): DataFrame = {
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val idx = buildIndex(e, p).persist().transform(graft.api.Caches.tracked)
+    idx.count()
+    val probes = e.filter(col("vec_id") < nProbes)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    search(idx, probes, k, p)
+  }
+}
