@@ -1508,6 +1508,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The CUT applied: each affected document's text with every
+    * removable span (keep-first policy, [[substringDedupStats]]'s
+    * definition) excised, emitted as (kept-token count, md5 of the
+    * rebuilt text) — the query that proves the dedup PRODUCES the
+    * cleaned corpus, not just a report. `n_kept = n_tokens − dup_tokens`
+    * by construction (cut positions ARE the stats' union coverage — the
+    * spec asserts the identity against [[substringDedupStats]]).
+    * Scale shape: islands are span-sized (small); the position-range
+    * join is doc_id-equi with the BETWEEN as residual, co-partitioned
+    * on doc_id; the rebuild is one per-doc sort of kept (pos, word)
+    * structs — bounded by document length, never global. */
+  def substringDedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = substrWindows(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    g.count()
+    val rep = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("fdoc"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("fdoc"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = g.join(rep, Seq("gram"))
+      .filter(col("doc_id") =!= col("fdoc"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(SubstrK - 1)).as("e"))
+      .select(col("doc_id").as("s_doc"), col("s"), col("e"))
+    val toks = normed(spark, sfDir)
+      .join(spans.select(col("s_doc")).distinct(),
+        col("doc_id") === col("s_doc"), "left_semi") // affected docs only
+      .select(col("doc_id"), posexplode(split(col("norm"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+    val cut = toks.join(spans,
+      col("doc_id") === col("s_doc") && col("p") >= col("s") && col("p") <= col("e"),
+      "left_semi")
+    val keptAgg = toks.join(cut, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_n"),
+        md5(array_join(expr("transform(array_sort(collect_list(struct(p, word))), x -> x.word)"),
+          " ")).as("kept_h"))
+    // a WHOLLY-cut doc (a clone of an earlier doc end to end) keeps
+    // zero tokens: emit it as n_kept=0 / md5('') rather than dropping it
+    spans.select(col("s_doc").as("doc_id")).distinct()
+      .join(keptAgg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("kept_n"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_h"), md5(lit(""))).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
@@ -1519,6 +1568,7 @@ object TextOps {
     "lsh_bucket_profile"  -> (lshBucketProfile _),
     "substring_spans"     -> (substringSpans _),
     "substring_dedup_stats" -> (substringDedupStats _),
+    "substring_dedup_apply" -> (substringDedupApply _),
     "ngram_novelty"       -> (ngramNovelty _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
@@ -1803,6 +1853,31 @@ object TextOps {
         | round(CAST(CAST(sum(span_len) AS BIGINT) AS DOUBLE)
    / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "substring_dedup_apply" ->
+      s"""WITH $substrCtesSql,
+        |rep AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |rm AS (SELECT g.doc_id, g.i
+        | FROM g JOIN rep USING (gram) WHERE g.doc_id <> rep.fdoc),
+        |isl AS (SELECT doc_id, i,
+        | i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM rm),
+        |spans AS MATERIALIZED (SELECT doc_id, min(i) AS s,
+        | max(i) + ${SubstrK - 1} AS e FROM isl GROUP BY doc_id, grp),
+        |w AS MATERIALIZED (SELECT doc_id,
+        |  generate_subscripts(string_split(norm, ' '), 1) AS p,
+        |  unnest(string_split(norm, ' ')) AS word
+        | FROM n WHERE doc_id IN (SELECT DISTINCT doc_id FROM spans)),
+        |cut AS (SELECT DISTINCT w.doc_id, w.p FROM w
+        | JOIN spans ON w.doc_id = spans.doc_id AND w.p BETWEEN spans.s AND spans.e),
+        |kept AS (SELECT w.doc_id, w.p, w.word FROM w
+        | LEFT JOIN cut ON w.doc_id = cut.doc_id AND w.p = cut.p
+        | WHERE cut.p IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS kept_n,
+        | md5(string_agg(word, ' ' ORDER BY p)) AS kept_h FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(ka.kept_n, 0) AS BIGINT) AS n_kept,
+        | coalesce(ka.kept_h, md5('')) AS kept_hash
+        |FROM (SELECT DISTINCT doc_id FROM spans) d LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "lsh_bucket_profile" ->
       s"""WITH $bandsCtesSql,
         |bs AS (SELECT band_no, bh, CAST(count(*) AS BIGINT) AS sz

@@ -113,6 +113,60 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTest {
     assert(out.toSeq.sortBy(t => (t._1, t._2)) == bruteSpans(docs))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Keep-first cut applied in plain Scala: affected doc → kept text. */
+  private def bruteApply(docs: Seq[(Long, String)]): Map[Long, (Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+    }.toMap
+    val windows = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < K) Seq.empty
+      else (1 to ts.length - K + 1).map(i => (id, i, ts.slice(i - 1, i - 1 + K).mkString(" ")))
+    }
+    val byGram = windows.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+    val firstDoc = byGram.map { case (g, ws) => g -> ws.map(_._1).min }
+    val removable = windows.filter(w => firstDoc.get(w._3).exists(_ != w._1))
+    removable.groupBy(_._1).map { case (id, ws) =>
+      val covered = ws.flatMap(w => w._2 until w._2 + K).toSet // 1-based positions
+      val kept = toks(id).zipWithIndex.collect {
+        case (w, idx) if !covered(idx + 1) => w
+      }
+      id -> (kept.length.toLong, md5hex(kept.mkString(" ")))
+    }
+  }
+
+  test("substring_dedup_apply produces the exact cleaned corpus (incl. wholly-cut clones)") {
+    // constructed: doc 2 keeps exactly its 9 unique tokens
+    val shared = (1 to 12).map("s" + _).mkString(" ")
+    val docs = Seq(
+      1L -> ((1 to 5).map("a" + _).mkString(" ") + " " + shared + " " +
+        (1 to 4).map("b" + _).mkString(" ")),
+      2L -> ((1 to 3).map("c" + _).mkString(" ") + " " + shared + " " +
+        (1 to 6).map("d" + _).mkString(" ")))
+    val dir = writeDocs(docs)
+    val cons = TextOps.substringDedupApply(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("kept_hash")))
+    val expectKept = ((1 to 3).map("c" + _) ++ (1 to 6).map("d" + _)).mkString(" ")
+    assert(cons.toSeq == Seq((2L, 9L, md5hex(expectKept))))
+    // real corpus: exact brute-force equality + the stats identity
+    val out = TextOps.substringDedupApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("kept_hash")))).toMap
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == bruteApply(corpus))
+    // n_kept = n_tokens - dup_tokens, row for row against the stats query
+    val stats = TextOps.substringDedupStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens").toLong - r.getAs[Long]("dup_tokens"))).toMap
+    assert(out.keySet == stats.keySet)
+    out.foreach { case (id, (kept, _)) => assert(kept == stats(id)) }
+  }
+
   test("substring_dedup_stats equals the brute-force keep-first reference") {
     val out = TextOps.substringDedupStats(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"),
