@@ -552,6 +552,37 @@ object RelationalOps {
       .limit(100)
   }
 
+  /** TPC-H Q9 shape: PRODUCT TYPE PROFIT — profit on one part family,
+    * by supplier nation and year. Adapted: the synthetic schema has no
+    * partsupp, so the cost leg is the line's tax
+    * (`ext·(1−disc) − ext·tax` instead of `ext·(1−disc) −
+    * supplycost·qty`) and the name slice is a noun match
+    * (`p_name LIKE '%gear%'`). The shape is intact: a name-sliced part
+    * prune into the fact, a five-table join, an arithmetic amount
+    * summed exactly per (nation, year). Scale: the LIKE prunes part
+    * FIRST and cascades into lineitem (AQE broadcasts the slice);
+    * nation broadcasts; orders joins co-partitioned on the order key
+    * carrying 2 columns; both amount legs are exact DECIMAL so the
+    * double cast of the sum is bit-identical. With this, 18 of the 22
+    * TPC-H queries are covered — q2/q11/q16/q20 are partsupp-table
+    * queries with no analog in the synthetic schema. */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(discPrice -
+          col("l_extendedprice").cast(Dec) * col("l_tax").cast(DecimalType(9, 4)))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+
   /** ROLLUP over the Q1 grouping — grouping-set aggregation.
     *
     * Known engine divergence (empty input only): the SQL standard's `()`
@@ -1011,6 +1042,7 @@ object RelationalOps {
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q12_late_lines_priority" -> (q12LateLinesPriority _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
     "agg_rollup"       -> (aggRollup _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube"         -> (aggCube _),
@@ -1320,6 +1352,19 @@ object RelationalOps {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
+        |   - CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |     * CAST(l.l_tax AS DECIMAL(9,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY n.n_name, o_year
+        |ORDER BY n.n_name, o_year DESC""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c.c_custkey, c.c_name,
         | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -289,6 +289,34 @@ class TpchCanonSpec extends AnyFunSuite with SparkTest {
     assert(keys == keys.sorted)
   }
 
+  test("q9_product_profit matches an exact decimal driver recomputation per (nation, year)") {
+    val out = RelationalOps.q9ProductProfit(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ordering contract: nation asc, year desc
+    val keys = out.map(r => (r.getAs[String]("n_name"), -r.getAs[Int]("o_year"))).toSeq
+    assert(keys == keys.sorted)
+    val slice = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("y"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax")).collect()
+    val byKey = slice.groupBy(r => (r.getString(0), r.getInt(1)))
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSet == byKey.keySet)
+    out.foreach { r =>
+      val rows = byKey((r.getString(0), r.getInt(1)))
+      val exact = rows.map { x =>
+        val ep = new JBD(x.getDouble(2)).setScale(2, RoundingMode.HALF_UP)
+        val d = new JBD(x.getDouble(3)).setScale(4, RoundingMode.HALF_UP)
+        val t = new JBD(x.getDouble(4)).setScale(4, RoundingMode.HALF_UP)
+        ep.multiply(JBD.ONE.subtract(d)).subtract(ep.multiply(t))
+      }.foldLeft(JBD.ZERO)(_.add(_)).doubleValue()
+      assert(math.abs(r.getAs[Double]("sum_profit") - exact) < 1e-6)
+    }
+  }
+
   test("q22_idle_customers matches a driver-side wealthy-and-idle recomputation") {
     val out = RelationalOps.q22IdleCustomers(spark, sf).collect()
     assert(out.nonEmpty)
