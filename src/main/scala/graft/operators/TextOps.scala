@@ -1557,6 +1557,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ curation funnel
+  /** The curation FUNNEL — the first report every training-data run
+    * reads: documents and bytes surviving each stage, with the stages
+    * COMPOSED (each applies to the previous stage's survivors, the
+    * production order): raw → quality keep-top-half per language
+    * ([[qualityFilter]]'s exact rank rule) → exact dedup (min doc_id
+    * per content hash) → fuzzy dedup (min doc_id per normalized hash).
+    * One row per stage; monotonicity and per-stage membership are
+    * spec'd against driver-side recomputation. Scale shape: the base
+    * frame (doc_id, n_chars, two hashes) is scanned once and persisted;
+    * each stage is one hash-partitioned window or semi join plus a
+    * 1-row aggregate — the funnel costs three shuffles of id-sized
+    * rows, never a second pass over document text. */
+  def pipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d0 = docs(spark, sfDir).select(col("doc_id"), col("n_chars"),
+      md5(col("text")).as("he"), md5(normCol).as("hn"))
+      .persist().transform(graft.api.Caches.tracked)
+    d0.count()
+    val d1 = d0.join(qualityFilter(spark, sfDir).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .persist().transform(graft.api.Caches.tracked)
+    d1.count()
+    val d2 = d1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("he")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .persist().transform(graft.api.Caches.tracked)
+    d2.count()
+    val d3 = d2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("hn")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .select(lit(name).as("stage"), col("docs"), col("chars"))
+    stage("s0_raw", d0)
+      .unionAll(stage("s1_quality", d1))
+      .unionAll(stage("s2_exact_dedup", d2))
+      .unionAll(stage("s3_fuzzy_dedup", d3))
+      .orderBy("stage")
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
@@ -1569,6 +1611,7 @@ object TextOps {
     "substring_spans"     -> (substringSpans _),
     "substring_dedup_stats" -> (substringDedupStats _),
     "substring_dedup_apply" -> (substringDedupApply _),
+    "pipeline_funnel"     -> (pipelineFunnel _),
     "ngram_novelty"       -> (ngramNovelty _),
     "dedup_incremental"   -> (dedupIncremental _),
     "decontaminate"       -> (decontaminate _),
@@ -1853,6 +1896,28 @@ object TextOps {
         | round(CAST(CAST(sum(span_len) AS BIGINT) AS DOUBLE)
    / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "pipeline_funnel" ->
+      s"""WITH $qualityCtesSql,
+        |keep1 AS (SELECT doc_id FROM (
+        | SELECT q.doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM q) t WHERE rn <= (n + 1) // 2),
+        |d0 AS MATERIALIZED (SELECT doc_id, n_chars, md5(text) AS he,
+        | md5($normSql) AS hn FROM documents),
+        |d1 AS MATERIALIZED (SELECT d0.* FROM d0 JOIN keep1 USING (doc_id)),
+        |d2 AS MATERIALIZED (SELECT doc_id, n_chars, hn FROM (
+        | SELECT d1.*, row_number() OVER (PARTITION BY he ORDER BY doc_id) AS rn
+        | FROM d1) t WHERE rn = 1),
+        |d3 AS (SELECT doc_id, n_chars FROM (
+        | SELECT d2.*, row_number() OVER (PARTITION BY hn ORDER BY doc_id) AS rn
+        | FROM d2) t WHERE rn = 1)
+        |SELECT 's0_raw' AS stage, count(*) AS docs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars FROM d0
+        |UNION ALL SELECT 's1_quality', count(*), CAST(sum(n_chars) AS BIGINT) FROM d1
+        |UNION ALL SELECT 's2_exact_dedup', count(*), CAST(sum(n_chars) AS BIGINT) FROM d2
+        |UNION ALL SELECT 's3_fuzzy_dedup', count(*), CAST(sum(n_chars) AS BIGINT) FROM d3
+        |ORDER BY stage""".stripMargin,
     "substring_dedup_apply" ->
       s"""WITH $substrCtesSql,
         |rep AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram

@@ -722,6 +722,9 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
           name == "funnel_steps" ||
           name == "triangle_count" || name == "dq_audit" ||
           name == "lsh_tune" ||
+          // one (count=0, chars=null) row per curation stage — the
+          // DuckDB oracle returns the same 4 rows on empty input
+          name == "pipeline_funnel" ||
           // one zero-count row per threshold — the tuning curve's frame
           // is the literal threshold list, like lsh_tune's grid
           name == "dedup_threshold_sweep",
@@ -1873,6 +1876,33 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
     assert(hist == expect)
     assert(hist.values.sum == jac.length.toLong)
+  }
+
+  test("pipeline_funnel stages are monotone, composed, and match a driver recomputation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = operators.TextOps.pipelineFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq ==
+      Seq("s0_raw", "s1_quality", "s2_exact_dedup", "s3_fuzzy_dedup"))
+    val docs = out.map(_._2); val chars = out.map(_._3)
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, "docs not monotone")
+    assert(chars.zip(chars.tail).forall { case (a, b) => a >= b }, "chars not monotone")
+    // driver-side composition over the collected corpus, stage by stage
+    val all = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keep1 = operators.TextOps.qualityFilter(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = all.filter(d => keep1(d._1))
+    def dedupBy(rows: Array[(Long, String, Long)], key: String => String) =
+      rows.groupBy(d => key(d._2)).values.map(_.minBy(_._1)).toArray
+    val s2 = dedupBy(s1, t => md5hex(t))
+    val s3 = dedupBy(s2,
+      t => md5hex(t.toLowerCase.replaceAll("\\s+", " ").trim))
+    val expect = Seq(all, s1, s2, s3).map(ss => (ss.length.toLong, ss.map(_._3).sum))
+    assert(out.map(t => (t._2, t._3)).toSeq == expect)
   }
 
   test("dup_cluster_stats histogram accounts for every document and every group") {
