@@ -340,15 +340,7 @@ object CowTable {
         spark.read.parquet(s"${filesDir(root)}/${all.head}").schema(key).dataType)
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def le(a: String, b: String): Boolean =
-      if (numeric) {
-        def num(s: String) =
-          try BigDecimal(s)
-          catch { case _: NumberFormatException => throw new IllegalArgumentException(
-            s"readRange bound or recorded stat '$s' is not numeric for key " +
-              s"'$key' of $root v$cur") }
-        num(a) <= num(b)
-      } else java.util.Arrays.compareUnsigned(
-        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8)) <= 0
+      boundLe(numeric, key, s"$root v$cur")(a, b)
     val kept = all.filter { n =>
       stats.get(n) match {
         case Some((mn, mx)) => le(lo, mx) && le(mn, hi)
@@ -483,6 +475,88 @@ object CowTable {
       .filter(l => untouched.contains(nameOf(l)))
     val newEntries = writeFiles(spark, root, merged, nNewFiles, key)
     (cur + 1, (untouchedEntries, newEntries), snapSchema)
+  }
+
+  /** Manifest-order bound compare, shared by [[readRange]] pruning and
+    * [[deleteRange]] classification: numeric keys compare as numbers,
+    * everything else as UTF-8 bytes unsigned-lexicographically (the
+    * order Spark/Parquet string min/max are recorded under). */
+  private def boundLe(numeric: Boolean, key: String, where: String)(
+      a: String, b: String): Boolean =
+    if (numeric) {
+      def num(s: String) =
+        try BigDecimal(s)
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"bound or recorded stat '$s' is not numeric for key '$key' of $where") }
+      num(a) <= num(b)
+    } else java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8)) <= 0
+
+  /** DELETE the key range [lo, hi] as a new version — the lake DELETE,
+    * COW style, with the same manifest-metadata classification as
+    * [[readRange]]:
+    *
+    *  - files whose recorded range is DISJOINT from [lo, hi] carry over
+    *    by reference (untouched, the common case);
+    *  - files whose range falls ENTIRELY inside [lo, hi] are dropped
+    *    from the manifest — a metadata-only delete, no bytes moved
+    *    (Delta/Iceberg's whole-file delete fast path);
+    *  - only BOUNDARY files (partial intersection, or legacy entries
+    *    without stats) are rewritten minus the matching rows.
+    *
+    * Bounds travel in the key's string form and classify per the
+    * `#keytype` header ([[boundLe]]). Keys are non-null by the table
+    * contract (mergeUpsert's equality joins already require it) — the
+    * whole-file fast path relies on recorded min/max, which ignore
+    * nulls. Optimistic commit-retry like [[mergeUpsert]]/[[compact]];
+    * prior versions keep reading their exact snapshots (data files are
+    * immutable; a drop is a manifest edit). Returns the new version. */
+  def deleteRange(spark: SparkSession, root: String, lo: String, hi: String,
+      nNewFiles: Int = 1, meta: Map[String, String] = Map.empty): Int = {
+    var attempt = 0
+    while (attempt < CommitRetries) {
+      attempt += 1
+      val cur = currentVersion(root)
+      require(cur > 0, s"no table at $root")
+      val hdr = versionMeta(root, cur)
+      val key = hdr.getOrElse("key",
+        sys.error(s"manifest v$cur of $root records no key column"))
+      val numeric = hdr.get("keytype")
+        .map(org.apache.spark.sql.types.DataType.fromDDL)
+        .getOrElse(spark.read.parquet(
+          s"${filesDir(root)}/${manifest(root, cur).head}").schema(key).dataType)
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val le = boundLe(numeric, key, s"$root v$cur") _
+      val stats = fileRanges(root, cur).map(e => e._1 -> (e._2, e._3)).toMap
+      // drop (manifest-only): whole recorded range inside [lo, hi] —
+      // the dropped files stay on disk for older versions' reads
+      val kept = entryLines(root, cur).filterNot { l =>
+        stats.get(nameOf(l))
+          .exists { case (mn, mx) => le(lo, mn) && le(mx, hi) }
+      }
+      val (carried, rewrite) = kept.partition { l =>
+        stats.get(nameOf(l)) // carry: recorded range disjoint from [lo, hi]
+          .exists { case (mn, mx) => !(le(lo, mx) && le(mn, hi)) }
+      }
+      val snapSchema = readVersion(spark, root, cur).schema
+      val newEntries = if (rewrite.isEmpty) Seq.empty else {
+        val df = spark.read.schema(snapSchema)
+          .parquet(rewrite.map(l => s"${filesDir(root)}/${nameOf(l)}"): _*)
+        val dt = snapSchema(key).dataType
+        val inRange = col(key) >= lit(lo).cast(dt) && col(key) <= lit(hi).cast(dt)
+        writeFiles(spark, root,
+          df.filter(!(inRange <=> lit(true))), nNewFiles, key)
+      }
+      if (tryCommitManifest(root, cur + 1, carried ++ newEntries,
+          meta + ("delete" -> s"[$lo,$hi]") + ("key" -> key) +
+            ("keytype" -> hdr.getOrElse("keytype",
+              snapSchema(key).dataType.catalogString)) +
+            schemaMeta(snapSchema)))
+        return cur + 1
+      newEntries.map(nameOf).foreach(n =>
+        Files.deleteIfExists(Paths.get(filesDir(root), n)))
+    }
+    sys.error(s"deleteRange lost $CommitRetries optimistic-commit races at $root")
   }
 
   /** Re-cluster the CURRENT snapshot into `nFiles` range-disjoint files

@@ -465,6 +465,50 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
       == Seq("k", "v", "tag"))
   }
 
+  test("deleteRange drops covered files manifest-only, rewrites boundaries, keeps history") {
+    import spark.implicits._
+    val root = tempDir("cow_delete")
+    val base = (0L until 10000L).map(id => (id, id * 3)).toDF("k", "v")
+    CowTable.init(spark, root, base, "k", nFiles = 8)
+    val before = CowTable.manifest(root, 1)
+    val ranges = CowTable.fileRanges(root, 1)
+      .map(e => e._1 -> (e._2.toLong, e._3.toLong)).toMap
+    val v2 = CowTable.deleteRange(spark, root, "2000", "4999")
+    assert(v2 == 2)
+    // exactness: v2 equals the filtered snapshot
+    val got = CowTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 7000)
+    assert(got.keySet.forall(k => k < 2000 || k > 4999))
+    assert(got(1999L) == 5997L && got(5000L) == 15000L)
+    // classification: disjoint files carried BY NAME; fully-covered
+    // files gone from the manifest; only boundary files rewritten
+    val after = CowTable.manifest(root, 2).toSet
+    before.foreach { n =>
+      val (mn, mx) = ranges(n)
+      if (mx < 2000 || mn > 4999) assert(after.contains(n), s"disjoint $n not carried")
+      else if (mn >= 2000 && mx <= 4999) {
+        assert(!after.contains(n), s"covered $n not dropped")
+        // metadata-only: the dropped file's bytes are still on disk for v1
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/files/$n")))
+      } else assert(!after.contains(n), s"boundary $n not rewritten")
+    }
+    // time travel: v1 still reads all 10000 rows
+    assert(CowTable.readVersion(spark, root, 1).count() == 10000)
+    // pruned point reads still exact on both sides of the hole
+    assert(CowTable.readRange(spark, root, "3000", "3000").collect().isEmpty)
+    assert(CowTable.readRange(spark, root, "5000", "5000")
+      .collect().map(_.getLong(1)).toSeq == Seq(15000L))
+    // delete header recorded; schema header carried
+    val m = CowTable.versionMeta(root, 2)
+    assert(m("delete") == "[2000,4999]" && m.contains("schema"))
+    // vacuum with history dropped reclaims the dead files
+    val (droppedVers, removedFiles) = CowTable.vacuum(root, keepVersions = 1)
+    assert(droppedVers == 1 && removedFiles > 0)
+    assert(CowTable.read(spark, root).count() == 7000)
+  }
+
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {
     import spark.implicits._
     val root = tempDir("cow_vac")
