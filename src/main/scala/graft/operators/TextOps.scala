@@ -1435,13 +1435,18 @@ object TextOps {
     * ~6; collisions 2⁻⁶⁴-improbable but the hashed variant is then
     * probabilistic) — the oracle-checked query keys on the exact text
     * so the answer is provably exact on both engines. */
-  private[operators] val SubstrK = 8
+  private[graft] val SubstrK = 8
 
   /** (doc_id, n_tokens, i, gram): every k-token window of the normalized
     * text at 1-based position i. Docs shorter than k tokens have no
     * window (a sub-k doc cannot contain a k-run). */
   private def substrWindows(spark: SparkSession, sfDir: String): DataFrame =
-    normed(spark, sfDir)
+    substrWindowsOf(normed(spark, sfDir))
+
+  /** Windows from any (doc_id, norm) frame — the streaming twin probes
+    * ARRIVING documents' windows against an offline gram index. */
+  private[graft] def substrWindowsOf(normDf: DataFrame): DataFrame =
+    normDf
       .select(col("doc_id"), split(col("norm"), " ").as("tokens"))
       .select(col("doc_id"), size(col("tokens")).as("n_tokens"), col("tokens"))
       .filter(col("n_tokens") >= SubstrK)
@@ -1449,6 +1454,35 @@ object TextOps {
         explode(expr(s"sequence(1, n_tokens - ${SubstrK - 1})")).as("i"))
       .select(col("doc_id"), col("n_tokens"), col("i"),
         array_join(slice(col("tokens"), col("i"), lit(SubstrK)), " ").as("gram"))
+
+  /** The offline artifact of streaming substring dedup: the corpus's
+    * DISTINCT k-token windows. Index size is bounded by corpus token
+    * count (distinct grams ≤ total windows); at 100 TB this is the
+    * artifact you would hold as a bloom filter per the
+    * decontaminate_bloom pattern — here exact, like the batch family. */
+  def corpusGramIndex(spark: SparkSession, sfDir: String): DataFrame =
+    substrWindows(spark, sfDir).select(col("gram")).distinct()
+
+  /** Spans of ARRIVING (doc_id, text) rows whose k-windows appear in
+    * `gramIdx` — the streaming probe: a document's windows are
+    * self-contained, so each micro-batch computes its spans with ZERO
+    * cross-batch state (the StreamingDecontaminate shape), and batch
+    * boundaries cannot change any span. */
+  private[graft] def substrSpansAgainst(batch: DataFrame,
+      gramIdx: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    substrWindowsOf(batch.select(col("doc_id"), normCol.as("norm")))
+      .join(gramIdx, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("i")).as("start_pos"),
+        (max(col("i")) + lit(SubstrK - 1)).as("end_pos"),
+        (max(col("i")) - min(col("i")) + lit(SubstrK)).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
 
   /** Maximal cross-document repeated token runs (≥ k tokens) per doc:
     * repeated windows (≥ 2 distinct docs share the gram) merged while

@@ -821,4 +821,64 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         assert(present.contains(u), s"guaranteed heavy key $u missing from shard $shard")
     }
   }
+
+  test("streaming substring dedup spans equal the driver reference, batch-boundary-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val K = graft.operators.TextOps.SubstrK
+    // offline artifact: the corpus's distinct gram index
+    val gramIdx = graft.operators.TextOps.corpusGramIndex(spark, sf).persist()
+    gramIdx.count()
+    val corpus = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .replaceAll("\\s+", " ").trim.split(" ")))
+    val byId = corpus.toMap
+    val (x, y, z) = (corpus(0)._1, corpus(1)._1, corpus(2)._1)
+    def novel(p: String, n: Int) = (1 to n).map(p + _)
+    // arriving candidates: a full clone, a prefix-copy, all-novel, an
+    // interior copy bracketed by novel text
+    val arriving = Seq(
+      100001L -> byId(x).mkString(" "),
+      100002L -> (byId(y).take(20) ++ novel("zq", 15)).mkString(" "),
+      100003L -> novel("zr", 30).mkString(" "),
+      100004L -> (novel("zs", 5) ++ byId(z).slice(10, 22) ++ novel("zt", 5)).mkString(" "))
+    // driver reference: islands of windows present in the corpus gram set
+    val gramSet = corpus.flatMap { case (_, ts) =>
+      if (ts.length < K) Seq.empty
+      else (0 to ts.length - K).map(i => ts.slice(i, i + K).mkString(" "))
+    }.toSet
+    val expect = arriving.flatMap { case (id, text) =>
+      val ts = text.split(" ")
+      val hits = if (ts.length < K) Seq.empty
+        else (1 to ts.length - K + 1).filter(i =>
+          gramSet(ts.slice(i - 1, i - 1 + K).mkString(" ")))
+      val spans = hits.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      spans.map { case (s0, e0) =>
+        (id, s0, e0 + K - 1, e0 - s0 + K, (e0 - s0 + 1).toLong) }
+    }.toSet
+    assert(expect.exists(_._1 == 100001L) && expect.exists(_._1 == 100004L))
+    assert(!expect.exists(_._1 == 100003L), "novel doc must produce no span")
+    val stream = MemoryStream[(Long, String)]
+    val out = tempDir("ssub_out")
+    val q = graft.streaming.StreamingSubstringDedup.start(
+      stream.toDF().toDF("doc_id", "text"), gramIdx, tempDir("ssub_ckpt"), out)
+    try {
+      // two arrival waves: spans are per-doc self-contained, so the
+      // boundary must not change anything
+      arriving.grouped(2).foreach { wave =>
+        stream.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_pos"),
+        r.getAs[Int]("end_pos"), r.getAs[Int]("span_tokens"),
+        r.getAs[Long]("n_windows"))).toSet
+    assert(got == expect, s"streamed spans != reference\ngot    $got\nexpect $expect")
+    gramIdx.unpersist()
+  }
 }
