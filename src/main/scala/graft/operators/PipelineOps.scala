@@ -181,6 +181,44 @@ object PipelineOps {
           log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6).as("dp_n_docs"))
       .orderBy("source")
 
+  /** K-anonymity thresholds swept by [[kAnonymity]]; both oracle sides
+    * are generated from this list. */
+  private[operators] val KAnonThresholds = Seq(2, 5, 10)
+
+  /** K-ANONYMITY release report — the check run before publishing a
+    * dataset with quasi-identifier columns: under the quasi-identifier
+    * tuple (lang, source, length bucket), how many equivalence classes
+    * have fewer than k members and how many records would need
+    * suppression to reach each k. One groupBy builds the class-size
+    * table (map-side combinable, classes ≤ |lang|×|source|×buckets —
+    * metadata-sized); the k sweep is a ≤3-row broadcast cross joined
+    * against it, and the total is a 1-row broadcast — the whole report
+    * costs one corpus aggregate at any scale. Thresholds LEFT-join the
+    * verdict so a fully-anonymous corpus still reports its zero rows. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val classes = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 100L).as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    val total = classes.agg(sum(col("sz")).as("n_total"))
+    val ks = KAnonThresholds.toDF("k")
+    val viol = ks.crossJoin(classes)
+      .filter(col("sz") < col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("violating_classes"),
+        sum(col("sz")).as("suppressed_records"))
+    ks.join(viol, Seq("k"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("k"),
+        coalesce(col("violating_classes"), lit(0L)).as("violating_classes"),
+        coalesce(col("suppressed_records"), lit(0L)).as("suppressed_records"),
+        round(coalesce(col("suppressed_records"), lit(0L)).cast("double") /
+          col("n_total").cast("double"), 6).as("suppressed_frac"))
+      .orderBy("k")
+  }
+
   // -------------------------------------------------------------- splits
   /** Hash-based train/val/test assignment (900/50/50 per mille) with
     * per-split counts — membership is a function of doc_id alone, so a
@@ -326,6 +364,7 @@ object PipelineOps {
     "sample_stratified" -> (sampleStratified _),
     "quota_sample"      -> (quotaSample _),
     "dp_counts"         -> (dpCounts _),
+    "k_anonymity"       -> (kAnonymity _),
     "bottomk_sample"    -> (bottomkSample _),
     "weighted_sample"   -> (weightedSample _),
     "dataset_split"     -> (datasetSplit _),
@@ -394,6 +433,22 @@ object PipelineOps {
           | round(n - $DpLaplaceScale * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
           |  AS dp_n_docs
           |FROM u ORDER BY source""".stripMargin,
+      "k_anonymity" ->
+        s"""WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+          |  CAST(count(*) AS BIGINT) AS sz
+          | FROM documents GROUP BY 1, 2, 3),
+          |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_total FROM cls),
+          |ks AS (${KAnonThresholds.map(k => s"SELECT $k AS k").mkString(" UNION ALL ")}),
+          |viol AS (SELECT k, CAST(count(*) AS BIGINT) AS violating_classes,
+          |  CAST(sum(sz) AS BIGINT) AS suppressed_records
+          | FROM ks JOIN cls ON cls.sz < ks.k GROUP BY k)
+          |SELECT ks.k,
+          | coalesce(viol.violating_classes, 0) AS violating_classes,
+          | coalesce(viol.suppressed_records, 0) AS suppressed_records,
+          | round(CAST(coalesce(viol.suppressed_records, 0) AS DOUBLE)
+          |   / CAST(tot.n_total AS DOUBLE), 6) AS suppressed_frac
+          |FROM ks LEFT JOIN viol ON ks.k = viol.k, tot
+          |ORDER BY ks.k""".stripMargin,
       "dataset_split" ->
         s"""SELECT CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
           |  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs

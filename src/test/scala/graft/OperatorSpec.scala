@@ -725,6 +725,8 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
           // one (count=0, chars=null) row per curation stage — the
           // DuckDB oracle returns the same 4 rows on empty input
           name == "pipeline_funnel" ||
+          // one zero row per k threshold (frac null) — oracle identical
+          name == "k_anonymity" ||
           // one zero-count row per threshold — the tuning curve's frame
           // is the literal threshold list, like lsh_tune's grid
           name == "dedup_threshold_sweep",
@@ -1903,6 +1905,28 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       t => md5hex(t.toLowerCase.replaceAll("\\s+", " ").trim))
     val expect = Seq(all, s1, s2, s3).map(ss => (ss.length.toLong, ss.map(_._3).sum))
     assert(out.map(t => (t._2, t._3)).toSeq == expect)
+  }
+
+  test("k_anonymity counts equivalence classes exactly and grows with k") {
+    val out = PipelineOps.kAnonymity(spark, sf).collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Long]("violating_classes"), r.getAs[Long]("suppressed_records"),
+          r.getAs[Double]("suppressed_frac"))))
+    assert(out.map(_._1).toSeq == Seq(2, 5, 10))
+    val rows = graft.model.Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val classes = rows.groupBy(identity).values.map(_.length.toLong).toSeq
+    out.foreach { case (k, (vc, sr, frac)) =>
+      val viol = classes.filter(_ < k)
+      assert(vc == viol.length, s"k=$k violating classes")
+      assert(sr == viol.sum, s"k=$k suppressed records")
+      assert(math.abs(frac -
+        math.rint(viol.sum.toDouble / rows.length * 1e6) / 1e6) < 1e-9)
+    }
+    // suppression mass is monotone in k
+    val srs = out.map(_._2._2)
+    assert(srs.zip(srs.tail).forall { case (a, b) => a <= b })
   }
 
   test("dup_cluster_stats histogram accounts for every document and every group") {
