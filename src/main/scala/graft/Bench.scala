@@ -26,8 +26,12 @@ object Bench {
     // hot-bucket ceiling) against the default plan on identical data.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
       .filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value " +
+              "(note: the splitter is comma-based, so values may not contain commas)")
+        }
       })
     // Untimed warm-up: the first queries otherwise pay one-time JVM costs
     // (classloading, Janino codegen compilation, parquet reader, shuffle

@@ -147,8 +147,9 @@ object CorpusOps {
     * = the sequential Sennrich trainer the oracles state). At B > 1
     * each round keeps the top-B mutually NON-CONFLICTING pairs (rank
     * order n desc / pair text; a candidate is skipped if it shares a
-    * symbol with an already-kept pair — disjoint symbol sets make the
-    * batched replaces order-independent) and applies them in one
+    * symbol with an already-kept pair's operands OR its produced
+    * concatenation — disjointness over {x, y, x+y} makes the batched
+    * replaces order-independent) and applies them in one
     * projection — the standard production refinement that cuts the
     * trainer's round count (each round is one distributed pair count +
     * one metadata-sized collect, so rounds, not data, dominate at
@@ -185,8 +186,13 @@ object CorpusOps {
       val used = scala.collection.mutable.Set.empty[String]
       for (r <- cands if kept.size < batch) {
         val (x, y, n) = (r.getString(0), r.getString(1), r.getLong(2))
-        if (kept.isEmpty || (!used(x) && !used(y))) {
-          kept += ((x, y, n)); used += x; used += y
+        // Disjointness must cover the PRODUCED symbol too: keeping
+        // ("a","b") manufactures "ab", so a same-round ("ab","c") — or a
+        // pair whose concatenation collides with a kept operand — would
+        // see tokens the earlier replace just created, making the batch
+        // order-dependent (round-13 ADVICE). Test and reserve {x, y, x+y}.
+        if (kept.isEmpty || (!used(x) && !used(y) && !used(x + y))) {
+          kept += ((x, y, n)); used += x; used += y; used += (x + y)
         }
       }
       for ((x, y, n) <- kept) {

@@ -1324,10 +1324,10 @@ object RelationalOps {
         |GROUP BY sel.c_nationkey ORDER BY sel.c_nationkey""".stripMargin,
     "q12_late_lines_priority" ->
       """SELECT l.l_linestatus,
-        | sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-        |   THEN 1 ELSE 0 END) AS high_line_count,
-        | sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |   THEN 1 ELSE 0 END) AS low_line_count
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

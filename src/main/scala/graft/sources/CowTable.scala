@@ -49,6 +49,14 @@ import org.apache.spark.sql.functions._
   * file's bytes are forced before the link, and the manifest and
   * files directories are forced after their entry updates — directory
   * entries need the directory's own fsync to be durable).
+  *
+  * Filesystem requirement: the CAS publish depends on POSIX link(2)
+  * semantics — `<root>` must live on a filesystem with HARD-LINK
+  * support (local ext4/xfs/tmpfs, NFS). Filesystems without it (some
+  * FUSE/object-store mounts) fail every commit with a clear
+  * "does not support hard links" error rather than silently degrading;
+  * on a real object store the equivalent protocol is the store's own
+  * conditional-put, not this local-FS layout.
   */
 object CowTable {
 
@@ -116,6 +124,19 @@ object CowTable {
       .collect { case Array(k, v) => k -> v }
       .toMap
 
+  private def urlEnc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** The `[lo, hi]` bounds a [[deleteRange]] commit recorded with
+    * `version`, decoded (the header stores them URL-encoded — see the
+    * deleteRange commit site). None for non-delete versions. */
+  def deleteBounds(root: String, version: Int): Option[(String, String)] =
+    versionMeta(root, version).get("delete").collect {
+      case v if v.startsWith("[") && v.endsWith("]") && v.contains(",") =>
+        val Array(lo, hi) = v.substring(1, v.length - 1).split(",", 2)
+        (java.net.URLDecoder.decode(lo, "UTF-8"),
+          java.net.URLDecoder.decode(hi, "UTF-8"))
+    }
+
   /** Batch ids recorded by idempotent committers across ALL versions —
     * manifest-count-sized metadata. */
   def appliedBatches(root: String): Set[Long] =
@@ -163,7 +184,21 @@ object CowTable {
     }
     val committed =
       try { Files.createLink(Paths.get(manifestDir(root), s"v$version.list"), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // CAS publish REQUIRES hard-link support; on filesystems without
+        // it (some FUSE/object-store mounts) fail with the actionable
+        // cause rather than a bare UnsupportedOperationException
+        // (round-13 ADVICE). Object stores get atomic conditional puts
+        // from their own API — this local-FS manifest layout is not the
+        // deployment surface there.
+        case e: UnsupportedOperationException =>
+          Files.deleteIfExists(tmp)
+          throw new UnsupportedOperationException(
+            s"CowTable at $root needs a filesystem with hard-link support " +
+              "(POSIX link(2)) for its atomic manifest compare-and-swap; " +
+              "this filesystem does not support hard links", e)
+      }
     Files.deleteIfExists(tmp)
     // the link/delete updated DIRECTORY ENTRIES, whose durability needs
     // the directory's own fsync — without it a power loss can roll back
@@ -547,8 +582,13 @@ object CowTable {
         writeFiles(spark, root,
           df.filter(!(inRange <=> lit(true))), nNewFiles, key)
       }
+      // The bounds are raw user strings: URL-encode them (the same
+      // treatment entryLines give min/max stats) so a bound containing a
+      // newline cannot corrupt the line-oriented manifest, and one
+      // containing ',' or ']' cannot break [[deleteBounds]]' parse
+      // (round-13 ADVICE). Read back via [[deleteBounds]], not raw meta.
       if (tryCommitManifest(root, cur + 1, carried ++ newEntries,
-          meta + ("delete" -> s"[$lo,$hi]") + ("key" -> key) +
+          meta + ("delete" -> s"[${urlEnc(lo)},${urlEnc(hi)}]") + ("key" -> key) +
             ("keytype" -> hdr.getOrElse("keytype",
               snapSchema(key).dataType.catalogString)) +
             schemaMeta(snapSchema)))

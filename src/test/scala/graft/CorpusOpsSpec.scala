@@ -88,6 +88,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     }
     // 2 rounds at batch=2 learn as many merges as 4 sequential rounds
     assert(m2.size >= 3, s"batching did not reduce the round count: $m2")
+    // PRODUCED-symbol conflict (round-13 ADVICE): keeping (a,b)
+    // manufactures "ab", so a same-round (ab,c) would merge tokens the
+    // first replace just created — order-dependent. Hand-built frame
+    // where the symbol "ab" pre-exists next to live (a,b) pairs:
+    //   "^a  ^b  ^c  "×10 → (a,b)=10, (b,c)=10; "^ab  ^c  "×6 → (ab,c)=6
+    // batch=3 round 1 must keep ONLY (a,b): (b,c) shares b, (ab,c)'s
+    // operand equals (a,b)'s concatenation.
+    val v0 = Seq(("^a  ^b  ^c  ", 10L), ("^ab  ^c  ", 6L)).toDF("sym", "cnt")
+    spark.conf.set(CorpusOps.BpeBatchKey, "3")
+    val (m3, f3) =
+      try CorpusOps.bpeChainOf(v0, rounds = 1)
+      finally spark.conf.unset(CorpusOps.BpeBatchKey)
+    assert(m3.map { case (_, x, y, _) => (x, y) } == Seq(("a", "b")),
+      s"produced-symbol conflict not skipped: $m3")
+    // and the 10-count row's fresh "^ab  " was NOT re-merged with ^c
+    val syms = f3.last.orderBy(col("cnt").desc)
+      .collect().map(r => r.getString(r.fieldIndex("sym"))).toSeq
+    assert(syms == Seq("^ab  ^c  ", "^ab  ^c  "),
+      s"a same-round replace consumed a just-created symbol: $syms")
   }
 
   test("bpe merge replace survives quote and backslash symbols (no SQL interpolation)") {

@@ -503,10 +503,33 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     // delete header recorded; schema header carried
     val m = CowTable.versionMeta(root, 2)
     assert(m("delete") == "[2000,4999]" && m.contains("schema"))
+    assert(CowTable.deleteBounds(root, 2).contains(("2000", "4999")))
+    assert(CowTable.deleteBounds(root, 1).isEmpty)
     // vacuum with history dropped reclaims the dead files
     val (droppedVers, removedFiles) = CowTable.vacuum(root, keepVersions = 1)
     assert(droppedVers == 1 && removedFiles > 0)
     assert(CowTable.read(spark, root).count() == 7000)
+  }
+
+  test("deleteRange bounds with newline/comma survive the manifest round-trip (URL-encoded)") {
+    import spark.implicits._
+    // round-13 ADVICE: raw bounds in the #delete header let a newline
+    // corrupt the line-oriented manifest and a comma break the [lo,hi]
+    // parse — bounds now travel URL-encoded like file-entry stats
+    val root = tempDir("cow_delete_enc")
+    val base = Seq("apple", "banana", "cherry", "grape", "mango", "peach")
+      .map(k => (k, k.length)).toDF("k", "v")
+    CowTable.init(spark, root, base, "k", nFiles = 3)
+    val (lo, hi) = ("b\n", "g,zz") // lex window covering banana, cherry
+    val v2 = CowTable.deleteRange(spark, root, lo, hi)
+    assert(v2 == 2)
+    // the manifest stayed parseable: version meta reads, bounds decode
+    assert(CowTable.deleteBounds(root, 2).contains((lo, hi)))
+    assert(CowTable.versionMeta(root, 2).contains("schema"))
+    assert(CowTable.read(spark, root).select("k").collect()
+      .map(_.getString(0)).sorted.toSeq
+      == Seq("apple", "grape", "mango", "peach"))
+    assert(CowTable.readVersion(spark, root, 1).count() == 6)
   }
 
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {

@@ -22,6 +22,45 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Oracle output-type lint: every oracle's DESCRIBE'd result columns must
+# stay inside this allowlist. Types outside it (HUGEINT from uncast integer
+# sums, DECIMAL, unsigned ints, FLOAT, INTERVAL, ...) render differently
+# across normalizers (duckdb-python vs pandas/arrow vs Spark parquet) and
+# break value hashes even when the values are numerically identical —
+# exactly the q12_late_lines_priority r13 failure (DuckDB sum(int) →
+# HUGEINT → pandas float "354.0" vs Spark int64 "354"). Fix at authoring
+# time with CAST(... AS BIGINT/DOUBLE/...).
+ALLOWED_ORACLE_TYPES = {"BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER",
+                        "JSON", "TIMESTAMP", "VARCHAR", "BLOB"}
+
+
+def lint_type_ok(typ):
+    t = typ.strip()
+    while t.endswith("[]"):  # lists of allowed scalars hash stably
+        t = t[:-2].strip()
+    return t in ALLOWED_ORACLE_TYPES
+
+
+def lint_oracle_types(con, oracle):
+    """DESCRIBE every oracle result; return [(name, problem)] for any
+    column whose type is outside ALLOWED_ORACLE_TYPES. Runs over ALL
+    oracle entries (not just those with spark output) so targeted
+    verify runs still lint the full surface at authoring time."""
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:
+            bad.append((name, f"type lint: DESCRIBE failed: {e}"))
+            continue
+        offenders = [f"{r[0]}:{r[1]}" for r in rows if not lint_type_ok(r[1])]
+        if offenders:
+            bad.append((name, "type lint: normalizer-dependent oracle "
+                        f"output type(s) {offenders} — add an explicit "
+                        "CAST (allowed: " +
+                        ",".join(sorted(ALLOWED_ORACLE_TYPES)) + ")"))
+    return bad
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -66,6 +105,12 @@ def main():
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     failures = []
+    lint_bad = lint_oracle_types(con, oracle)
+    for name, problem in lint_bad:
+        failures.append((name, problem))
+        print(f"FAIL {name}: {problem}")
+    if not lint_bad:
+        print(f"lint {len(oracle)} oracle result types all in allowlist")
     # rows-only check for queries without an oracle (sketch-based ops):
     # output must exist and be readable; report its row count
     for qdir in sorted(Path(out_dir).iterdir()):
