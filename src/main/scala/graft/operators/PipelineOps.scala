@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 
@@ -219,6 +220,109 @@ object PipelineOps {
       .orderBy("k")
   }
 
+  /** L-diversity thresholds swept by [[lDiversity]]; both oracle sides
+    * are generated from this list. */
+  private[operators] val LDivThresholds = Seq(2, 3)
+
+  /** L-DIVERSITY release report — [[kAnonymity]]'s companion privacy
+    * gate (round-13 VERDICT #6): a class can be k-anonymous yet still
+    * reveal its members' sensitive value when every member SHARES it
+    * (the homogeneity attack k-anonymity misses). Under the
+    * quasi-identifier pair (source, length bucket) with `lang` as the
+    * sensitive attribute, a class is l-diverse when its members span
+    * ≥ l distinct langs; the report counts classes below each
+    * l ∈ [[LDivThresholds]] and the records they expose. Same scale
+    * shape as kAnonymity: ONE corpus aggregate builds the class table
+    * (the distinct-count partials collapse over (QI, lang) map-side;
+    * classes ≤ |source|×buckets — metadata-sized), the l sweep is a
+    * 2-row broadcast against it, the total a 1-row broadcast.
+    * Thresholds LEFT-join the verdict so a fully-diverse corpus still
+    * reports its zero rows. */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val classes = docs(spark, sfDir)
+      .groupBy(col("source"), floor(col("n_chars") / 100L).as("len_bucket"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("lang")).as("n_langs"))
+    val total = classes.agg(sum(col("sz")).as("n_total"))
+    val ls = LDivThresholds.toDF("l")
+    val viol = ls.crossJoin(classes)
+      .filter(col("n_langs") < col("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("violating_classes"),
+        sum(col("sz")).as("exposed_records"))
+    ls.join(viol, Seq("l"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("l"),
+        coalesce(col("violating_classes"), lit(0L)).as("violating_classes"),
+        coalesce(col("exposed_records"), lit(0L)).as("exposed_records"),
+        round(coalesce(col("exposed_records"), lit(0L)).cast("double") /
+          col("n_total").cast("double"), 6).as("exposed_frac"))
+      .orderBy("l")
+  }
+
+  /** T-closeness thresholds swept by [[tCloseness]]. */
+  private[operators] val TCloseThresholds = Seq(0.2, 0.35, 0.5)
+
+  /** T-CLOSENESS release report — the third gate of the privacy trio
+    * (k-anonymity → l-diversity → t-closeness): l-diversity can hold
+    * while a class's sensitive-value DISTRIBUTION still leaks (a class
+    * that is 99% one lang is 2-diverse yet nearly homogeneous).
+    * Per equivalence class under (source, length-bucket), the total
+    * variation distance between the class's `lang` distribution and the
+    * corpus-wide one — TVD = ½ Σ|p−q|, the categorical Earth-Mover
+    * distance under a uniform ground metric (Li et al.'s t-closeness);
+    * report classes with TVD > t per t ∈ [[TCloseThresholds]].
+    *
+    * Determinism (the kmeans-inertia discipline): each |p−q| term is
+    * round-6 then summed as exact DECIMAL — double sums are
+    * order-dependent, decimal sums are not, so both engines agree
+    * bit-for-bit. Scale shape: one (QI, lang) aggregate (map-side
+    * combined; output ≤ classes×|lang| — metadata), the global lang
+    * frame and the 3-row threshold frame broadcast; absent (class,
+    * lang) combinations are restored by a broadcast lang×class join so
+    * a missing lang contributes its full q mass to the distance. */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = docs(spark, sfDir)
+      .select(col("source"), floor(col("n_chars") / 100L).as("len_bucket"),
+        col("lang"))
+      .persist().transform(graft.api.Caches.tracked)
+    base.count()
+    val clsLang = base.groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_cl"))
+    val cls = base.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_c"))
+    val globalLang = base.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    // sum over the class table (NULL on empty input → null fractions,
+    // the k_anonymity empty-corpus convention, stated identically in SQL)
+    val totalN = cls.agg(sum(col("n_c")).as("n_total"))
+    // every (class, lang) cell — langs a class lacks contribute |0 − q|
+    val cells = cls.crossJoin(broadcast(globalLang)).crossJoin(broadcast(totalN))
+      .join(clsLang, Seq("source", "len_bucket", "lang"), "left_outer")
+      .select(col("source"), col("len_bucket"), col("n_c"),
+        round(abs(coalesce(col("n_cl"), lit(0L)).cast("double") / col("n_c").cast("double")
+          - col("n_l").cast("double") / col("n_total").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("d"))
+    val tvd = cells.groupBy(col("source"), col("len_bucket"), col("n_c"))
+      .agg((sum(col("d")).cast("double") / lit(2.0)).as("tvd"))
+    val ts = TCloseThresholds.toDF("t")
+    val viol = ts.crossJoin(tvd)
+      .filter(col("tvd") > col("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("violating_classes"),
+        sum(col("n_c")).as("exposed_records"))
+    ts.join(viol, Seq("t"), "left_outer")
+      .crossJoin(broadcast(totalN))
+      .select(col("t"),
+        coalesce(col("violating_classes"), lit(0L)).as("violating_classes"),
+        coalesce(col("exposed_records"), lit(0L)).as("exposed_records"),
+        round(coalesce(col("exposed_records"), lit(0L)).cast("double") /
+          col("n_total").cast("double"), 6).as("exposed_frac"))
+      .orderBy("t")
+  }
+
   // -------------------------------------------------------------- splits
   /** Hash-based train/val/test assignment (900/50/50 per mille) with
     * per-split counts — membership is a function of doc_id alone, so a
@@ -365,6 +469,8 @@ object PipelineOps {
     "quota_sample"      -> (quotaSample _),
     "dp_counts"         -> (dpCounts _),
     "k_anonymity"       -> (kAnonymity _),
+    "l_diversity"       -> (lDiversity _),
+    "t_closeness"       -> (tCloseness _),
     "bottomk_sample"    -> (bottomkSample _),
     "weighted_sample"   -> (weightedSample _),
     "dataset_split"     -> (datasetSplit _),
@@ -449,6 +555,54 @@ object PipelineOps {
           |   / CAST(tot.n_total AS DOUBLE), 6) AS suppressed_frac
           |FROM ks LEFT JOIN viol ON ks.k = viol.k, tot
           |ORDER BY ks.k""".stripMargin,
+      "l_diversity" ->
+        s"""WITH cls AS (SELECT source, n_chars // 100 AS len_bucket,
+          |  CAST(count(*) AS BIGINT) AS sz,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          | FROM documents GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_total FROM cls),
+          |ls AS (${LDivThresholds.map(l => s"SELECT $l AS l").mkString(" UNION ALL ")}),
+          |viol AS (SELECT l, CAST(count(*) AS BIGINT) AS violating_classes,
+          |  CAST(sum(sz) AS BIGINT) AS exposed_records
+          | FROM ls JOIN cls ON cls.n_langs < ls.l GROUP BY l)
+          |SELECT ls.l,
+          | coalesce(viol.violating_classes, 0) AS violating_classes,
+          | coalesce(viol.exposed_records, 0) AS exposed_records,
+          | round(CAST(coalesce(viol.exposed_records, 0) AS DOUBLE)
+          |   / CAST(tot.n_total AS DOUBLE), 6) AS exposed_frac
+          |FROM ls LEFT JOIN viol ON ls.l = viol.l, tot
+          |ORDER BY ls.l""".stripMargin,
+      "t_closeness" ->
+        s"""WITH base AS MATERIALIZED (
+          |  SELECT source, n_chars // 100 AS len_bucket, lang FROM documents),
+          |cl AS (SELECT source, len_bucket, lang,
+          |  CAST(count(*) AS BIGINT) AS n_cl FROM base GROUP BY 1, 2, 3),
+          |cls AS MATERIALIZED (SELECT source, len_bucket,
+          |  CAST(count(*) AS BIGINT) AS n_c FROM base GROUP BY 1, 2),
+          |gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+          |  FROM base GROUP BY 1),
+          |tot AS MATERIALIZED (SELECT CAST(sum(n_c) AS BIGINT) AS n_total FROM cls),
+          |cells AS (SELECT cls.source, cls.len_bucket, cls.n_c,
+          |  CAST(round(abs(CAST(coalesce(cl.n_cl, 0) AS DOUBLE) / CAST(cls.n_c AS DOUBLE)
+          |    - CAST(gl.n_l AS DOUBLE) / CAST(tot.n_total AS DOUBLE)), 6)
+          |    AS DECIMAL(18,6)) AS d
+          |  FROM cls CROSS JOIN gl CROSS JOIN tot
+          |  LEFT JOIN cl ON cl.source = cls.source
+          |    AND cl.len_bucket = cls.len_bucket AND cl.lang = gl.lang),
+          |tvd AS (SELECT source, len_bucket, n_c,
+          |  CAST(sum(d) AS DOUBLE) / 2.0 AS tvd FROM cells GROUP BY 1, 2, 3),
+          |ts AS (${TCloseThresholds.map(t =>
+              s"SELECT CAST($t AS DOUBLE) AS t").mkString(" UNION ALL ")}),
+          |viol AS (SELECT t, CAST(count(*) AS BIGINT) AS violating_classes,
+          |  CAST(sum(n_c) AS BIGINT) AS exposed_records
+          | FROM ts JOIN tvd ON tvd.tvd > ts.t GROUP BY t)
+          |SELECT ts.t,
+          | coalesce(viol.violating_classes, 0) AS violating_classes,
+          | coalesce(viol.exposed_records, 0) AS exposed_records,
+          | round(CAST(coalesce(viol.exposed_records, 0) AS DOUBLE)
+          |   / CAST(tot.n_total AS DOUBLE), 6) AS exposed_frac
+          |FROM ts LEFT JOIN viol ON ts.t = viol.t, tot
+          |ORDER BY ts.t""".stripMargin,
       "dataset_split" ->
         s"""SELECT CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
           |  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs

@@ -727,6 +727,10 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
           name == "pipeline_funnel" ||
           // one zero row per k threshold (frac null) — oracle identical
           name == "k_anonymity" ||
+          // one zero row per l threshold (frac null) — oracle identical
+          name == "l_diversity" ||
+          // one zero row per t threshold (frac null) — oracle identical
+          name == "t_closeness" ||
           // one zero-count row per threshold — the tuning curve's frame
           // is the literal threshold list, like lsh_tune's grid
           name == "dedup_threshold_sweep",
@@ -1927,6 +1931,64 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     // suppression mass is monotone in k
     val srs = out.map(_._2._2)
     assert(srs.zip(srs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("l_diversity counts low-diversity classes exactly; exposure shrinks vs suppression") {
+    val out = PipelineOps.lDiversity(spark, sf).collect()
+      .map(r => r.getAs[Int]("l") ->
+        ((r.getAs[Long]("violating_classes"), r.getAs[Long]("exposed_records"),
+          r.getAs[Double]("exposed_frac"))))
+    assert(out.map(_._1).toSeq == Seq(2, 3))
+    // driver-side recount: classes under (source, len_bucket) with the
+    // distinct-lang diversity of each
+    val rows = graft.model.Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val classes = rows.groupBy(d => (d._2, d._3)).values
+      .map(ds => (ds.length.toLong, ds.map(_._1).distinct.length)).toSeq
+    out.foreach { case (l, (vc, er, frac)) =>
+      val viol = classes.filter(_._2 < l)
+      assert(vc == viol.length, s"l=$l violating classes")
+      assert(er == viol.map(_._1).sum, s"l=$l exposed records")
+      assert(math.abs(frac -
+        math.rint(viol.map(_._1).sum.toDouble / rows.length * 1e6) / 1e6) < 1e-9)
+    }
+    // exposure mass is monotone in l
+    val ers = out.map(_._2._2)
+    assert(ers.zip(ers.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("t_closeness TVD matches a driver recount; exposure monotone decreasing in t") {
+    val out = PipelineOps.tCloseness(spark, sf).collect()
+      .map(r => r.getAs[Double]("t") ->
+        ((r.getAs[Long]("violating_classes"), r.getAs[Long]("exposed_records"),
+          r.getAs[Double]("exposed_frac"))))
+    assert(out.map(_._1).toSeq == Seq(0.2, 0.35, 0.5))
+    val rows = graft.model.Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val n = rows.length.toDouble
+    val globalP = rows.groupBy(_._1).map { case (l, ds) => l -> ds.length / n }
+    val classes = rows.groupBy(d => (d._2, d._3)).values.map { ds =>
+      val nc = ds.length.toDouble
+      val pc = ds.groupBy(_._1).map { case (l, xs) => l -> xs.length / nc }
+      // round-6 per term, exact sum — the engine's decimal discipline
+      val tvd = globalP.keys.map { l =>
+        BigDecimal(math.rint(math.abs(
+          pc.getOrElse(l, 0.0) - globalP(l)) * 1e6) / 1e6).setScale(6)
+      }.sum.toDouble / 2.0
+      (ds.length.toLong, tvd)
+    }.toSeq
+    out.foreach { case (t, (vc, er, frac)) =>
+      val viol = classes.filter(_._2 > t)
+      assert(vc == viol.length, s"t=$t violating classes: got $vc want ${viol.length}")
+      assert(er == viol.map(_._1).sum, s"t=$t exposed records")
+      assert(math.abs(frac -
+        math.rint(viol.map(_._1).sum / n * 1e6) / 1e6) < 1e-9)
+    }
+    // exposure shrinks as the tolerance t grows
+    val ers = out.map(_._2._2)
+    assert(ers.zip(ers.tail).forall { case (a, b) => a >= b })
   }
 
   test("dup_cluster_stats histogram accounts for every document and every group") {

@@ -881,4 +881,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == expect, s"streamed spans != reference\ngot    $got\nexpect $expect")
     gramIdx.unpersist()
   }
+
+  test("streaming ANN probe results are bit-parity with batch searchRouted over 2 waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val P = graft.operators.GraphAnn.Params(
+      m = 8, efConstruction = 48, efSearch = 64, nShards = 4)
+    val e = graft.model.Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // offline artifacts: trained centroids + the routed index they shard
+    val seeds = graft.operators.GraphAnn.trainedSeeds(e, P)
+    val idx = graft.operators.GraphAnn.buildIndexRouted(e, P, seeds).persist()
+    idx.count()
+    val probes = e.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val stream = MemoryStream[(Long, Array[Double])]
+    val out = tempDir("sann_out")
+    val q = graft.streaming.StreamingAnnProbe.start(
+      stream.toDF().toDF("vec_id", "v"), idx, seeds, 11, P,
+      probeShards = 2, tempDir("sann_ckpt"), out)
+    try {
+      val (w1, w2) = probes.splitAt(probes.length / 2)
+      stream.addData(w1: _*); q.processAllAvailable()
+      stream.addData(w2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // probes are independent, so the union of per-batch results must
+    // equal ONE batch search over all probes — bit-parity incl. ranks
+    val got = spark.read.parquet(out)
+      .select("probe_id", "rk", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val expect = graft.operators.GraphAnn
+      .searchRouted(idx, seeds, probes, 11, P, probeShards = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+    assert(got.map(_._1) == probes.map(_._1).toSet, "every probe answered")
+    idx.unpersist()
+  }
 }

@@ -43,46 +43,49 @@ object GraphAnnProbe {
         f"recall@10=${recalls.sum / 10}%.3f visitedFrac=$frac%.3f meanVisited=$vis")
       idx.unpersist()
     }
-    // routed: Voronoi cells, probe R of 4 at the 10x replica
+    // routed: Voronoi cells at the 10x replica — SEEDED (first-n) vs
+    // TRAINED (spherical k-means) centroids, cell balance + recall
     {
       val P = GraphAnn.Params(m = 8, efConstruction = 48, efSearch = 64, nShards = 4)
       val dir = "/tmp/sf1"
       val e = graft.model.Tables.embeddings(spark, dir).select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val seeds = GraphAnn.routingSeeds(e, P)
-      val idx = GraphAnn.buildIndexRouted(e, P).cache(); idx.count()
       val all = e.collect().map { r =>
         val v = r.getSeq[Double](1).toArray
         val n = math.sqrt(v.map(x => x * x).sum)
         r.getLong(0) -> v.map(_ / n)
       }.toMap
       val probes = (0L until 10L).map(id => id -> all(id))
-      for (rShards <- Seq(1, 2)) {
-        val t = System.nanoTime
-        val got = GraphAnn.searchRouted(idx, seeds, probes, 11, P, rShards).collect()
-          .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
-          .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).filter(_ != p).take(10).toSet }
-        val dt = (System.nanoTime - t) / 1e9
-        val rec = probes.map { case (pid, pv) =>
-          val exact = all.toSeq.filter(_._1 != pid)
-            .map { case (id, v) => (-v.zip(pv).map { case (a, b) => a * b }.sum, id) }
-            .sorted.take(10).map(_._2).toSet
-          got.getOrElse(pid, Set.empty).intersect(exact).size.toDouble / 10 }.sum / 10
-        println(f"GANNR /tmp/sf1 n=${all.size} probeShards=$rShards recall@10=$rec%.3f search10=$dt%.2fs")
+      for ((tag, seeds) <- Seq(
+          ("seeded", GraphAnn.routingSeeds(e, P)),
+          ("trained", {
+            val t = System.nanoTime
+            val s = GraphAnn.trainedSeeds(e, P)
+            println(f"GANNT /tmp/sf1 train=${(System.nanoTime - t) / 1e9}%.2fs")
+            s
+          }))) {
+        val idx = GraphAnn.buildIndexRouted(e, P, seeds).cache(); idx.count()
+        val sizes = idx.groupBy("shard").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val balance = sizes.map(_._2).max.toDouble /
+          (all.size.toDouble / P.nShards)
+        println(f"GANNC $tag cells=${sizes.mkString(",")} maxOverMean=$balance%.3f")
+        for (rShards <- Seq(1, 2); ef2 <- Seq(64, 128)) {
+          val P2 = P.copy(efSearch = ef2)
+          val t = System.nanoTime
+          val got = GraphAnn.searchRouted(idx, seeds, probes, 11, P2, rShards).collect()
+            .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+            .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).filter(_ != p).take(10).toSet }
+          val dt = (System.nanoTime - t) / 1e9
+          val rec = probes.map { case (pid, pv) =>
+            val exact = all.toSeq.filter(_._1 != pid)
+              .map { case (id, v) => (-v.zip(pv).map { case (a, b) => a * b }.sum, id) }
+              .sorted.take(10).map(_._2).toSet
+            got.getOrElse(pid, Set.empty).intersect(exact).size.toDouble / 10 }.sum / 10
+          println(f"GANNR $tag probeShards=$rShards ef=$ef2 recall@10=$rec%.3f search10=$dt%.2fs")
+        }
+        idx.unpersist()
       }
-      for (ef2 <- Seq(128, 256)) {
-        val P2 = P.copy(efSearch = ef2)
-        val got = GraphAnn.searchRouted(idx, seeds, probes, 11, P2, 1).collect()
-          .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
-          .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).filter(_ != p).take(10).toSet }
-        val rec = probes.map { case (pid, pv) =>
-          val exact = all.toSeq.filter(_._1 != pid)
-            .map { case (id, v) => (-v.zip(pv).map { case (a, b) => a * b }.sum, id) }
-            .sorted.take(10).map(_._2).toSet
-          got.getOrElse(pid, Set.empty).intersect(exact).size.toDouble / 10 }.sum / 10
-        println(f"GANNR1 /tmp/sf1 ef=$ef2 probeShards=1 recall@10=$rec%.3f")
-      }
-      idx.unpersist()
     }
     spark.stop()
   }

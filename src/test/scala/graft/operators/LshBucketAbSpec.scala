@@ -81,5 +81,22 @@ class LshBucketAbSpec extends AnyFunSuite with SparkTest {
     val (nU, wU) = run(None)
     info(f"ungated pairs=$nU (C(m,2)=${m.toLong * (m - 1) / 2}) wall=$wU%.2fs")
     assert(nU == m.toLong * (m - 1) / 2)
+
+    // AUTO mode on the same corpus (round-13 verdict #4): the p99-derived
+    // ceiling — size-1 backdrop buckets dominate, so auto must land at
+    // B=1 and the family emits exactly its m-1 star pairs
+    spark.conf.set(TextOps.LshMaxBucketKey, "auto")
+    val (nA, wA) =
+      try run(None) finally spark.conf.unset(TextOps.LshMaxBucketKey)
+    // recover the effective B the auto mode derived from the family's
+    // star count: nFam = sum_{i=1..B} (m - i); backdrop pairs are the
+    // same under every setting (their buckets are under any B)
+    val backdrop = nU - m.toLong * (m - 1) / 2
+    val famA = nA - backdrop
+    val bEff = (1 to m).find(b => (1 to b).map(m - _).sum.toLong >= famA).getOrElse(m)
+    info(f"auto: pairs=$nA wall=$wA%.2fs derived B=$bEff (family star $famA)")
+    assert(famA == (1 to bEff).map(m - _).sum.toLong,
+      "auto pairs are not a star set — ceiling not applied cleanly")
+    assert(bEff <= cap, s"auto derived B=$bEff above the manual cap $cap")
   }
 }

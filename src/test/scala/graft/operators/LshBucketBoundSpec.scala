@@ -96,6 +96,57 @@ class LshBucketBoundSpec extends AnyFunSuite with SparkTest {
     assert(recall > 0.5, s"pair recall collapsed: $recall")
   }
 
+  /** Pairs under a RAW conf value ("auto" or a number). */
+  private def pairsOfRaw(normDf: org.apache.spark.sql.DataFrame,
+      raw: String): Set[(Long, Long)] = {
+    spark.conf.set(Key, raw)
+    try {
+      val sig = TextOps.signatureFrom(TextOps.shinglesOf(normDf, 3)).persist()
+      sig.count()
+      val got = TextOps.candidatePairsFromSig(sig).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      sig.unpersist()
+      got
+    } finally spark.conf.unset(Key)
+  }
+
+  test("maxBucket=auto derives the smallest B >= the p99 bucket size (r13 verdict #4)") {
+    import spark.implicits._
+    // 200 distinct singletons (size-1 buckets dominate: ~800 of ~804) +
+    // one 12-clone family (4 size-12 buckets — the <1% tail): p99 = 1,
+    // so auto must land at B = 1 — the family is star-capped, the rest
+    // of the corpus is untouched
+    val clone = "the quick brown fox jumps over the lazy dog tonight"
+    val family = (1 to 12).map(i => (i.toLong, clone))
+    val singles = (1 to 200).map(i =>
+      (1000L + i, s"alpha$i bravo$i charlie$i delta$i echo$i"))
+    val normDf = (family ++ singles).toDF("doc_id", "norm")
+    val auto = pairsOfRaw(normDf, "auto")
+    val b1 = pairsOf(normDf, Some(1))
+    assert(auto == b1, "auto did not resolve to the p99-derived B = 1")
+    // and the ceiling only sheds intra-family pairs — components hold
+    val ungated = pairsOf(normDf, None)
+    assert(auto.subsetOf(ungated))
+    for (d <- 2 to 12)
+      assert(auto.contains((1L, d.toLong)), s"doc $d lost its rep-1 edge under auto")
+  }
+
+  test("auto mode: dedup_groups bit-identical to ungated on the real corpus; empty corpus safe") {
+    import spark.implicits._
+    val ungated = TextOps.dedupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(Key, "auto")
+    val gated =
+      try TextOps.dedupGroups(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset(Key)
+    assert(gated == ungated,
+      "connected components must be invariant under the auto ceiling")
+    // empty corpus: auto's histogram is empty — cap falls back to 1, no pairs
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "norm")
+    assert(pairsOfRaw(empty, "auto").isEmpty)
+  }
+
   test("PROPERTY: the gate preserves connected components on ANY corpus (B = 1)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
