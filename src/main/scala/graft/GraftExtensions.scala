@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MsgPackToJson}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions for SQL use. Install with
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"dot_product expects exactly 2 arguments, got ${children.size}")
         DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("msgpack_to_json"),
+      new ExpressionInfo(classOf[MsgPackToJson].getName, "msgpack_to_json"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"msgpack_to_json expects exactly 1 argument, got ${children.size}")
+        MsgPackToJson(children.head)
       }))
   }
 }

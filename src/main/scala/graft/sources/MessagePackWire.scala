@@ -196,14 +196,19 @@ object MessagePackWire {
     sb.append('"').toString
   }
 
+  /** Static-forwarder-friendly decode entry (called from generated code
+    * by [[graft.functions.MsgPackToJson]] and usable from Java). */
+  def decodeToJson(b: Array[Byte]): String = toJson(unpack(b))
+
   /** Decode a DataFrame of binary wire frames into canonical events:
-    * per-row frame → JSON (a deserialization UDF — binary codecs have no
-    * Catalyst builtin), then the SAME schema-checked from_json path the
-    * topic source uses. Distributed: the codec runs where the frames
-    * live; nothing funnels through the driver. */
+    * per-row frame → JSON via the NATIVE [[graft.functions.MsgPackToJson]]
+    * expression (r14 — formerly the engine's one Scala UDF; the
+    * expression keeps the decode inside whole-stage codegen), then the
+    * SAME schema-checked from_json path the topic source uses.
+    * Distributed: the codec runs where the frames live; nothing funnels
+    * through the driver. */
   def ingestEvents(spark: SparkSession, frames: DataFrame,
-      frameCol: String = "frame"): DataFrame = {
-    val decode = udf((b: Array[Byte]) => toJson(unpack(b)))
-    EventSource.parseWireJson(frames.select(decode(col(frameCol)).as("value")))
-  }
+      frameCol: String = "frame"): DataFrame =
+    EventSource.parseWireJson(frames.select(
+      graft.functions.WireFunctions.msgpack_to_json(col(frameCol)).as("value")))
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.MessagePackWire
@@ -75,5 +76,53 @@ class MessagePackSpec extends AnyFunSuite with SparkTest {
     assert(rows.forall(r => r.getDouble(4) == 12.5))
     // props carried byte-for-byte (including the gzip-sized padding)
     assert(rows(3).getString(5).endsWith("z" * 1500))
+  }
+
+  test("msgpack_to_json is a NATIVE expression: UDF-free plan, codegen + interpreted agree") {
+    import spark.implicits._
+    val frames = (1L to 8L).map(i =>
+      encodeFrame(eventFrame(i, pad = if (i % 2 == 0) "y" * 1400 else "")))
+    val df = frames.toDF("frame")
+    // decode equals the plain library composition the old UDF ran
+    val viaExpr = df.select(
+      graft.functions.WireFunctions.msgpack_to_json(col("frame")).as("j"))
+      .collect().map(_.getString(0)).toSeq
+    val viaLib = frames.map(f => MessagePackWire.toJson(unpack(f)))
+    assert(viaExpr == viaLib)
+    // null frame -> null out (UnaryExpression null contract)
+    val withNull = (frames.map(Option(_)) :+ None).toDF("frame")
+    val outs = withNull.select(
+      graft.functions.WireFunctions.msgpack_to_json(col("frame")).as("j")).collect()
+    assert(outs.count(_.isNullAt(0)) == 1)
+    // the ingest plan carries NO UDF node (no catalyst<->Scala SerDe
+    // boundary); repartition first or ConvertToLocalRelation folds the
+    // whole tiny frame at plan time and there is no stage to inspect
+    val plan = MessagePackWire.ingestEvents(spark, df.repartition(2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"ingest plan still carries a UDF:\n$plan")
+    // standalone (without from_json, which is CodegenFallback by design)
+    // the decode projection compiles into a WholeStageCodegen span
+    val alone = df.repartition(2).select(
+      graft.functions.WireFunctions.msgpack_to_json(col("frame")).as("j"))
+    alone.collect() // force AQE to finalize the stages it reports
+    val alonePlan = alone.queryExecution.executedPlan.toString
+    // AQE's string rendering marks a codegen span with the "*(n)" stage
+    // prefix rather than the literal WholeStageCodegen node name
+    assert(alonePlan.contains("WholeStageCodegen") || alonePlan.contains("*(1)"),
+      s"decode projection fell out of codegen:\n$alonePlan")
+    // SQL registration path (the FunctionsSpec dot_product pattern: run
+    // the injection wiring, then register the same builder on the shared
+    // pre-extension test session)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "msgpack_to_json",
+        children => graft.functions.MsgPackToJson(children.head),
+        "scala_udf")
+    frames.toDF("frame").createOrReplaceTempView("wire_frames")
+    val viaSql = spark.sql(
+      "SELECT msgpack_to_json(frame) AS j FROM wire_frames")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql.sorted == viaLib.sorted)
   }
 }

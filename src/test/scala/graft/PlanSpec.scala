@@ -60,6 +60,36 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("partial_sum"))
   }
 
+  test("l_diversity: pruned scan, partial distinct-count, broadcast threshold sweep") {
+    val p = plan(PipelineOps.lDiversity(spark, sf))
+    // column pruning reaches the parquet scan — the class table needs
+    // only the two QI columns + the sensitive attribute
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(s => s.contains("lang") && s.contains("source") &&
+      s.contains("n_chars") && !s.contains("text")),
+      s"scan not pruned to (lang, source, n_chars):\n$p")
+    // the distinct count aggregates map-side (two-level partial)
+    assert(p.contains("partial_count"), s"no map-side partials:\n$p")
+    // the l sweep joins the metadata-sized class table via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold sweep not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("t_closeness: pruned scan, one corpus aggregate, broadcast cells frame") {
+    val p = plan(PipelineOps.tCloseness(spark, sf))
+    // the base is persisted pre-projected to (source, len_bucket, lang):
+    // the final plan reads the 3-column InMemoryRelation — document text
+    // never appears anywhere downstream of the scan
+    assert(!p.contains("text#"), s"document text leaked past the base projection:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"no map-side partials:\n$p")
+    // lang/total/threshold frames broadcast against metadata-sized tables
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"cells frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("the dedup/similarity family never degenerates to a cartesian product") {
     Seq[DataFrame](
       TextOps.dedupMinhashPairs(spark, sf),

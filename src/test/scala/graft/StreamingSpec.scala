@@ -286,13 +286,20 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         .select("event_id").as[Long].collect().sorted
         .sameElements(phase1.map(_.event_id).sorted))
 
-      // phase 2: more records arrive, then B leaves gracefully —
-      // A's very next batch must cover ALL partitions, resuming B's
-      // old partitions from B's committed group offsets
+      // phase 2: B leaves gracefully, THEN more records arrive — A's
+      // very next batch must cover ALL partitions, resuming B's old
+      // partitions from B's committed group offsets. B stops BEFORE the
+      // new data lands: had phase 2 arrived first, B's trigger loop
+      // could process a phase-2 batch whose end offsets are not yet
+      // published when the stop hits — the DOCUMENTED at-least-once
+      // handover window (a batch read but not committed re-reads on the
+      // new owner, GraftTopicLog scaladoc), which would make the
+      // exactly-once intersect below flaky under load. The exactly-once
+      // claim this test pins is for COMMITTED positions.
+      qb.stop() // deregisters -> immediate rebalance, no TTL wait
       val phase2 = (41 to 80).map(i =>
         RawEvent(i.toLong, ts(i % 60), i.toLong, "click", i.toDouble, "{}"))
       appendFixture(topicDir, topic, phase2)
-      qb.stop() // deregisters -> immediate rebalance, no TTL wait
       qa.processAllAvailable()
 
       val a = spark.table("reb_a")
