@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.EventSource
+import graft.sources.{AvroEventSource, EventSource}
 
 /** Source/sink round-trips over the canonical events schema. */
 class SourcesSpec extends AnyFunSuite with SparkTest {
@@ -57,6 +57,24 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     val plan = back.filter(col("event_id") === 42L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,42)"), plan)
+  }
+
+  test("Avro round-trip (avro-core container files) preserves rows, values, microsecond ts") {
+    val events = EventSource.parquet(spark, sf)
+    val out = tempDir("avro")
+    AvroEventSource.writeAvro(events, out)
+    // one container file per input partition, written by the executors
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val back = AvroEventSource.readAvro(spark, out)
+    assert(back.schema.fieldNames.sameElements(events.schema.fieldNames))
+    assert(back.count() == events.count())
+    // value-exact: full-row content equality, not just counts
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("event_id"), unix_micros(col("ts")).as("tsm"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(key(back) == key(events))
   }
 
   test("bucketed tables co-locate joins: no shuffle exchange on the join key") {
