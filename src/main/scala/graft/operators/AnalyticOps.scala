@@ -174,6 +174,36 @@ object AnalyticOps {
       .orderBy("event_type")
   }
 
+  /** Salted SHUFFLE JOIN — [[saltedAgg]]'s sibling, completing the
+    * manual skew toolkit (agg + join): the fact side salts its join key
+    * with `pmod(event_id, S)` and the SMALL side replicates S× (a
+    * 16-row broadcast cross join — replication multiplies only the dim),
+    * so the equi-join key widens to (user_id, salt) and a hot user's
+    * rows split across S reducers instead of one. Every fact row still
+    * matches exactly its user's dim row (the dim copy carrying its
+    * salt), so the output is BIT-IDENTICAL to the plain join — the
+    * oracle states the unsalted join. AQE's skew-join split is the
+    * automatic alternative; explicit salting is the portable form that
+    * also works pre-AQE, under disabled AQE, and for keys AQE's
+    * per-partition size stats cannot see (hot KEY inside a
+    * median-sized partition). [[heavyHitters]]/[[keySkewProfile]] are
+    * the diagnostics that decide S. */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val saltBuckets = 16
+    val ev = Tables.events(spark, sfDir)
+    val dim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"),
+        sum(col("value").cast(Dec)).cast("double").as("user_value"))
+    val salts = spark.range(saltBuckets).select(col("id").cast("int").as("salt"))
+    val dimReplicated = dim.crossJoin(broadcast(salts))
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        pmod(col("event_id"), lit(saltBuckets.toLong)).cast("int").as("salt"))
+      .join(dimReplicated, Seq("user_id", "salt"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("user_events"), round(col("user_value"), 6).as("user_value"))
+      .orderBy("event_id")
+  }
+
   /** Exact heavy keys kept by [[heavyHitters]]. */
   private[operators] val HeavyHittersK = 5
 
@@ -651,6 +681,7 @@ object AnalyticOps {
     "range_join"       -> (rangeJoin _),
     "above_avg_filter" -> (aboveAvgFilter _),
     "salted_agg"       -> (saltedAgg _),
+    "salted_join"      -> (saltedJoin _),
     "heavy_hitters"    -> (heavyHitters _),
     "key_skew_profile" -> (keySkewProfile _),
     "approx_percentiles" -> (approxPercentiles _),
@@ -783,6 +814,14 @@ object AnalyticOps {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "salted_join" ->
+      """WITH dim AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_value
+        | FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type, d.user_events,
+        | round(d.user_value, 6) AS user_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
     "heavy_hitters" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |           FROM events GROUP BY user_id),

@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("partial_sum"))
   }
 
+  test("salted_join: the equi-join key carries the salt; replication is a 16-row broadcast") {
+    val p = plan(AnalyticOps.saltedJoin(spark, sf))
+    // the join condition must include the salt column — that IS the
+    // skew fix (a hot user splits across 16 reducers); matches either
+    // join impl (broadcast at test SF, shuffle at scale)
+    assert("(?i)join.*\\bsalt#\\d+".r.findFirstIn(p).isDefined,
+      s"join key does not carry the salt:\n$p")
+    // the dim side replicates via a broadcast of the 16-row salt frame
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"salt replication not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("l_diversity: pruned scan, partial distinct-count, broadcast threshold sweep") {
     val p = plan(PipelineOps.lDiversity(spark, sf))
     // column pruning reaches the parquet scan — the class table needs
