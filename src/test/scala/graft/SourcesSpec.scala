@@ -75,6 +75,55 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
         col("event_type"), col("value"), col("props"))
       .collect().map(_.toString).sorted.toSeq
     assert(key(back) == key(events))
+    // task-commit protocol: only committed containers remain, no temps
+    assert(new java.io.File(out).listFiles().forall(f =>
+      f.getName.endsWith(".avro")), "uncommitted .tmp attempt files remain")
+    // the timestamp logical type must be nested on the TYPE object —
+    // field-level annotations are silently dropped by Avro (ADVICE r14),
+    // so external readers would see a bare long
+    val hdr = new org.apache.avro.file.DataFileReader(
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro")).head,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val tsSchema = try hdr.getSchema.getField("ts").schema() finally hdr.close()
+    assert(tsSchema.getProp("logicalType") == "timestamp-micros", tsSchema)
+  }
+
+  test("Avro round-trips documents and embeddings (schema-derived containers)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dOut = tempDir("avro_docs")
+    AvroEventSource.writeAvro(docs, dOut)
+    val dBack = AvroEventSource.readAvro(spark, dOut)
+    assert(dBack.schema == docs.schema)
+    assert(dBack.collect().map(_.toString).sorted.toSeq ==
+      docs.collect().map(_.toString).sorted.toSeq)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val eOut = tempDir("avro_emb")
+    AvroEventSource.writeAvro(emb, eOut)
+    val eBack = AvroEventSource.readAvro(spark, eOut)
+    assert(eBack.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    // float arrays bit-exact: compare raw float bits, not formatted text
+    val bits = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](2).map(java.lang.Float.floatToIntBits)
+        (r.getLong(0), r.getInt(1), v)
+      }.sortBy(_._1).toSeq
+    assert(bits(eBack) == bits(emb))
+  }
+
+  test("Avro read streams: early termination closes readers, full scan exhausts") {
+    // one partition -> one container with every record; a limit(3) must
+    // come back without the task needing the whole container in memory
+    // (the close-on-exhaustion iterator + completion listener own the
+    // reader lifecycle — materializing .toVector was the r14 advice)
+    val events = EventSource.parquet(spark, sf).repartition(1)
+    val out = tempDir("avro_stream")
+    AvroEventSource.writeAvro(events, out)
+    val back = AvroEventSource.readAvro(spark, out)
+    assert(back.limit(3).collect().length == 3) // abandons mid-container
+    assert(back.count() == events.count())      // exhausts and closes
   }
 
   test("bucketed tables co-locate joins: no shuffle exchange on the join key") {
