@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"msgpack_to_json expects exactly 1 argument, got ${children.size}")
         MsgPackToJson(children.head)
       }))
+    // Flag-gated automatic skew salting (see graft.plans.AutoSalt): off
+    // until spark.graft.autoSalt.enabled=true AND a key is registered, so
+    // injection alone never changes a plan.
+    ext.injectOptimizerRule(session => graft.plans.AutoSaltRule(session))
   }
 }

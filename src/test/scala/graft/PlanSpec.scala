@@ -357,4 +357,63 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("partial_sum") || p.contains("partial"),
       s"expected map-side partial aggregation:\n$p")
   }
+
+  test("autoSalt rule: diagnostic registers the hot key, rewrite salts the join, output bit-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{AutoSalt, AutoSaltRule}
+    // production wiring goes through GraftExtensions.injectOptimizerRule;
+    // the shared test session predates extension install, so inject the
+    // SAME rule instance through experimental.extraOptimizations (both
+    // paths land in the one user-rule optimizer batch)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSaltRule(spark)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // constructed hot key: 80% of fact rows carry user_id=7
+      val fact = spark.range(50000).select(
+        when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 97).as("user_id"),
+        col("id").as("event_id"))
+      val dim = spark.range(97).select(col("id").as("user_id"),
+        (col("id") * 3).as("weight"))
+      // the heavy_hitters-shaped diagnostic measures the share and registers
+      val share = AutoSalt.analyzeAndRegister(spark, fact, "user_id")
+      assert(share > 50.0, s"constructed skew should exceed 50%, got $share")
+      assert(spark.conf.get(AutoSalt.KeyPrefix + "user_id") ==
+        AutoSalt.DefaultBuckets.toString)
+      def q() = fact.join(dim, "user_id")
+        .groupBy("user_id").agg(sum("weight").as("w"), count(lit(1)).as("n"))
+      // flag off: plans untouched even with the key registered
+      val off = q()
+      assert(!off.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+      val offRows = off.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(AutoSalt.EnabledKey, "true")
+      val on = q()
+      val p = on.queryExecution.optimizedPlan.toString
+      assert(p.contains("__graft_salt_f"), s"fact salt missing:\n$p")
+      assert(p.contains("__graft_salt_d"), s"dim replication missing:\n$p")
+      assert(p.toLowerCase.contains("explode"), s"dim must replicate via explode:\n$p")
+      // the physical join keys must WIDEN to (user_id, salt) — that is
+      // the whole point: the hot key spreads over the salt buckets
+      val phys = on.queryExecution.executedPlan.toString
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[user_id#\\d+L, __graft_salt_f#\\d+L\\]".r
+        .findFirstIn(phys).isDefined, s"join keys not widened:\n$phys")
+      // bit parity: the salted plan is the same query
+      assert(on.collect().map(_.toString).sorted.toSeq == offRows)
+      // an UNregistered key stays untouched even with the flag on
+      val other = fact.withColumnRenamed("user_id", "uid")
+        .join(dim.withColumnRenamed("user_id", "uid"), "uid")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+      // a broadcast-sized dim never salts: no shuffle exists to skew
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 30).toString)
+      assert(!q().queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[AutoSaltRule])
+      spark.conf.unset(AutoSalt.EnabledKey)
+      spark.conf.unset(AutoSalt.KeyPrefix + "user_id")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
 }
