@@ -79,7 +79,15 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) },
       reps)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // Per-query [min,max] across reps (round-14 verdict item 4): with
+    // only the settled value, a +2.6 s pagerank delta round-over-round is
+    // unfalsifiable against this box's ±6% total / ±30% per-key noise —
+    // the spread states each key's OWN within-run variance so a real
+    // regression (new min above old max) separates from a noisy rep.
+    val spread = results.map { case (k, _, lo, hi) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -89,7 +97,7 @@ object Bench {
     // per-query stdout line is unparsable no matter the float precision
     // (that truncation broke the bench artifact seven rounds running).
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s""""errors":$errs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
     // The LAST stdout line is a compact summary (~120 chars) that can
@@ -113,7 +121,7 @@ object Bench {
       spark: SparkSession,
       sfDir: String,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      reps: Int): (Seq[(String, Double)], Seq[String]) = {
+      reps: Int): (Seq[(String, Double, Double, Double)], Seq[String]) = {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = queries.map { case (name, fn) =>
       def rep(): Double = {
@@ -124,7 +132,8 @@ object Bench {
         cleanup(spark)
         elapsed
       }
-      name -> settle(() => rep(), reps)
+      val (settled, all) = settleFull(() => rep(), reps)
+      (name, settled, all.min, all.max)
     }
     (results, failed.toSeq)
   }
@@ -139,12 +148,19 @@ object Bench {
     * time); one extra rep is run and the MEDIAN of all reps reported, so
     * a single stalled — or single anomalously fast — repetition cannot
     * decide the official artifact by itself. */
-  private[graft] def settle(runRep: () => Double, reps: Int): Double = {
+  private[graft] def settle(runRep: () => Double, reps: Int): Double =
+    settleFull(runRep, reps)._1
+
+  /** [[settle]] plus every observed rep time (r15: the artifact records
+    * per-query [min,max] so round-over-round deltas are falsifiable
+    * against each key's own within-run spread). */
+  private[graft] def settleFull(
+      runRep: () => Double, reps: Int): (Double, Vector[Double]) = {
     val times = (1 to math.max(1, reps)).map(_ => runRep()).toVector
     if (times.size >= 2 && times.max > 2 * times.min) {
       val all = (times :+ runRep()).sorted
-      all(all.size / 2)
-    } else times.min
+      (all(all.size / 2), all)
+    } else (times.min, times)
   }
 
   /** The single stdout line the driver parses. Kept total-only (no

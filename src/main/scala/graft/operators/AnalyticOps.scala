@@ -250,18 +250,43 @@ object AnalyticOps {
         min(col("c")).as("min_events"), max(col("c")).as("max_events"))
       .orderBy("events_lo")
 
-  /** Sketch percentiles (t-digest-style) — the 100 TB path where exact
-    * percentiles would sort every group; like approx_distinct, sketch
-    * outputs aren't portable to DuckDB, so rows-only check. */
-  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Rank half-window (±) the sketch percentile must land inside: the
+    * GK sketch at accuracy 10000 guarantees rank error ≤ n/10000, so a
+    * ±0.02 quantile window holds for any group under 200× the 10×
+    * replica's group sizes — fixed, generous, and deterministic. */
+  private val ApproxPctlRankWindow = 0.02
+
+  /** Sketch percentiles (Greenwald-Khanna) — the 100 TB path where exact
+    * percentiles would sort every group. The sketch values aren't
+    * portable to DuckDB but ARE deterministic for fixed data + accuracy,
+    * so the query is oracle-bearing the ann_recall way (round-14
+    * verdict): it emits the exact p25/p50/p75 (DuckDB re-states them,
+    * same construction as `percentiles`) plus a within-bound verdict
+    * computed FROM the sketch — each approximate percentile must lie
+    * inside the exact ±[[ApproxPctlRankWindow]] rank window (the oracle
+    * states TRUE). The exact side is verification scaffolding; at 100 TB
+    * the production path runs the sketch alone. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = ApproxPctlRankWindow
+    val exactPs = Seq(0.25, 0.5, 0.75)
+      .flatMap(p => Seq(p - w, p, p + w)).mkString("array(", "D, ", "D)")
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
+      .agg(expr(s"percentile(value, $exactPs)").as("ex"),
+        expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)").as("ap"))
       .select(col("event_type"),
-        element_at(col("ps"), 1).as("p25"),
-        element_at(col("ps"), 2).as("p50"),
-        element_at(col("ps"), 3).as("p75"))
+        round(element_at(col("ex"), 2), 6).as("p25"),
+        round(element_at(col("ex"), 5), 6).as("p50"),
+        round(element_at(col("ex"), 8), 6).as("p75"),
+        (element_at(col("ap"), 1).between(
+            element_at(col("ex"), 1), element_at(col("ex"), 3)) &&
+          element_at(col("ap"), 2).between(
+            element_at(col("ex"), 4), element_at(col("ex"), 6)) &&
+          element_at(col("ap"), 3).between(
+            element_at(col("ex"), 7), element_at(col("ex"), 9)))
+          .as("within_bound"))
       .orderBy("event_type")
+  }
 
   /** Date/time arithmetic pack: diffs, offsets, boundaries. */
   def datePack(spark: SparkSession, sfDir: String): DataFrame =
@@ -371,12 +396,15 @@ object AnalyticOps {
     val (sxx, syy, sxy) =
       ("CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)")
     val varX = s"($sxx - $sx * $sx / $n) / ($n - 1.0)"
+    // round-6 presentation (r15 double lint): the derivations are already
+    // bit-identical cross-engine (same string, same IEEE sequence over
+    // exact sums) — the rounding just makes that stability inspectable
     Seq(
-      s"$sx / $n AS mean_value",
-      s"$varX AS var_value",
-      s"sqrt($varX) AS std_value",
-      s"($sxy - $sx * $sy / $n) / ($n - 1.0) AS covar_vu",
-      s"($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)) AS corr_vu")
+      s"round($sx / $n, 6) AS mean_value",
+      s"round($varX, 6) AS var_value",
+      s"round(sqrt($varX), 6) AS std_value",
+      s"round(($sxy - $sx * $sy / $n) / ($n - 1.0), 6) AS covar_vu",
+      s"round(($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)), 6) AS corr_vu")
   }
 
   /** Moment-based statistics pack: mean/variance/stddev of `value` and
@@ -720,6 +748,15 @@ object AnalyticOps {
         | round(quantile_cont(value, 0.25), 6) AS p25,
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ann_recall shape: the exact side re-stated, the sketch's rank-window
+    // verdict as a boolean the deterministic GK sketch must clear
+    "approx_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 6) AS p25,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.75), 6) AS p75,
+        | TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rank_quartiles" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, quartile, pct_rank, drank FROM (

@@ -732,8 +732,11 @@ object CorpusOps {
     * here exists only to pick the probe tokens and expose the error,
     * which the spec bounds (CMS never underestimates; overestimate
     * ≤ eps·N with prob ≥ confidence). Deterministic: the seed pins the
-    * hash functions and counter merges are sums. Not oracle-hashable
-    * (DuckDB has no CMS) → rows-only, like the other sketches. */
+    * hash functions and counter merges are sums — so since round 15 the
+    * query is oracle-bearing the ann_recall way: DuckDB re-states the
+    * exact counts and a TRUE verdict, the Spark side computes the
+    * verdict FROM the sketch (est ≥ true ∧ est ≤ true + ⌈eps·N⌉); a
+    * sketch regression flips the boolean and hash-fails the gate. */
   private[graft] val CmsTopK = 10
   private[graft] val CmsEps = 0.001
   def approxTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -743,12 +746,20 @@ object CorpusOps {
     toks.persist().transform(graft.api.Caches.tracked)
     val cms = toks.stat.countMinSketch("token", eps = CmsEps,
       confidence = 0.99, seed = 42)
+    val total = toks.count() // N for the CMS overestimate budget eps·N
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("token")).limit(CmsTopK)
       .as[(String, Long)].collect() // k rows — metadata-sized, like ann_recall
     graft.api.Caches.dropTransient(toks)
-    top.toSeq.map { case (t, c) => (t, c, cms.estimateCount(t)) }
-      .toDF("token", "true_cnt", "est_cnt")
+    // oracle-bearing the ann_recall way (round-14 verdict): the exact
+    // counts are re-stated by DuckDB, and the CMS estimate — deterministic
+    // for fixed data + seed — must clear its own guarantee (never under,
+    // over by at most eps·N; the oracle states TRUE)
+    val bound = math.ceil(CmsEps * total).toLong
+    top.toSeq.map { case (t, c) =>
+      val est = cms.estimateCount(t)
+      (t, c, est >= c && est <= c + bound)
+    }.toDF("token", "true_cnt", "within_bound")
       .orderBy(col("true_cnt").desc, col("token"))
   }
 
@@ -1261,6 +1272,14 @@ object CorpusOps {
         | CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
         | round(CAST(sum(n_syms) AS DOUBLE) / sum(length(word)), 6) AS compression
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ann_recall shape: exact top-k token counts re-stated, plus the CMS
+    // guarantee verdict the deterministic sketch must clear (approxTopk)
+    "approx_topk" ->
+      s"""WITH dn AS (SELECT ${TextOps.normSql} AS norm FROM documents),
+        |tok AS (SELECT unnest(string_split(norm, ' ')) AS token FROM dn)
+        |SELECT token, count(*) AS true_cnt, TRUE AS within_bound
+        |FROM tok GROUP BY token
+        |ORDER BY true_cnt DESC, token LIMIT $CmsTopK""".stripMargin,
     "bigram_counts" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |dtk AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM dn),

@@ -134,8 +134,8 @@ object RelationalOps {
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(discPrice).cast("double").as("sum_disc_price"),
-        (sum(col("l_discount").cast(DecimalType(18, 4))).cast("double")
-          / count(lit(1)).cast("double")).as("avg_disc"),
+        round(sum(col("l_discount").cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -312,9 +312,9 @@ object RelationalOps {
       .join(asiaCust, col("o_custkey") === col("c_custkey"))
       .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
-      .agg((sum(when(col("supp_nation") === "NATION_5", discPrice)
+      .agg(round(sum(when(col("supp_nation") === "NATION_5", discPrice)
           .otherwise(lit(0).cast(Dec))).cast("double")
-        / sum(discPrice).cast("double")).as("mkt_share"))
+        / sum(discPrice).cast("double"), 6).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -353,9 +353,9 @@ object RelationalOps {
       .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        (lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)
             .otherwise(lit(0).cast(Dec))).cast("double")
-          / sum(discPrice).cast("double")).as("promo_revenue"),
+          / sum(discPrice).cast("double"), 6).as("promo_revenue"),
         count(lit(1)).as("n_lines"))
       .filter(col("n_lines") > 0)
 
@@ -404,7 +404,7 @@ object RelationalOps {
       .withColumnRenamed("l_partkey", "t_partkey")
     li.join(thresh, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
-      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+      .agg(round(dsum(col("l_extendedprice")) / lit(7.0), 6).as("avg_yearly"),
         count(lit(1)).as("n_lines"))
       .filter(col("n_lines") > 0)
   }
@@ -624,14 +624,31 @@ object RelationalOps {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Relative-error budget the HLL++ estimate is gated against: the
+    * sketch runs at rsd 0.05 and the verdict allows 3×rsd — a fixed,
+    * generous band the DETERMINISTIC estimate (same data, same rsd →
+    * same registers) either clears or does not. */
+  private[operators] val HllRsd = 0.05
+
   /** approx_count_distinct = HyperLogLog++ — the 100 TB path for distinct
-    * users where exact distinct would shuffle every key. Deterministic for
-    * a fixed input but not portable to DuckDB's HLL, so no hash oracle.
-    */
+    * users where exact distinct would shuffle every key. The HLL estimate
+    * itself isn't portable to DuckDB, but it IS deterministic for fixed
+    * data + rsd, so the query is oracle-bearing the way the ANN recall
+    * gates are (round-14 verdict): it emits the EXACT distinct count
+    * (DuckDB re-states it) plus a within-bound verdict computed FROM the
+    * sketch (|est − exact| ≤ 3·rsd·exact; the oracle states TRUE). A
+    * sketch regression flips the boolean and hash-fails the gate. The
+    * exact side is verification scaffolding, as in `ann_recall` — the
+    * production path at 100 TB runs the sketch alone. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), HllRsd).as("est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          lit(3.0 * HllRsd) * col("exact_users").cast("double"))
+          .as("within_bound"))
       .orderBy("event_type")
 
   // ----------------------------------------------------------------- joins
@@ -1174,7 +1191,7 @@ object RelationalOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -1230,12 +1247,12 @@ object RelationalOps {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-        | CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        | round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
         |   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
         |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
         |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
         |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS mkt_share
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE), 6) AS mkt_share
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1255,12 +1272,12 @@ object RelationalOps {
         | GROUP BY c.c_custkey) t
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q14_promo_share" ->
-      """SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
         |   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
         |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
         |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
         |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS promo_revenue,
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE), 6) AS promo_revenue,
         | count(*) AS n_lines
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -1289,7 +1306,7 @@ object RelationalOps {
         |  0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE)) AS qty_thresh
         | FROM li GROUP BY l_partkey)
-        |SELECT CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |SELECT round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
         |  AS avg_yearly, count(*) AS n_lines
         |FROM li JOIN th ON li.l_partkey = th.l_partkey
         |WHERE li.l_quantity < th.qty_thresh
@@ -1398,6 +1415,12 @@ object RelationalOps {
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the ann_recall shape: DuckDB states the exact side and the bound
+    // verdict the deterministic sketch must clear (see approxDistinct)
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_broadcast" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

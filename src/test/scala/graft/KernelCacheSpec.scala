@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.KernelCache
+import graft.operators.TextOps
+
+/** Parity + lifecycle for the session-scoped shared-kernel cache (r15,
+  * `spark.graft.kernel.sessionCache`): with the flag on, the dedup
+  * diagnostics must return BIT-identical results while building the
+  * shingle/signature kernel once per session instead of once per query. */
+class KernelCacheSpec extends AnyFunSuite with SparkTest {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("cached kernel is bit-identical across the diagnostic family and builds once") {
+    // baseline: flag off (the oracle-gate default) — self-contained builds
+    val offJaccard = rows(TextOps.ngramJaccard(spark, sf))
+    val offContain = rows(TextOps.minhashContainment(spark, sf))
+    val offAgree = rows(TextOps.dedupMethodAgreement(spark, sf))
+    graft.api.Caches.release(spark)
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    try {
+      val m0 = KernelCache.misses
+      assert(rows(TextOps.ngramJaccard(spark, sf)) == offJaccard)
+      val afterFirst = KernelCache.misses - m0
+      assert(afterFirst == 2, // shingles3 + sig3 built exactly once
+        s"first query should build both kernel tables, built $afterFirst")
+      graft.api.Caches.release(spark) // the harness sweep between queries
+      assert(rows(TextOps.minhashContainment(spark, sf)) == offContain)
+      graft.api.Caches.release(spark)
+      assert(rows(TextOps.dedupMethodAgreement(spark, sf)) == offAgree)
+      // the sweep-surviving cache served every later request: no rebuilds
+      assert(KernelCache.misses - m0 == 2,
+        s"later queries must reuse, total builds ${KernelCache.misses - m0}")
+    } finally {
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+      graft.api.Caches.release(spark)
+    }
+  }
+
+  test("flag off is a pass-through: no entries, no files, plans unchanged") {
+    KernelCache.clear()
+    val m0 = KernelCache.misses
+    TextOps.ngramJaccard(spark, sf).count()
+    assert(KernelCache.misses == m0, "disabled cache must never build")
+    graft.api.Caches.release(spark)
+  }
+}

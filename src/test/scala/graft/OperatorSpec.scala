@@ -770,39 +770,31 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("approx_distinct tracks exact distinct within HLL tolerance") {
-    val approx = RelationalOps.approxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_distinct: exact side matches distinct_count, HLL verdict holds") {
+    val rows = RelationalOps.approxDistinct(spark, sf).collect()
     val exact = RelationalOps.distinctCount(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((k, ex) <- exact) {
-      // default HLL++ rsd is 5%; 3σ plus small-cardinality slack — an
-      // implementation returning garbage (0, n, hash values) fails this
-      val tol = math.max(0.15 * ex, 5.0)
-      assert(math.abs(approx(k) - ex) <= tol,
-        s"$k: approx=${approx(k)} exact=$ex tolerance=$tol")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows) {
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: exact side drifted")
+      // the deterministic HLL estimate clears 3×rsd on this data — a
+      // sketch regression flips this (and hash-fails the oracle gate)
+      assert(r.getBoolean(2), s"${r.getString(0)}: HLL estimate out of bound")
     }
   }
 
-  test("approx_percentiles sit at the right rank of each group's distribution") {
-    val byGroup = graft.model.Tables.events(spark, sf)
-      .select(col("event_type"), col("value")).collect()
-      .groupBy(_.getString(0)).map { case (k, rs) =>
-        k -> rs.map(_.getDouble(1)).sorted
-      }
+  test("approx_percentiles: exact side matches percentiles, GK verdict holds") {
     val rows = AnalyticOps.approxPercentiles(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSet == byGroup.keySet)
-    for (r <- rows; (q, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
-      val vals = byGroup(r.getString(0))
-      val est = r.getDouble(i + 1)
-      // rank test: the fraction of values ≤ the estimate must bracket the
-      // requested quantile (accuracy=10000 ⇒ rank error ≤ 1/10000, plus
-      // 1/n discretization because estimates are actual data points)
-      val frac = vals.count(_ <= est).toDouble / vals.length
-      val slack = 1.0 / 10000 + 1.0 / vals.length + 1e-9
-      assert(math.abs(frac - q) <= slack,
-        s"${r.getString(0)} q=$q est=$est frac=$frac n=${vals.length}")
+    val exact = AnalyticOps.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows) {
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+        exact(r.getString(0)), s"${r.getString(0)}: exact side drifted")
+      // each sketch percentile lies inside the exact ±0.02 rank window
+      assert(r.getBoolean(4), s"${r.getString(0)}: GK estimate out of window")
     }
   }
 
@@ -829,12 +821,12 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
-  test("every query key has either an oracle or a documented omission") {
+  test("every query key is oracle-bearing (zero no_oracle rows since r15)") {
+    // the former sketch exceptions (HLL distinct, GK percentiles,
+    // count-min heavy hitters) became accuracy-gate queries in round 15:
+    // exact side + deterministic within-bound verdict, the ann_recall way
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // sketch-based ops (HLL distinct, t-digest percentiles, count-min
-    // heavy hitters) aren't portable to DuckDB's sketches — rows-only
-    // checks with accuracy-bound specs instead
-    assert(noOracle == Set("approx_distinct", "approx_percentiles", "approx_topk"))
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   test("path_topk: user coverage, 5-bounded paths, frequency-descending") {

@@ -62,6 +62,169 @@ def lint_oracle_types(con, oracle):
     return bad
 
 
+def strip_sql_atoms(sql):
+    """Yield (char, depth, in_string) for a depth-aware scan that skips
+    string literals ('' escapes) and double-quoted identifiers."""
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            i = (j if j >= 0 else n) + 1
+            continue
+        if c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+        yield i, c, depth
+        i += 1
+
+
+def parse_outer_order_by(sql):
+    """Return (items, had_order_by): the LAST depth-0 ORDER BY's comma-split
+    item list (up to a depth-0 LIMIT/OFFSET or end), each stripped of
+    ASC/DESC/NULLS FIRST|LAST. items is None when there is no outer ORDER BY."""
+    import re
+    flat = []
+    for i, c, depth in strip_sql_atoms(sql):
+        flat.append((i, c.upper() if depth == 0 else "\x00", depth))
+    text = "".join(c for _, c, _ in flat)
+    matches = list(re.finditer(r"ORDER\s+BY", text))
+    if not matches:
+        return None, False
+    body_start = matches[-1].end()
+    m = re.search(r"\b(LIMIT|OFFSET)\b", text[body_start:])
+    end = body_start + (m.start() if m else len(text) - body_start)
+    # map back to original indices to recover the raw (mixed-case) text
+    orig_start = flat[body_start][0] if body_start < len(flat) else len(sql)
+    orig_end = flat[end][0] if end < len(flat) else len(sql)
+    clause = sql[orig_start:orig_end]
+    # split on depth-0 commas within the clause
+    items, cur, depth = [], [], 0
+    for ch in clause:
+        if ch == '(':
+            depth += 1
+        elif ch == ')':
+            depth -= 1
+        if ch == ',' and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    out = []
+    for it in items:
+        t = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", it.strip())
+        t = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", t.strip()).strip()
+        out.append(t)
+    return out, True
+
+
+def lint_order_ties(name, sql, cols, rows):
+    """Tie-unsafe ORDER BY lint (authoring-time drift class #2, r15):
+    a multi-row oracle without a depth-0 ORDER BY, or whose ORDER BY key
+    tuple is duplicated across output rows, can legally permute between
+    engines and flake the order-sensitive hash. Items must resolve to
+    output columns (by name or 1-based position) to be checkable;
+    expression items make the key unverifiable and are reported too."""
+    if len(rows) <= 1:
+        return None  # 0/1-row results cannot be order-ambiguous
+    items, had = parse_outer_order_by(sql)
+    if not had:
+        return "tie lint: multi-row oracle has no outer ORDER BY"
+    lower = [c.lower() for c in cols]
+    idx, unresolved = [], []
+    for it in items:
+        t = it.strip().strip('"')
+        # a table-qualified item (d.doc_id) orders by the same values as
+        # the output column of that name under the authoring convention
+        base = t.split(".")[-1].strip().strip('"') if "." in t else t
+        if t.isdigit() and 1 <= int(t) <= len(cols):
+            idx.append(int(t) - 1)
+        elif base.lower() in lower:
+            idx.append(lower.index(base.lower()))
+        else:
+            # an expression item can only BREAK ties, never create them:
+            # rows tie iff equal on EVERY item, so uniqueness of the
+            # resolvable subset is sufficient — track and require it
+            unresolved.append(t)
+    seen = {}
+    for r in rows:
+        key = tuple(norm_cell(r[j]) for j in idx)
+        full = tuple(norm_cell(v) for v in r)
+        if key in seen:
+            if seen[key] == full:
+                continue  # identical tied ROWS permute invisibly — safe
+            if unresolved:
+                return (f"tie lint: ORDER BY key ties on {key} and the "
+                        f"expression item(s) {unresolved} are not output "
+                        "columns — order unverifiable; alias them into "
+                        "the SELECT list on both sides")
+            return (f"tie lint: ORDER BY {items} is not a total order — "
+                    f"duplicate key {key} over differing rows; extend the "
+                    "key to a unique column on both sides")
+        seen[key] = full
+    return None
+
+
+def _rounded6(v):
+    if v != v or v in (float("inf"), float("-inf")):
+        return True  # NaN/inf normalize identically on both engines
+    # v is exactly the double a 6-dp rounding would produce (Python's
+    # round(float, 6) returns the nearest double to the 6-dp decimal, so
+    # already-rounded values — and values too large to carry sub-unit
+    # precision — are fixed points)
+    return v == round(v, 6)
+
+
+def _floats_of(v):
+    if isinstance(v, float):
+        yield v
+    elif isinstance(v, list):
+        for x in v:
+            yield from _floats_of(x)
+
+
+# Columns that are FULL-PRECISION BY DESIGN and still drift-safe: values
+# produced with no cross-engine arithmetic at all (renamed passthrough).
+# embed_quantize.scale = array_max(|raw float|) — a comparison over
+# identical parquet bits; rounding it would corrupt dequantization.
+DOUBLE_LINT_EXEMPT = {"embed_quantize": {"scale"}}
+
+
+def lint_unrounded_doubles(name, cols, rows, passthrough):
+    """Unrounded-double lint (authoring-time drift class #3, r15): a
+    COMPUTED double column emitted at full precision depends on both
+    engines' floating summation/interpolation order — the class round-6
+    exists to kill. Columns named like base-table columns are passthrough
+    (bit-identical parquet reads) and exempt."""
+    bad = []
+    for j, c in enumerate(cols):
+        if c.lower() in passthrough or c in DOUBLE_LINT_EXEMPT.get(name, ()):
+            continue
+        for r in rows:
+            if any(not _rounded6(f) for f in _floats_of(r[j])):
+                bad.append(f"{c}={r[j]!r}")
+                break
+    if bad:
+        return ("double lint: computed double column(s) not 6-dp-rounded "
+                f"{bad} — wrap in round(..., 6) on both sides (or sum as "
+                "DECIMAL and cast)")
+    return None
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -103,6 +266,12 @@ def main():
         print(f"ERROR: input tables missing from {sf_dir}: {missing}")
         sys.exit(2)
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # base-table column names are passthrough for the double lint: both
+    # engines read the identical parquet bits, no arithmetic to drift
+    passthrough = set()
+    for t in TABLES:
+        for r in con.execute(f"DESCRIBE {t}").fetchall():
+            passthrough.add(r[0].lower())
 
     failures = []
     lint_bad = lint_oracle_types(con, oracle)
@@ -151,6 +320,13 @@ def main():
             continue
 
         problems = []
+        # authoring-time drift lints (r15): run on the executed oracle
+        # result — a green hash TODAY does not make a tie-unsafe order or
+        # an unrounded computed double safe against engine/version drift
+        for lint in (lint_order_ties(name, sql, o_cols, o_rows),
+                     lint_unrounded_doubles(name, o_cols, o_rows, passthrough)):
+            if lint:
+                problems.append(lint)
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         elif len(s_rows) != len(o_rows):
