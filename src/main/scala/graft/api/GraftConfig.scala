@@ -49,7 +49,14 @@ object GraftConfig {
   private[graft] val ScaleDefaults: Map[String, String] = Map(
     "spark.graft.lsh.maxBucket" -> "auto",
     "spark.graft.substr.hashGrams" -> "true",
-    "spark.graft.approxQuantileCuts" -> "true")
+    "spark.graft.approxQuantileCuts" -> "true",
+    // r15 additions, both bit-neutral by construction and parity-spec'd:
+    // the shared shingle/signature kernel cache (KernelCacheSpec pins
+    // cross-query output identity) and the auto-skew salting rule
+    // (PlanSpec pins salted ≡ unsalted output; inert anyway until a key
+    // is registered via AutoSalt.analyzeAndRegister)
+    "spark.graft.kernel.sessionCache" -> "true",
+    "spark.graft.autoSalt.enabled" -> "true")
 
   /** `Config.get/3`: conf value with env indirection, else the scale
     * profile's default for the key (when the profile is on), else
