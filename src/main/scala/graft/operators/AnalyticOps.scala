@@ -288,6 +288,65 @@ object AnalyticOps {
       .orderBy("event_type")
   }
 
+  /** Winsorization — the standard outlier-robust preprocessing clip:
+    * every value clamped to its event type's exact [p01, p99] band
+    * (feature pipelines winsorize before scaling so one corrupt reading
+    * cannot stretch the whole feature range). The cuts are round-6
+    * presented percentiles (the `percentiles` construction) computed in
+    * ONE per-type aggregate and broadcast back; the clip itself is
+    * map-only. At 100 TB the exact percentile swaps for the GK sketch
+    * exactly as `approx_percentiles` prices. */
+  def winsorizeValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val cuts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p01"),
+        round(element_at(col("ps"), 2), 6).as("p99"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("p01")), col("p99")), 6)
+          .as("value_winsorized"))
+      .orderBy("event_id")
+  }
+
+  /** Decile cuts used by [[quantileBins]]. */
+  private val QuantileBinCuts: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Equal-frequency (decile) binning of `value` with per-bin stats —
+    * the feature-binning primitive (quantile bucketizers, calibration
+    * histograms). Bin = how many of the 9 exact round-6 decile cuts the
+    * value EXCEEDS (a branch-free integer sum stated identically in
+    * SQL), so ties at a boundary land deterministically in the lower
+    * bin. Scale shape: cuts from ONE aggregate (1 row, broadcast), the
+    * binning is map-only, per-bin stats map-side combine to ≤10 rows —
+    * no global sort anywhere (an `ntile` spelling would be one); the
+    * 100 TB cut computation swaps for the GK sketch as priced by
+    * `approx_percentiles`. Sums are exact DECIMAL(18,2) (value is
+    * 2-dp data) cast to double. */
+  def quantileBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val arr = QuantileBinCuts.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val cuts = Tables.events(spark, sfDir)
+      .agg(expr(s"percentile(value, $arr)").as("ps"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ps"), i), 6).as(s"c$i")): _*)
+      // empty input: the ungrouped aggregate yields one NULL row — drop
+      // it so the query degrades to empty (stated in the oracle)
+      .filter(col("c1").isNotNull)
+    val bin = (1 to 9).map(i =>
+      when(col("value") > col(s"c$i"), 1).otherwise(0)).reduce(_ + _)
+    Tables.events(spark, sfDir)
+      .crossJoin(broadcast(cuts))
+      .select(bin.as("bin"), col("value"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"),
+        sum(col("value").cast(Dec)).cast("double").as("vsum"))
+      .orderBy("bin")
+  }
+
   /** Date/time arithmetic pack: diffs, offsets, boundaries. */
   def datePack(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir).select(
@@ -713,6 +772,8 @@ object AnalyticOps {
     "heavy_hitters"    -> (heavyHitters _),
     "key_skew_profile" -> (keySkewProfile _),
     "approx_percentiles" -> (approxPercentiles _),
+    "winsorize_values" -> (winsorizeValues _),
+    "quantile_bins"    -> (quantileBins _),
     "date_pack"        -> (datePack _),
     "pattern_filter"   -> (patternFilter _),
     "trailing_window"  -> (trailingWindow _),
@@ -749,6 +810,28 @@ object AnalyticOps {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "winsorize_values" ->
+      """WITH cuts AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.01), 6) AS p01,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        | FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        | round(least(greatest(value, p01), p99), 6) AS value_winsorized
+        |FROM events e JOIN cuts USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "quantile_bins" ->
+      s"""WITH cuts AS (
+        | SELECT ${(1 to 9).map(i =>
+             s"round(quantile_cont(value, 0.${i}), 6) AS c$i").mkString(", ")}
+        | FROM events),
+        |b AS (SELECT CAST(${(1 to 9).map(i =>
+             s"(CASE WHEN value > c$i THEN 1 ELSE 0 END)").mkString(" + ")}
+        |   AS INTEGER) AS bin, value
+        | FROM events, cuts WHERE c1 IS NOT NULL)
+        |SELECT bin, count(*) AS n,
+        | round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // ann_recall shape: the exact side re-stated, the sketch's rank-window
     // verdict as a boolean the deterministic GK sketch must clear
     "approx_percentiles" ->

@@ -584,6 +584,38 @@ object SimilarityOps {
       .orderBy("vec_id", "dim")
   }
 
+  /** Per-dimension ROBUST scaling (median/IQR) — [[embedStandardize]]'s
+    * outlier-resistant sibling: one corrupt coordinate shifts a mean/σ
+    * z-score corpus-wide but moves the median and IQR not at all (50%
+    * and 25% breakdown points — the anomaly_mad rationale applied to
+    * the whitening step). Determinism by construction: coordinates
+    * quantize to ×10⁶ integers (exact, both engines), and the exact
+    * quartiles of INTEGERS interpolate at quarter fractions — products
+    * of small integers with exact binary fractions — so the med/IQR
+    * doubles are bit-equal cross-engine, not merely close; the closing
+    * (q − med)/iqr is scale-invariant so the quantization factor
+    * cancels. A zero-IQR dimension maps to 0. Scale shape: posexplode →
+    * ONE 64-group exact-percentile aggregate (per-dim sort — swaps for
+    * the GK sketch at 100 TB exactly as `approx_percentiles` prices) →
+    * broadcast stats join back, map-only after. */
+  def embedRobustStandardize(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = vecs(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+    val st = q.groupBy("dim")
+      .agg(expr("percentile(q, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("dim"),
+        element_at(col("ps"), 2).as("med"),
+        (element_at(col("ps"), 3) - element_at(col("ps"), 1)).as("iqr"))
+    q.join(broadcast(st), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("iqr") <= 0.0, lit(0.0))
+          .otherwise(round((col("q").cast("double") - col("med")) / col("iqr"), 6))
+          .as("rz"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Embedding-space OUTLIER gate: each vector's squared distance to
     * the corpus centroid, z-scored across the corpus, flagged past 2σ —
     * the cheap embedding-quality filter that catches broken encodes /
@@ -1590,6 +1622,7 @@ object SimilarityOps {
     "jl_recall"          -> (jlRecall _),
     "embed_dim_stats"    -> (embedDimStats _),
     "embed_standardize"  -> (embedStandardize _),
+    "embed_robust_standardize" -> (embedRobustStandardize _),
     "ann_probe_sweep"    -> (annProbeSweep _),
     "ivf_probe_sweep"    -> (ivfProbeSweep _),
     "pq_probe_sweep"     -> (pqProbeSweep _),
@@ -1979,6 +2012,21 @@ object SimilarityOps {
         |ORDER BY a.dim""".stripMargin,
     // the embed_dim_stats fixed-point sums, joined back per coordinate;
     // z chain stated identically, zero-variance dims map to 0
+    "embed_robust_standardize" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS q
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v)),
+        |st AS MATERIALIZED (SELECT dim,
+        |  quantile_cont(q, 0.5) AS med,
+        |  quantile_cont(q, 0.75) - quantile_cont(q, 0.25) AS iqr
+        | FROM q GROUP BY dim)
+        |SELECT q.vec_id, q.dim,
+        | CASE WHEN st.iqr <= 0.0 THEN 0.0
+        |  ELSE round((CAST(q.q AS DOUBLE) - st.med) / st.iqr, 6) END AS rz
+        |FROM q JOIN st ON st.dim = q.dim
+        |ORDER BY q.vec_id, q.dim""".stripMargin,
     "embed_standardize" ->
       s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
         |q AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,

@@ -1162,6 +1162,60 @@ object TextOps {
         round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_chars"))
       .orderBy("lang")
 
+  /** Duplication INFLATION per source — the curation report that prices
+    * a dedup run source-by-source: docs and chars carried vs the
+    * canonical (global min-doc_id per content hash) share, with the char
+    * inflation factor. A source whose canonicals carry none of its bytes
+    * is pure duplication of other sources (inflation NULL — division by
+    * an empty canonical set, stated identically in SQL). Scale shape:
+    * the dedup_exact kernel (one hash shuffle + per-hash window) feeding
+    * one source-keyed map-side-combinable aggregate; text never shuffles
+    * (the md5 does). */
+  def dupInflationBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("content_hash"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_canonical"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("rn") === 1, col("n_chars")).otherwise(lit(0L)))
+          .as("canonical_chars"))
+      .select(col("source"), col("n_docs"), col("n_canonical"),
+        col("total_chars"), col("canonical_chars"),
+        round(col("total_chars").cast("double") /
+          when(col("canonical_chars") === 0, lit(null))
+            .otherwise(col("canonical_chars")).cast("double"), 6)
+          .as("char_inflation"))
+      .orderBy("source")
+  }
+
+  /** Language-mix Shannon entropy per source (nats) — the diversity
+    * audit a multilingual mix plan reads next to `source_mix` /
+    * `temperature_mix`: a source at entropy 0 is monolingual, one near
+    * ln(n_langs) is uniformly mixed. Determinism: the char_entropy
+    * discipline — each −(c/n)·ln(c/n) term is round-6 DECIMAL(18,6),
+    * summed exactly under any shuffle order. Scale shape: two cascaded
+    * map-side-combinable aggregates over (source, lang) — key-space
+    * cost, never row-space. */
+  def langEntropyBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    counts.join(tot, Seq("source"))
+      .select(col("source"),
+        round(-(col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        sum(col("term")).cast("double").as("lang_entropy"))
+      .orderBy("source")
+  }
+
   /** Stopword-profile language ID (n-gram heuristic): score each language
     * by its function-word hit count in the normalized text; argmax with a
     * fixed tie-break order. Pure scalar expressions — fully codegen'd. */
@@ -1749,6 +1803,8 @@ object TextOps {
     "doc_embed_similarity" -> (docEmbedSimilarity _),
     "text_stats"          -> (textStats _),
     "char_entropy"        -> (charEntropy _),
+    "dup_inflation_by_source" -> (dupInflationBySource _),
+    "lang_entropy_by_source"  -> (langEntropyBySource _),
     "lang_dist"           -> (langDist _),
     "lang_id"             -> (langId _),
     "langid_confusion"    -> (langidConfusion _),
@@ -2364,6 +2420,27 @@ object TextOps {
         |  AS entropy
         |FROM cc JOIN tot USING (doc_id) GROUP BY doc_id, nc
         |ORDER BY doc_id""".stripMargin,
+    "dup_inflation_by_source" ->
+      """WITH h AS (SELECT doc_id, source, n_chars, md5(text) AS content_hash,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS canonical_chars,
+        | round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) /
+        |  CAST(NULLIF(CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT), 0) AS DOUBLE), 6)
+        |  AS char_inflation
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    "lang_entropy_by_source" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        | FROM documents GROUP BY source, lang),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source)
+        |SELECT source, count(*) AS n_langs,
+        | CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |   ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS lang_entropy
+        |FROM c JOIN t USING (source) GROUP BY source ORDER BY source""".stripMargin,
     "lang_dist" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_chars

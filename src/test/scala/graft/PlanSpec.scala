@@ -358,6 +358,22 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("winsorize_values clips via a broadcast cuts join, never a shuffle join") {
+    val p = plan(AnalyticOps.winsorizeValues(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"cuts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for 5 cut rows:\n$p")
+  }
+
+  test("quantile_bins never globally sorts the data side (cuts broadcast, bins aggregate)") {
+    val p = plan(AnalyticOps.quantileBins(spark, sf))
+    // the one rangepartitioning exchange is the ≤10-row presentation
+    // sort; an ntile spelling would range-partition the full data side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row cuts must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"per-bin stats must map-side combine:\n$p")
+  }
+
   test("autoSalt rule: diagnostic registers the hot key, rewrite salts the join, output bit-identical") {
     import org.apache.spark.sql.functions._
     import graft.plans.{AutoSalt, AutoSaltRule}
