@@ -755,6 +755,37 @@ object AnalyticOps {
       .orderBy("user_id", "island_start")
   }
 
+  /** Dwell half-window: each event covers [ts, ts + 30 min). */
+  private val DwellWindowUs = 30L * 60L * 1000000L
+
+  /** Interval-union coverage per user: total time covered by the UNION
+    * of the per-event 30-minute dwell windows — the classic
+    * merge-overlapping-intervals report (true engaged time, where
+    * summing per-event windows double-counts bursts). The windowed
+    * islands construction: an event opens a NEW island when its start
+    * exceeds the running max end of all earlier events (ties on (s, e)
+    * are fully identical rows, so the running max is order-independent
+    * and the result deterministic). Scale shape: two user-partitioned
+    * windows over the same (user, time) sort — ONE shuffle AQE reuses —
+    * then two map-side-combinable aggregates; no global sort, state per
+    * user bounded by its own events. */
+  def intervalUnionTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + DwellWindowUs)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L)
+    b.withColumn("isl",
+        sum(newIsland).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("me") - col("ms")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
@@ -774,6 +805,7 @@ object AnalyticOps {
     "approx_percentiles" -> (approxPercentiles _),
     "winsorize_values" -> (winsorizeValues _),
     "quantile_bins"    -> (quantileBins _),
+    "interval_union_time" -> (intervalUnionTime _),
     "date_pack"        -> (datePack _),
     "pattern_filter"   -> (patternFilter _),
     "trailing_window"  -> (trailingWindow _),
@@ -810,6 +842,23 @@ object AnalyticOps {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "interval_union_time" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        | FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM b),
+        |i AS (SELECT user_id, s, e,
+        |  CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+        | FROM m),
+        |g AS (SELECT user_id, isl, min(s) AS ms, max(e) AS me
+        | FROM i GROUP BY user_id, isl)
+        |SELECT user_id, count(*) AS n_islands,
+        | CAST(sum(me - ms) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "winsorize_values" ->
       """WITH cuts AS (SELECT event_type,
         |  round(quantile_cont(value, 0.01), 6) AS p01,

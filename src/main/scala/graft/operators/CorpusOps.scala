@@ -44,6 +44,38 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabTopK)
 
+  /** k values swept by [[vocabCoverageCurve]]. */
+  private[operators] val CoverageKs = Seq(10, 50, 100, 500, 1000)
+
+  /** Vocabulary coverage curve: the fraction of total token MASS the
+    * top-k vocabulary covers, for the [[CoverageKs]] ladder — the
+    * tokenizer-planning table (where the curve flattens is where a
+    * bigger vocab stops paying; the gap to 1.0 at the chosen k is the
+    * OOV mass a fallback scheme must carry). Rank ties break on the
+    * token itself (the vocab_topk discipline), so the curve is stable
+    * across runs and engines. Scale shape: token counts shuffle the
+    * VOCABULARY, not the corpus; the rank window is one vocab-sized
+    * task (vocabulary is bounded by the language, not the data); the
+    * k-sweep is a 5-row broadcast over vocab rows into a ≤5-row
+    * aggregate. */
+  def vocabCoverageCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = TextOps.normed(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    ranked.crossJoin(broadcast(CoverageKs.toDF("k")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rn") <= col("k"), col("cnt")).otherwise(lit(0L)))
+          .as("top_mass"),
+        sum(col("cnt")).as("total_mass"))
+      .select(col("k"), col("top_mass"), col("total_mass"),
+        round(col("top_mass").cast("double") / col("total_mass").cast("double"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
   // -------------------------------------------------------- Zipf fit
   /** Vocabulary terms entering the [[zipfSlope]] regression. */
   private[operators] val ZipfTopK = 100
@@ -243,6 +275,32 @@ object CorpusOps {
     * frame and JOINED back to the (doc, word) explode — the vocab side
     * is broadcast-sized at any corpus scale, never a per-document
     * re-tokenization. */
+  /** BPE FERTILITY per language: mean BPE tokens per word under the
+    * [[bpeTrain]]ed merges, split by language — the tokenizer-equity
+    * audit (a language at fertility 2× another pays 2× the context
+    * budget per word; the number multilingual tokenizer papers report).
+    * Same trained chain and word→symbol-count join as [[bpeDocTokens]],
+    * rolled up by language instead of document — key-space aggregates
+    * throughout (the join side is the WORD vocabulary). */
+  def bpeFertilityByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, frames) = bpeChain(spark, sfDir)
+    val wordSyms = frames.last.select(col("word"),
+      size(expr("filter(split(sym, '  '), t -> t != '')")).as("n_syms"))
+    docs(spark, sfDir)
+      .select(col("lang"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordSyms, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
   def bpeDocTokens(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, frames) = bpeChain(spark, sfDir)
     val wordSyms = frames.last.select(col("word"),
@@ -1045,6 +1103,8 @@ object CorpusOps {
     "bpe_train"     -> (bpeTrain _),
     "bpe_encode"    -> (bpeEncode _),
     "bpe_doc_tokens" -> (bpeDocTokens _),
+    "bpe_fertility_by_lang" -> (bpeFertilityByLang _),
+    "vocab_coverage_curve"  -> (vocabCoverageCurve _),
     "zipf_slope"    -> (zipfSlope _),
     "bigram_entropy" -> (bigramEntropy _),
     "collocation_topk" -> (collocationTopk _),
@@ -1170,6 +1230,31 @@ object CorpusOps {
         |SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
         |FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT $VocabTopK""".stripMargin,
+    "vocab_coverage_curve" ->
+      s"""WITH dn AS (SELECT ${TextOps.normSql} AS norm FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        | SELECT unnest(string_split(norm, ' ')) AS token FROM dn) t GROUP BY token),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM v),
+        |ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k)
+        |SELECT k,
+        | CAST(sum(CASE WHEN rn <= k THEN cnt ELSE 0 END) AS BIGINT) AS top_mass,
+        | CAST(sum(cnt) AS BIGINT) AS total_mass,
+        | round(CAST(CAST(sum(CASE WHEN rn <= k THEN cnt ELSE 0 END) AS BIGINT) AS DOUBLE) /
+        |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS coverage
+        |FROM r, ks GROUP BY k ORDER BY k""".stripMargin,
+    "bpe_fertility_by_lang" ->
+      s"""WITH $bpeCtesSql,
+        |ws AS (SELECT word,
+        |  CAST(len(list_filter(string_split(sym, '  '), t -> t <> '')) AS BIGINT) AS n_syms
+        | FROM v$BpeTrainMerges),
+        |lw AS (SELECT lang, unnest(string_split(${TextOps.normSql}, ' ')) AS word
+        | FROM documents),
+        |j AS (SELECT lang, ws.n_syms FROM lw JOIN ws ON ws.word = lw.word
+        | WHERE length(lw.word) >= 1)
+        |SELECT lang, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+        | round(CAST(CAST(sum(n_syms) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |  AS fertility
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "zipf_slope" -> {
       val slopeSql = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
         " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"

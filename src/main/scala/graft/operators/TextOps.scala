@@ -1282,6 +1282,29 @@ object TextOps {
         6).as("quality"))
   }
 
+  /** Per-SOURCE quality rollup: doc count and the mean/min/max of the
+    * per-doc quality score by feed — the table a curation owner reads
+    * to decide which sources need filtering at all (next to
+    * `dedup_rate_by_source` and `dup_inflation_by_source` in the
+    * per-feed audit family). Determinism: per-doc quality is already
+    * round-6; the mean sums those fixed points as exact DECIMAL(18,6)
+    * (shuffle-order exact) and rounds the single closing division.
+    * Scale shape: the map-only scoring scan feeding one source-keyed
+    * map-side-combinable aggregate. */
+  def qualityBySource(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoredUnsorted(spark, sfDir).select(col("doc_id"), col("quality"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").cast(DecimalType(18, 6))).as("qsum"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .select(col("source"), col("n_docs"),
+        round(col("qsum").cast("double") / col("n_docs").cast("double"), 6)
+          .as("avg_quality"),
+        col("min_quality"), col("max_quality"))
+      .orderBy("source")
+
   /** Quality-percentile corpus curation: keep the top half of each
     * language's docs ranked by quality score — the filtering step that
     * follows scoring in a training-data pipeline. RANK-based (row_number
@@ -1810,6 +1833,7 @@ object TextOps {
     "langid_confusion"    -> (langidConfusion _),
     "token_count"         -> (tokenCount _),
     "quality_score"       -> (qualityScore _),
+    "quality_by_source"   -> (qualityBySource _),
     "quality_filter"      -> (qualityFilter _),
     "fingerprint"         -> (fingerprint _),
     "gopher_rules"        -> (gopherRules _),
@@ -2465,6 +2489,14 @@ object TextOps {
       s"""WITH $qualityCtesSql
         |SELECT doc_id, n_words, n_punct, n_stop, quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "quality_by_source" ->
+      s"""WITH $qualityCtesSql
+        |SELECT d.source, count(*) AS n_docs,
+        | round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE), 6) AS avg_quality,
+        | min(q.quality) AS min_quality, max(q.quality) AS max_quality
+        |FROM q JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "quality_filter" ->
       s"""WITH $qualityCtesSql
         |SELECT doc_id, lang, quality FROM (
