@@ -755,6 +755,31 @@ object AnalyticOps {
       .orderBy("user_id", "island_start")
   }
 
+  /** Per-user MODE: the most frequent event type with its count and
+    * share — the categorical argmax every per-entity profile starts
+    * with. Deterministic tie-break on the type string (rank window over
+    * (cnt desc, type)), so two engines and two runs agree even on tied
+    * users. Scale shape: one (user, type) map-side-combined aggregate —
+    * the key space is users × |types| — then a user-partitioned window
+    * over ≤|types| rows per user and a 1-row-per-user total join
+    * derived from the SAME aggregate (no second pass over events). */
+  def modePerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+    counts
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n").desc, col("event_type"))))
+      .withColumn("total", sum(col("n")).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event_type"),
+        col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+      .orderBy("user_id")
+  }
+
   /** Dwell half-window: each event covers [ts, ts + 30 min). */
   private val DwellWindowUs = 30L * 60L * 1000000L
 
@@ -806,6 +831,7 @@ object AnalyticOps {
     "winsorize_values" -> (winsorizeValues _),
     "quantile_bins"    -> (quantileBins _),
     "interval_union_time" -> (intervalUnionTime _),
+    "mode_per_group"   -> (modePerGroup _),
     "date_pack"        -> (datePack _),
     "pattern_filter"   -> (patternFilter _),
     "trailing_window"  -> (trailingWindow _),
@@ -842,6 +868,16 @@ object AnalyticOps {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "mode_per_group" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, n,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn,
+        |  CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        | FROM c)
+        |SELECT user_id, event_type AS mode_event_type, n,
+        | round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "interval_union_time" ->
       """WITH b AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
         | FROM events),

@@ -76,6 +76,81 @@ object CorpusOps {
       .orderBy("k")
   }
 
+  /** Vocabulary size above which a token counts as OOV in [[oovRate]]. */
+  private[operators] val OovVocabK = 100
+
+  /** Per-document OOV-mass rate: the fraction of a doc's tokens that
+    * fall OUTSIDE the corpus top-[[OovVocabK]] vocabulary — the
+    * document-level companion of [[vocabCoverageCurve]] (the curve sizes
+    * the vocab; this ranks which DOCS pay the OOV cost under it —
+    * rare-token-heavy docs are both the quality-filter suspects and the
+    * tokenizer's worst fertility cases). Rank ties break on the token
+    * (the vocab_topk discipline). Scale shape: the vocab rank is
+    * vocab-space; the token→in-vocab join hits a K-row side (broadcast);
+    * one doc-keyed aggregate closes. */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+    val topVocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(OovVocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(topVocab), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Jensen–Shannon divergence (nats) between each SOURCE's token
+    * distribution and the corpus's — the drift/contamination audit for
+    * mixture planning (JS, not KL: symmetric, finite even when a source
+    * misses vocabulary, bounded by ln 2). Computed SPARSELY: over the
+    * tokens a source actually has, both KL legs contribute
+    * 0.5·(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2; every corpus token
+    * the source lacks contributes q·ln(q/(q/2)) = q·ln 2 to the q-leg,
+    * so the absent mass folds into ONE closed term
+    * 0.5·ln 2·(1 − q_present) — no dense vocab×sources frame is ever
+    * built. Determinism: p and q are single divisions of exact counts,
+    * per-token terms are round-6 DECIMAL(18,6) sums (the entropy
+    * discipline), the closing combination is one identical double
+    * expression. Scale shape: (source, token) and (token) aggregates —
+    * key-space cost — then a vocab-sized join and a sources-sized
+    * output. */
+  def sourceJsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = docs(spark, sfDir)
+      .select(col("source"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("sc"))
+    val corpus = st.groupBy(col("token")).agg(sum(col("sc")).as("cc"))
+    val stot = st.groupBy(col("source")).agg(sum(col("sc")).as("stot"))
+    val ctot = corpus.agg(sum(col("cc")).as("ctot"))
+    val p = col("sc").cast("double") / col("stot").cast("double")
+    val q = col("cc").cast("double") / col("ctot").cast("double")
+    val m = (p + q) / 2.0
+    val terms = st.join(corpus, Seq("token"))
+      .join(stot, Seq("source"))
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("cc"),
+        round(lit(0.5) * (p * log(p / m) + q * log(q / m)), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+    terms
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens_shared"),
+        sum(col("term")).cast("double").as("present_sum"),
+        sum(col("cc")).as("cpresent"))
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("n_tokens_shared"),
+        round(col("present_sum") + lit(0.5) * log(lit(2.0)) *
+          ((col("ctot") - col("cpresent")).cast("double") / col("ctot").cast("double")), 6)
+          .as("js_divergence"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------- Zipf fit
   /** Vocabulary terms entering the [[zipfSlope]] regression. */
   private[operators] val ZipfTopK = 100
@@ -1105,6 +1180,8 @@ object CorpusOps {
     "bpe_doc_tokens" -> (bpeDocTokens _),
     "bpe_fertility_by_lang" -> (bpeFertilityByLang _),
     "vocab_coverage_curve"  -> (vocabCoverageCurve _),
+    "oov_rate"              -> (oovRate _),
+    "source_js_divergence"  -> (sourceJsDivergence _),
     "zipf_slope"    -> (zipfSlope _),
     "bigram_entropy" -> (bigramEntropy _),
     "collocation_topk" -> (collocationTopk _),
@@ -1242,6 +1319,40 @@ object CorpusOps {
         | round(CAST(CAST(sum(CASE WHEN rn <= k THEN cnt ELSE 0 END) AS BIGINT) AS DOUBLE) /
         |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS coverage
         |FROM r, ks GROUP BY k ORDER BY k""".stripMargin,
+    "oov_rate" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
+        |tv AS (SELECT token FROM (
+        | SELECT token, count(*) AS cnt FROM tk GROUP BY token
+        | ORDER BY cnt DESC, token LIMIT $OovVocabK) t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN tv.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | round(CAST(CAST(sum(CASE WHEN tv.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM tk LEFT JOIN tv ON tk.token = tv.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "source_js_divergence" ->
+      s"""WITH st AS MATERIALIZED (SELECT source, token, CAST(count(*) AS BIGINT) AS sc FROM (
+        | SELECT source, unnest(string_split(${TextOps.normSql}, ' ')) AS token
+        | FROM documents) t GROUP BY source, token),
+        |corpus AS MATERIALIZED (SELECT token, CAST(sum(sc) AS BIGINT) AS cc FROM st GROUP BY token),
+        |stot AS (SELECT source, CAST(sum(sc) AS BIGINT) AS stot FROM st GROUP BY source),
+        |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot FROM corpus),
+        |terms AS (SELECT st.source, corpus.cc,
+        |  CAST(round(0.5 * (
+        |    (CAST(sc AS DOUBLE) / CAST(stot AS DOUBLE)) *
+        |     ln((CAST(sc AS DOUBLE) / CAST(stot AS DOUBLE)) /
+        |        ((CAST(sc AS DOUBLE) / CAST(stot AS DOUBLE) + CAST(cc AS DOUBLE) / CAST(ctot AS DOUBLE)) / 2.0)) +
+        |    (CAST(cc AS DOUBLE) / CAST(ctot AS DOUBLE)) *
+        |     ln((CAST(cc AS DOUBLE) / CAST(ctot AS DOUBLE)) /
+        |        ((CAST(sc AS DOUBLE) / CAST(stot AS DOUBLE) + CAST(cc AS DOUBLE) / CAST(ctot AS DOUBLE)) / 2.0))
+        |  ), 6) AS DECIMAL(18,6)) AS term
+        | FROM st JOIN corpus USING (token) JOIN stot USING (source), ctot)
+        |SELECT source, count(*) AS n_tokens_shared,
+        | round(CAST(sum(term) AS DOUBLE) + 0.5 * ln(2.0) *
+        |  (CAST(ctot - CAST(sum(cc) AS BIGINT) AS DOUBLE) / CAST(ctot AS DOUBLE)), 6)
+        |  AS js_divergence
+        |FROM terms, ctot GROUP BY source, ctot ORDER BY source""".stripMargin,
     "bpe_fertility_by_lang" ->
       s"""WITH $bpeCtesSql,
         |ws AS (SELECT word,
