@@ -296,13 +296,19 @@ object AnalyticOps {
     * ONE per-type aggregate and broadcast back; the clip itself is
     * map-only. At 100 TB the exact percentile swaps for the GK sketch
     * exactly as `approx_percentiles` prices. */
-  def winsorizeValues(spark: SparkSession, sfDir: String): DataFrame = {
-    val cuts = Tables.events(spark, sfDir)
+  /** The per-type [p01, p99] cut table [[winsorizeValues]] clips with —
+    * shared with the streaming twin (StreamingWinsorize collects these
+    * |types| rows as its offline artifact). */
+  private[graft] def winsorCuts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"))
       .select(col("event_type"),
         round(element_at(col("ps"), 1), 6).as("p01"),
         round(element_at(col("ps"), 2), 6).as("p99"))
+
+  def winsorizeValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val cuts = winsorCuts(spark, sfDir)
     Tables.events(spark, sfDir)
       .join(broadcast(cuts), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),

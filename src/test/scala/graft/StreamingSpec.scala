@@ -826,6 +826,37 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(vdirs <= 2, s"stale snapshots not pruned: $vdirs")
   }
 
+  test("streaming winsorize equals the batch winsorize_values bit-for-bit across waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cuts = graft.streaming.StreamingWinsorize.offlineCuts(spark, sf)
+    val all = graft.model.Tables.events(spark, sf)
+      .orderBy("event_id").as[RawEvent].collect().toSeq
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingWinsorize(stream.toDS(), cuts)
+      .writeStream.format("memory").queryName("wins_out")
+      .option("checkpointLocation", tempDir("wins_ckpt"))
+      .outputMode("append").start()
+    try {
+      // zero-state: any split of the input must yield the same union
+      val half = all.length / 2
+      stream.addData(all.take(half): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(half): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wins_out").orderBy("event_id").collect().toSeq
+    val expected = graft.operators.AnalyticOps.winsorizeValues(spark, sf)
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // an unseen type passes through unclipped (the documented default)
+    val alien = graft.streaming.StreamingWinsorize(
+      Seq(RawEvent(1L, ts(0), 1L, "never_seen", 1e9, "{}")).toDS(), cuts)
+      .collect().head
+    assert(alien.value_winsorized == 1e9)
+  }
+
   test("streaming anomaly scores equal the batch anomaly_zscore window bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
