@@ -2,11 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, count, lit, max, sum}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
 
 import graft.api.GraftConfig
 
@@ -25,26 +26,75 @@ import graft.api.GraftConfig
   *     `spark.graft.autoSalt.key.<name> = <buckets>`. At 100 TB this pass
   *     costs the KEY space, not the row space, and runs once per
   *     pipeline, exactly like ANALYZE TABLE.
+  *     [[AutoSalt.analyzeAndRegisterSketch]] is the 100 TB variant of the
+  *     same decision: a single bounded-memory pass (mergeable Misra–Gries
+  *     heavy-hitter summary, the approx_topk shape) whose counters never
+  *     leave per-task memory — no key-space shuffle at all.
   *  2. [[AutoSaltRule]] (injected by `GraftExtensions`, gated by
-  *     `spark.graft.autoSalt.enabled`) rewrites qualifying INNER
-  *     equi-joins whose key is registered: the larger side gains
-  *     `__graft_salt_f = pmod(monotonically_increasing_id(), S)`, the
-  *     smaller side replicates S× via `explode(array(0..S-1))`, and the
-  *     join key widens to (key, salt) — a hot key's rows spread over S
-  *     reducers while every fact row still matches EXACTLY the one
-  *     replica carrying its salt, so the output is bit-identical to the
-  *     unsalted join (PlanSpec pins both the injected plan shape and the
-  *     parity).
+  *     `spark.graft.autoSalt.enabled`) rewrites qualifying plans whose
+  *     key is registered. Three patterns:
+  *
+  *     - INNER equi-join: the larger side gains
+  *       `__graft_salt_f = pmod(hash(all fact columns), S)`, the smaller
+  *       side replicates S× via `explode(array(0..S-1))`, and the join
+  *       key widens to (key, salt) — a hot key's rows spread over S
+  *       reducers while every fact row still matches EXACTLY the one
+  *       replica carrying its salt, so the output is bit-identical to the
+  *       unsalted join (PlanSpec pins both the injected plan shape and
+  *       the parity).
+  *     - OUTER equi-join (left/right/full): null-extension-aware via the
+  *       exact decomposition `outer = inner ∪ null-extended anti`. The
+  *       inner part is the salted inner join above; each anti part is a
+  *       SALTED LeftAnti (preserved side salted, other side replicated —
+  *       existence within a row's salt bucket equals existence overall,
+  *       because every build row appears once per bucket), null-extended
+  *       by projecting typed NULLs for the other side. Replicating the
+  *       PRESERVED side directly would null-extend once per empty salt
+  *       bucket — this construction never replicates preserved rows, so
+  *       no dedup step exists to get wrong. Cost: both inputs are read
+  *       twice; the rule only fires for keys measured hot, where the
+  *       alternative is one reducer consuming the hot key alone.
+  *     - Aggregate (groupBy on a registered key): the two-phase
+  *       `salted_agg` shape — partial aggregate over (key, salt), final
+  *       merge over key — for the decomposable function set
+  *       count/min/max/sum-over-exact-types/collect_list, and ONLY when
+  *       a HOLISTIC aggregate (collect_list) is present. Honest scope:
+  *       for purely ALGEBRAIC functions Spark's map-side partial
+  *       aggregation already collapses a hot key to one row per map
+  *       task, so salting those is pure overhead and the rule leaves
+  *       them alone (the A/B in SCALING.md prices both cases);
+  *       `collect_list`'s partial state is the DATA itself — salting
+  *       spreads the hot key's merge work over S reducers instead of
+  *       one, the algebraic aggs ride along exactly. Sum over
+  *       float/double is excluded (re-associating the addition order is
+  *       not bit-stable); sums over integral/decimal types merge
+  *       exactly.
+  *
+  *     The salt MUST be a deterministic function of row content, never a
+  *     positional id: `monotonically_increasing_id()` depends on the row
+  *     order within a task, which is not stable under task recompute
+  *     downstream of a shuffle — after a fetch-failure retry a fact row
+  *     could land on a different salt than the one whose output was
+  *     already consumed, silently losing or duplicating join rows (the
+  *     SPARK-23207 nondeterministic-shuffle-key class). `hash(*)` gives
+  *     every distinct row a stable salt across retries; exact duplicate
+  *     rows share a salt, which costs spread only in the degenerate
+  *     all-rows-identical case and costs correctness never.
   *
   * Scope guards (all deliberate):
-  *  - INNER joins only — outer joins would need null-extension-aware
-  *    replication accounting; the manual `salted_join` covers those by
-  *    construction when needed.
   *  - joins carrying an explicit hint are the USER'S plan — untouched.
   *  - a replicate side already under `autoBroadcastJoinThreshold` will
   *    broadcast anyway (no shuffle to skew) — skipped.
-  *  - already-salted joins (a `__graft_salt` output) are skipped, which
-  *    also makes the rule a fixed point under the optimizer's re-runs.
+  *  - already-salted plans (a `__graft_salt` output) are skipped, which
+  *    also makes the rule a fixed point under the optimizer's re-runs
+  *    (the partial aggregate and the anti branches it creates all carry
+  *    a salt output and are therefore never re-rewritten).
+  *  - streaming plans are skipped: the two-phase aggregate would split
+  *    one stateful operator into two and the union-of-joins rewrite is
+  *    not supported by the streaming planner.
+  *  - aggregates qualify only when EVERY aggregate expression is a bare
+  *    alias of a decomposable function (no DISTINCT, no FILTER clause) —
+  *    anything else leaves the node untouched.
   *
   * This is the engine analog of AQE's skew-join split, for the case AQE
   * cannot see: AQE reads PARTITION sizes post-shuffle, so a hot KEY
@@ -80,10 +130,85 @@ object AutoSalt {
     val sharePct =
       if (row.isNullAt(1) || row.getDouble(1) == 0.0) 0.0
       else 100.0 * row.getDouble(0) / row.getDouble(1)
+    register(spark, keyCol, buckets, sharePct)
+    sharePct
+  }
+
+  /** Sketch variant of [[analyzeAndRegister]] (round-15 verdict item 4):
+    * ONE bounded-memory pass instead of an exact per-key count. Each
+    * task folds its rows into a `counters`-slot Misra–Gries summary;
+    * summaries merge associatively up a `treeAggregate`, so driver and
+    * per-task memory are both O(counters) regardless of key cardinality
+    * — the 100 TB version of the diagnostic (the exact pass shuffles the
+    * KEY space; this pass shuffles `counters` entries per partition and
+    * nothing else).
+    *
+    * Guarantee (mergeable-summaries bound): every reported count is an
+    * UNDERestimate by at most N/counters, so the returned share is in
+    * `[true − 100/counters, true]` percent. The decision is therefore
+    * conservative: a key the sketch registers is genuinely above
+    * `threshold − 100/counters`; a key whose true share is below the
+    * threshold is NEVER registered. Size `counters` so 100/counters is
+    * far inside the decision margin (default 512 → 0.195% vs the 1%
+    * default threshold); hot keys worth salting sit far from the
+    * boundary anyway (the parity spec pins agreement with the exact
+    * pass on the driver tables and the constructed-skew fixture). */
+  def analyzeAndRegisterSketch(spark: SparkSession, df: DataFrame,
+      keyCol: String, buckets: Int = DefaultBuckets,
+      counters: Int = 512): Double = {
+    require(counters >= 8, s"counters must be >= 8, got $counters")
+    val zero = (new java.util.HashMap[String, Long](), 0L)
+    val (summary, total) = df.select(col(keyCol).cast("string")).rdd
+      .treeAggregate(zero)(
+        seqOp = { case ((m, n), row) =>
+          val k = if (row.isNullAt(0)) " <null>" else row.getString(0)
+          mgAdd(m, k, 1L, counters); (m, n + 1L)
+        },
+        combOp = { case ((m1, n1), (m2, n2)) =>
+          val it = m2.entrySet().iterator()
+          while (it.hasNext) { val e = it.next(); mgAdd(m1, e.getKey, e.getValue, counters) }
+          (m1, n1 + n2)
+        })
+    val maxCnt = {
+      var m = 0L; val it = summary.values().iterator()
+      while (it.hasNext) m = math.max(m, it.next())
+      m
+    }
+    val sharePct = if (total == 0L) 0.0 else 100.0 * maxCnt / total
+    register(spark, keyCol, buckets, sharePct)
+    sharePct
+  }
+
+  /** Misra–Gries insert of `w` occurrences of `k` into an at-most-`cap`
+    * slot summary: increment if present or roomy, else decrement every
+    * counter by the evictable amount (standard weighted MG step). */
+  private def mgAdd(m: java.util.HashMap[String, Long], k: String, w: Long,
+      cap: Int): Unit = {
+    val cur = m.get(k)
+    if (cur != 0L || m.containsKey(k)) m.put(k, cur + w)
+    else if (m.size < cap) m.put(k, w)
+    else {
+      // evict: subtract the smallest of (w, min counter) from all — the
+      // weighted generalization keeps the N/cap underestimate bound
+      var minC = Long.MaxValue
+      val it0 = m.values().iterator()
+      while (it0.hasNext) minC = math.min(minC, it0.next())
+      val dec = math.min(w, minC)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - dec
+        if (nv <= 0L) it.remove() else e.setValue(nv)
+      }
+      if (w - dec > 0L && m.size < cap) m.put(k, w - dec)
+    }
+  }
+
+  private def register(spark: SparkSession, keyCol: String, buckets: Int,
+      sharePct: Double): Unit = {
     val threshold = GraftConfig.get(spark, MinSharePctKey, "1.0").toDouble
     if (sharePct >= threshold)
       spark.conf.set(KeyPrefix + keyCol, buckets.toString)
-    sharePct
   }
 }
 
@@ -97,16 +222,34 @@ case class AutoSaltRule(spark: SparkSession)
     if (!AutoSalt.enabled(spark)) return plan
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), hint)
-          if hint == JoinHint.NONE && !alreadySalted(j) =>
+          if hint == JoinHint.NONE && !j.isStreaming && !alreadySalted(j) =>
         registeredKeyBuckets(j) match {
-          case Some(buckets) => rewrite(j, buckets)
+          case Some(buckets) => rewriteInner(j, buckets)
           case None => j
+        }
+      case j @ Join(_, _, LeftOuter | RightOuter | FullOuter, Some(_), hint)
+          if hint == JoinHint.NONE && !j.isStreaming && !alreadySalted(j) =>
+        registeredKeyBuckets(j) match {
+          case Some(buckets) => rewriteOuter(j, buckets)
+          case None => j
+        }
+      case a: Aggregate
+          if a.groupingExpressions.nonEmpty && !a.isStreaming &&
+            !a.child.output.exists(_.name.startsWith(SaltPrefix)) =>
+        aggBuckets(a) match {
+          case Some(buckets) => rewriteAgg(a, buckets)
+          case None => a
         }
     }
   }
 
   private def alreadySalted(j: Join): Boolean =
     (j.left.output ++ j.right.output).exists(_.name.startsWith(SaltPrefix))
+
+  /** The retry-deterministic salt: a pure function of the row's content
+    * (see the object doc for why a positional id is a correctness bug). */
+  private def saltOf(rows: Seq[Attribute], buckets: Int): Expression =
+    Pmod(Cast(new Murmur3Hash(rows), LongType), Literal(buckets.toLong))
 
   /** The join qualifies when some equi-conjunct keys a column registered
     * via [[AutoSalt.KeyPrefix]] (on either side) AND the replicate side
@@ -127,16 +270,14 @@ case class AutoSaltRule(spark: SparkSession)
     }
   }
 
-  private def rewrite(j: Join, buckets: Int): LogicalPlan = {
-    val factIsLeft = j.left.stats.sizeInBytes >= j.right.stats.sizeInBytes
-    val fact = if (factIsLeft) j.left else j.right
-    val dim = if (factIsLeft) j.right else j.left
-    // fact side: any row-varying deterministic-per-run value works as the
-    // salt — each row joins exactly the dim replica carrying its salt, so
-    // the VALUE never reaches the output, only the partitioning
-    val saltF = Alias(
-      Pmod(MonotonicallyIncreasingID(), Literal(buckets.toLong)),
-      s"${SaltPrefix}_f")()
+  /** Salt one side of `j`, replicate the other S×, widen the condition
+    * to (…, salt); returns the raw salted join (caller projects the salt
+    * away). `saltLeft` picks the salted (spread) side. */
+  private def saltedJoin(j: Join, buckets: Int, saltLeft: Boolean,
+      joinType: JoinType): Join = {
+    val fact = if (saltLeft) j.left else j.right
+    val dim = if (saltLeft) j.right else j.left
+    val saltF = Alias(saltOf(fact.output, buckets), s"${SaltPrefix}_f")()
     val factSalted = Project(fact.output :+ saltF, fact)
     // dim side: S replicas, one per salt value, via explode — a logical
     // Generate, so column pruning/codegen treat it like any lateral view
@@ -146,10 +287,138 @@ case class AutoSaltRule(spark: SparkSession)
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(saltD), child = dim)
     val newCond = And(j.condition.get, EqualTo(saltF.toAttribute, saltD))
-    val salted =
-      if (factIsLeft) Join(factSalted, dimReplicated, Inner, Some(newCond), j.hint)
-      else Join(dimReplicated, factSalted, Inner, Some(newCond), j.hint)
+    if (saltLeft) Join(factSalted, dimReplicated, joinType, Some(newCond), j.hint)
+    else Join(dimReplicated, factSalted, joinType, Some(newCond), j.hint)
+  }
+
+  private def rewriteInner(j: Join, buckets: Int): LogicalPlan = {
+    val factIsLeft = j.left.stats.sizeInBytes >= j.right.stats.sizeInBytes
     // restore the original output (drop both salt columns)
-    Project(j.output, salted)
+    Project(j.output, saltedJoin(j, buckets, factIsLeft, Inner))
+  }
+
+  /** Outer joins via the exact decomposition `outer = inner ∪
+    * null-extended anti` — every branch salted, no preserved-side
+    * replication (see the object doc). */
+  private def rewriteOuter(j: Join, buckets: Int): LogicalPlan = {
+    val factIsLeft = j.left.stats.sizeInBytes >= j.right.stats.sizeInBytes
+    val inner = Project(j.left.output ++ j.right.output,
+      saltedJoin(j, buckets, factIsLeft, Inner))
+    def nullsFor(side: Seq[Attribute]): Seq[NamedExpression] =
+      side.map(a => Alias(Literal(null, a.dataType), a.name)())
+    // preserved-side anti: salt the PRESERVED side (it is the probe and
+    // may be the skewed one), replicate the other — existence within a
+    // row's bucket equals existence overall
+    def antiNulls(preservedLeft: Boolean): LogicalPlan = {
+      val (preserved, other) =
+        if (preservedLeft) (j.left, j.right) else (j.right, j.left)
+      val anti = saltedJoin(
+        Join(preserved, other, Inner, j.condition, j.hint),
+        buckets, saltLeft = true, LeftAnti)
+      val kept = Project(preserved.output, anti) // drop the salt column
+      if (preservedLeft) Project(j.left.output ++ nullsFor(j.right.output), kept)
+      else Project(nullsFor(j.left.output) ++ j.right.output, kept)
+    }
+    val parts = j.joinType match {
+      case LeftOuter => Seq(inner, antiNulls(preservedLeft = true))
+      case RightOuter => Seq(inner, antiNulls(preservedLeft = false))
+      case _ => Seq(inner, antiNulls(preservedLeft = true),
+        antiNulls(preservedLeft = false))
+    }
+    // Union keeps the FIRST child's expr ids (= the original join's) and
+    // ORs nullability across branches, matching the outer join's output
+    Union(parts)
+  }
+
+  // ---------------------------------------------------------- aggregates
+
+  /** The aggregate qualifies when a grouping ATTRIBUTE is registered,
+    * every contained aggregate function decomposes exactly (see
+    * [[decompose]]) — aggregates may sit INSIDE expressions, e.g.
+    * `sort_array(collect_list(x))` after CollapseProject — and at least
+    * one of them is HOLISTIC (collect_list): for purely algebraic
+    * functions the map-side partial aggregate already collapses a hot
+    * key to one row per task, so salting those would be pure overhead
+    * (the honest-scope finding the A/B in SCALING.md prices). */
+  private def aggBuckets(a: Aggregate): Option[Int] = {
+    val groupAttrs = a.groupingExpressions.collect { case ar: AttributeReference => ar }
+    if (groupAttrs.size != a.groupingExpressions.size || groupAttrs.isEmpty) return None
+    val registered = groupAttrs.flatMap(g => AutoSalt.bucketsFor(spark, g.name)).headOption
+    registered.filter { _ =>
+      val shapeOk = a.aggregateExpressions.forall {
+        case ar: AttributeReference => groupAttrs.exists(_.exprId == ar.exprId)
+        case _: Alias => true
+        case _ => false
+      }
+      val aggs = a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      shapeOk && aggs.nonEmpty && aggs.forall(ae => decompose(ae).isDefined) &&
+        aggs.exists(_.aggregateFunction.isInstanceOf[CollectList])
+    }
+  }
+
+  /** Exact two-phase decomposition: final-merge builder for a partial
+    * result attribute, or None when the function does not decompose
+    * bit-exactly. Sum over float/double is deliberately absent — float
+    * addition is order-sensitive, so re-associating it over salt buckets
+    * is not bit-stable (integral and decimal sums merge exactly). */
+  private def decompose(ae: AggregateExpression)
+      : Option[Attribute => Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case _: Count => Some(p =>
+        Coalesce(Seq(Sum(p).toAggregateExpression(), Literal(0L))))
+      case s: Sum => s.child.dataType match {
+        case FloatType | DoubleType => None
+        case _ => Some { p =>
+          val merged = Sum(p).toAggregateExpression()
+          if (merged.dataType == ae.dataType) merged
+          else Cast(merged, ae.dataType)
+        }
+      }
+      case _: Min => Some(p => Min(p).toAggregateExpression())
+      case _: Max => Some(p => Max(p).toAggregateExpression())
+      case _: CollectList => Some(p =>
+        Flatten(CollectList(p).toAggregateExpression()))
+      case _ => None
+    }
+  }
+
+  /** The `salted_agg` two-phase shape as a rewrite: partial aggregate
+    * over (grouping keys, salt), final merge over the grouping keys,
+    * with the original output names and expr ids preserved. */
+  private def rewriteAgg(a: Aggregate, buckets: Int): LogicalPlan = {
+    val saltA = Alias(saltOf(a.child.output, buckets), s"${SaltPrefix}_a")()
+    val salted = Project(a.child.output :+ saltA, a.child)
+    val groupAttrs = a.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    val partials = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+    // one partial per DISTINCT aggregate (canonicalized): `sum(x)` used
+    // twice in the output merges the same partial column twice
+    val partialOf = scala.collection.mutable.HashMap.empty[Expression, Attribute]
+    def partialFor(ae: AggregateExpression): Attribute =
+      partialOf.getOrElseUpdate(ae.canonicalized, {
+        val p = Alias(ae, s"__graft_partial_${partials.size}")()
+        partials += p
+        p.toAttribute
+      })
+    val finals: Seq[NamedExpression] = a.aggregateExpressions.map {
+      case ar: AttributeReference => ar
+      case al: Alias =>
+        // aggregates may be nested inside expressions (CollapseProject
+        // folds post-agg projections in): replace each with its merge
+        // over the partial column, leave the surrounding expression be
+        val merged = al.child.transformUp {
+          case ae: AggregateExpression => decompose(ae).get(partialFor(ae))
+        }
+        Alias(merged, al.name)(exprId = al.exprId)
+      case other => // unreachable: aggBuckets vetted every expression
+        throw new IllegalStateException(s"undecomposable $other")
+    }
+    val partialAgg = Aggregate(
+      groupAttrs :+ saltA.toAttribute,
+      (groupAttrs: Seq[NamedExpression]) ++ (saltA.toAttribute +: partials.toSeq),
+      salted)
+    Aggregate(groupAttrs, finals, partialAgg)
   }
 }

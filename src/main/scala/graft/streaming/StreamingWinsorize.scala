@@ -19,19 +19,29 @@ import graft.streaming.ConsumerPipeline.RawEvent
   * split of the input equals the batch query over the whole input
   * (StreamingSpec asserts bit-equality on real table data, two waves
   * vs one batch). A type absent from the cut table passes through
-  * unclipped (clip bounds default to ±∞), matching the batch query's
-  * inner-join semantics checked by the spec.
+  * unclipped (clip bounds default to ±∞) — a DELIBERATE divergence
+  * from the batch `winsorize_values`, whose inner join against the cut
+  * table DROPS unknown types: at serve time an unseen type is late
+  * signal, not deletable data, so it flows through unmodified for a
+  * downstream policy to handle. The two agree exactly whenever the cuts
+  * were trained on the same corpus the stream replays (every type
+  * present), which is what the parity spec exercises.
   *
   * Determinism: the clip is min/max against round-6 cuts; the closing
   * round-6 replays Catalyst's `Round` (BigDecimal HALF_UP), so values
-  * are bit-identical to the batch column. */
+  * are bit-identical to the batch column. Non-finite values (NaN/±∞ —
+  * impossible for the DECIMAL-backed events table, possible for a
+  * foreign feed) skip the BigDecimal replay, which would throw on them,
+  * and emerge as themselves: NaN compares false to both cuts so the
+  * min/max clip already passes it through, and ±∞ clips to the cut. */
 object StreamingWinsorize {
 
   case class Winsorized(event_id: Long, event_type: String, value: Double,
       value_winsorized: Double)
 
   private[graft] def round6(v: Double): Double =
-    BigDecimal(v).setScale(6, RoundingMode.HALF_UP).toDouble
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal(v).setScale(6, RoundingMode.HALF_UP).toDouble
 
   def apply(events: Dataset[RawEvent],
       cuts: Map[String, (Double, Double)]): Dataset[Winsorized] = {

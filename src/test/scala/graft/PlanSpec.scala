@@ -432,4 +432,151 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     }
   }
+
+  test("autoSalt aggregate rewrite: two-phase (key, salt) partial + final merge, bit-identical") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import graft.plans.{AutoSalt, AutoSaltRule}
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSaltRule(spark)
+    try {
+      // constructed hot key: 80% of rows carry user_id=7
+      val fact = spark.range(50000).select(
+        when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 97).as("user_id"),
+        col("id").as("event_id"),
+        (col("id") % 1000).cast("decimal(18,2)").as("amount"))
+      spark.conf.set(AutoSalt.KeyPrefix + "user_id", "16")
+      // collect_list is THE case the rewrite exists for: its partial
+      // state is the data itself, so a hot key funnels every element
+      // through one reducer; count/sum/min/max ride along exactly
+      def q() = fact.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum(col("event_id")).as("s"),
+        min(col("event_id")).as("mn"), max(col("event_id")).as("mx"),
+        sum(col("amount")).as("amt"), collect_list(col("event_id")).as("cl"))
+        .select(col("user_id"), col("n"), col("s"), col("mn"), col("mx"),
+          col("amt"), sort_array(col("cl")).as("cl"))
+      val offRows = q().collect().map(_.toString).sorted.toSeq
+      spark.conf.set(AutoSalt.EnabledKey, "true")
+      val on = q()
+      val optimized = on.queryExecution.optimizedPlan
+      assert(optimized.toString.contains("__graft_salt_a"),
+        s"aggregate not salted:\n$optimized")
+      val aggs = optimized.collect { case a: Aggregate => a }
+      assert(aggs.size == 2, s"expected partial+final Aggregate pair:\n$optimized")
+      assert(aggs.exists(_.groupingExpressions.size == 2),
+        s"partial must group by (user_id, salt):\n$optimized")
+      assert(on.collect().map(_.toString).sorted.toSeq == offRows,
+        "salted two-phase aggregate diverged from the plain group-by")
+      // double sums are excluded (order-sensitive addition) even when a
+      // holistic agg qualifies the node: untouched
+      val dbl = fact.groupBy("user_id")
+        .agg(sum(col("event_id").cast("double")).as("ds"),
+          collect_list(col("event_id")).as("cl"))
+      assert(!dbl.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "sum(double) must not be re-associated by the salted rewrite")
+      // DISTINCT aggregates are excluded: untouched
+      val dst = fact.groupBy("user_id").agg(countDistinct(col("event_id")).as("d"),
+        collect_list(col("event_id")).as("cl"))
+      assert(!dst.queryExecution.optimizedPlan.toString.contains("__graft_salt"))
+      // purely ALGEBRAIC aggregates never rewrite: map-side combine
+      // already collapses the hot key, salting would be pure overhead
+      val alg = fact.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      assert(!alg.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "algebraic-only aggregates must stay untouched")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[AutoSaltRule])
+      spark.conf.unset(AutoSalt.EnabledKey)
+      spark.conf.unset(AutoSalt.KeyPrefix + "user_id")
+    }
+  }
+
+  test("autoSalt outer joins: inner-union-anti decomposition, parity on left/right/full") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{AutoSalt, AutoSaltRule}
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSaltRule(spark)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hot key 7; fact keys 999xx have NO dim match (left null-extension);
+      // dim key 5000 has NO fact rows (right null-extension)
+      val fact = spark.range(40000).select(
+        when(col("id") % 5 =!= 0, lit(7L))
+          .when(col("id") % 5 === 0 && col("id") % 25 === 0, col("id") % 7 + 99900L)
+          .otherwise(col("id") % 97).as("user_id"),
+        col("id").as("event_id"))
+      val dim = spark.range(98).select(
+        when(col("id") === 97, lit(5000L)).otherwise(col("id")).as("user_id"),
+        (col("id") * 3).as("weight"))
+      spark.conf.set(AutoSalt.KeyPrefix + "user_id", "16")
+      for (jt <- Seq("left_outer", "right_outer", "full_outer")) {
+        def q() = fact.join(dim, fact("user_id") === dim("user_id"), jt)
+          .select(fact("user_id").as("fu"), col("event_id"),
+            dim("user_id").as("du"), col("weight"))
+        spark.conf.set(AutoSalt.EnabledKey, "false")
+        val offRows = q().collect().map(_.toString).sorted.toSeq
+        spark.conf.set(AutoSalt.EnabledKey, "true")
+        val on = q()
+        val p = on.queryExecution.optimizedPlan.toString
+        assert(p.contains("__graft_salt"), s"$jt not salted:\n$p")
+        assert(p.contains("Union"), s"$jt missing the anti-union decomposition:\n$p")
+        assert(p.contains("LeftAnti") || p.contains("left_anti"),
+          s"$jt missing the salted anti branch:\n$p")
+        val onRows = on.collect().map(_.toString).sorted.toSeq
+        assert(onRows == offRows,
+          s"salted $jt diverged: ${onRows.size} vs ${offRows.size} rows")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[AutoSaltRule])
+      spark.conf.unset(AutoSalt.EnabledKey)
+      spark.conf.unset(AutoSalt.KeyPrefix + "user_id")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
+  test("autoSalt sketch registration decides exactly like the exact pass") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.AutoSalt
+    def cleanup(): Unit = Seq("user_id", "event_type", "uid").foreach(k =>
+      spark.conf.unset(AutoSalt.KeyPrefix + k))
+    try {
+      // constructed skew: far above threshold — both must register
+      val hot = spark.range(60000).select(
+        when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 997).as("uid"))
+      val exactShare = AutoSalt.analyzeAndRegister(spark, hot, "uid")
+      val exactReg = spark.conf.getOption(AutoSalt.KeyPrefix + "uid").isDefined
+      cleanup()
+      val skShare = AutoSalt.analyzeAndRegisterSketch(spark, hot, "uid")
+      val skReg = spark.conf.getOption(AutoSalt.KeyPrefix + "uid").isDefined
+      assert(exactReg && skReg, "hot fixture must register under both passes")
+      // Misra-Gries underestimates by at most N/counters (100/512 pct)
+      assert(skShare <= exactShare + 1e-9 && skShare >= exactShare - 100.0 / 512 - 1e-9,
+        s"sketch share $skShare outside MG bound of exact $exactShare")
+      cleanup()
+      // uniform fixture: far below threshold — neither registers
+      val flat = spark.range(50000).select(col("id").as("uid"))
+      AutoSalt.analyzeAndRegister(spark, flat, "uid")
+      val exactFlat = spark.conf.getOption(AutoSalt.KeyPrefix + "uid").isDefined
+      AutoSalt.analyzeAndRegisterSketch(spark, flat, "uid")
+      val skFlat = spark.conf.getOption(AutoSalt.KeyPrefix + "uid").isDefined
+      assert(!exactFlat && !skFlat, "uniform fixture must register under neither")
+      cleanup()
+      // driver tables: the two passes agree on both event columns
+      val ev = graft.model.Tables.events(spark, sf)
+      for (c <- Seq("user_id", "event_type")) {
+        AutoSalt.analyzeAndRegister(spark, ev, c)
+        val e = spark.conf.getOption(AutoSalt.KeyPrefix + c).isDefined
+        spark.conf.unset(AutoSalt.KeyPrefix + c)
+        AutoSalt.analyzeAndRegisterSketch(spark, ev, c)
+        val s = spark.conf.getOption(AutoSalt.KeyPrefix + c).isDefined
+        assert(e == s, s"sketch and exact disagree on events.$c: exact=$e sketch=$s")
+        spark.conf.unset(AutoSalt.KeyPrefix + c)
+      }
+    } finally cleanup()
+  }
 }
