@@ -51,6 +51,21 @@ object Verify {
           s"for the oracle dump (effective: '$eff'): the dedup-family " +
           "oracles state the ungated band join")
     }
+    // The JSON-probe oracles state get_json_object STRING-path semantics;
+    // the VARIANT payload mode is value-identical on the driver tables
+    // (VariantSpec pins it in-engine) but variant typing edge cases have
+    // no DuckDB-exact rendition — dump only under the default mode, same
+    // posture as profile=scale (resolved through GraftConfig so profile/
+    // env indirection is judged by the EFFECTIVE value).
+    locally {
+      val eff = graft.api.GraftConfig
+        .get(spark, graft.api.Payload.ModeKey, "string").trim
+      require(eff.isEmpty || eff.equalsIgnoreCase("string"),
+        s"${graft.api.Payload.ModeKey} must resolve to unset/'string' for " +
+          s"the oracle dump (effective: '$eff'): the json_path_pack/" +
+          "typed_payload/event_decode/include_match oracles state " +
+          "get_json_object semantics")
+    }
     // ... and for batched BPE merges: the bpe_train/bpe_encode oracles
     // unroll the SEQUENTIAL one-merge-per-round trainer.
     require(spark.conf.getOption(operators.CorpusOps.BpeBatchKey)

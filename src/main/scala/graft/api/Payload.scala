@@ -1,0 +1,34 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Payload-access mode for the schemaless `props` JSON column
+  * (round-15 verdict item 5 / SURVEY §1.3's VariantType upgrade path).
+  *
+  * Default `string`: every probe runs `get_json_object` over the JSON
+  * text — codegen'd, oracle-exact (DuckDB re-states the same string
+  * path), but each probe RE-PARSES the payload.
+  *
+  * `spark.graft.payload=variant` flips the JSON-probe family
+  * (`json_path_pack`, `typed_payload`, `event_decode`, `include_match`)
+  * to Spark 4's VARIANT: `parse_json(props)` ONCE into the binary
+  * variant encoding, then `try_variant_get` per field — the parse cost
+  * is paid once per row instead of once per probe, and at 100 TB the
+  * real win is upstream of the query: a lake that SHREDS variant at
+  * write time skips run-time parsing entirely (this flag prices the
+  * query-side half of that migration on identical data via
+  * `SPARK_GRAFT_CONF=spark.graft.payload=variant`).
+  *
+  * Flag-gated and oracle-default-off like every profile knob: the
+  * DuckDB oracles state `get_json_object` string semantics, and variant
+  * null/typing edge cases (absent path vs typed null, number rendering)
+  * are not guaranteed to round-trip identically through a DIFFERENT
+  * engine — Verify refuses to dump under `variant` (same posture as
+  * `profile=scale`), while the in-engine A/B and VariantSpec pin that
+  * both modes return identical values on the driver tables. */
+object Payload {
+  val ModeKey = "spark.graft.payload"
+
+  def variant(spark: SparkSession): Boolean =
+    GraftConfig.get(spark, ModeKey, "string").trim.equalsIgnoreCase("variant")
+}

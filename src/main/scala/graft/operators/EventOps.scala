@@ -114,7 +114,9 @@ object EventOps {
     events(spark, sfDir).select(
       col("event_id"),
       col("event_type").as("name"),
-      get_json_object(col("props"), "$.k").cast("int").as("k")
+      (if (graft.api.Payload.variant(spark))
+        try_variant_get(parse_json(col("props")), "$.k", "int")
+      else get_json_object(col("props"), "$.k").cast("int")).as("k")
     ).orderBy("event_id")
 
   // ----------------------------------------------------------------- #11
@@ -144,11 +146,15 @@ object EventOps {
     * predicates — not the reference's vacuously-true payload `match?`
     * (SURVEY.md §2.1 #15). Degenerate semi-join / EXISTS.
     */
-  def includeMatch(spark: SparkSession, sfDir: String): DataFrame =
+  def includeMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val kProbe =
+      if (graft.api.Payload.variant(spark))
+        try_variant_get(parse_json(col("props")), "$.k", "int")
+      else get_json_object(col("props"), "$.k").cast("int")
     events(spark, sfDir)
-      .filter(col("event_type") === "purchase" &&
-        get_json_object(col("props"), "$.k").cast("int") > 90)
+      .filter(col("event_type") === "purchase" && kProbe > 90)
       .agg((count(lit(1)) > 0).as("found"))
+  }
 
   // ----------------------------------------------------------------- #17
   /** Pub/sub dispatch (reference `lib/hivent/phoenix/channel_client.ex:
