@@ -1593,6 +1593,32 @@ object TextOps {
   private def substrWindows(spark: SparkSession, sfDir: String): DataFrame =
     substrWindowsOf(normed(spark, sfDir))
 
+  /** The two substring kernels behind [[substringSpans]] /
+    * [[substringDedupStats]] / [[substringDedupApply]], shared through
+    * [[graft.api.KernelCache]] (r15 verdict item 7 — the gram table was
+    * the last per-query rebuild the diagnostic suite paid): the keyed
+    * windows frame and the repeated-gram table (`nd >= 2` with the
+    * keep-first owner). Pure functions of (corpus, k, key mode), so the
+    * session cache is bit-neutral — parquet round-trips longs/ints/
+    * strings exactly; KernelCacheSpec pins per-consumer parity. The
+    * windows kernel materializes ONCE; `rep` builds FROM it, so the
+    * flag-on suite pays one normalization+explode and one gram
+    * aggregate per session instead of one per query. */
+  private def substrKernels(spark: SparkSession, sfDir: String,
+      keys: Seq[String]): (DataFrame, DataFrame) = {
+    val mode = keys.mkString(",")
+    val g = graft.api.KernelCache.getOrBuild(spark,
+      s"substr.windows|$sfDir|$SubstrK|$mode",
+      withGramKey(substrWindows(spark, sfDir), keys))
+    val rep = graft.api.KernelCache.getOrBuild(spark,
+      s"substr.rep|$sfDir|$SubstrK|$mode",
+      g.groupBy(keys.map(col): _*)
+        .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("fdoc"))
+        .filter(col("nd") >= 2)
+        .select((keys.map(col) :+ col("fdoc")): _*))
+    (g, rep)
+  }
+
   /** Windows from any (doc_id, norm) frame — the streaming twin probes
     * ARRIVING documents' windows against an offline gram index. */
   private[graft] def substrWindowsOf(normDf: DataFrame): DataFrame =
@@ -1642,12 +1668,10 @@ object TextOps {
     * doc_id — bounded by document length, never global. */
   def substringSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val keys = gramKeyCols(spark)
-    val g = withGramKey(substrWindows(spark, sfDir), keys)
-      .persist().transform(graft.api.Caches.tracked)
+    val (g0, rep0) = substrKernels(spark, sfDir, keys)
+    val g = g0.persist().transform(graft.api.Caches.tracked)
     g.count()
-    val rep = g.groupBy(keys.map(col): _*)
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(keys.map(col): _*)
+    val rep = rep0.select(keys.map(col): _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     g.join(rep, keys, "left_semi")
       .select(col("doc_id"), col("i"))
@@ -1673,13 +1697,9 @@ object TextOps {
     * union coverage is the islands sum Σ (max−min+k) per doc. */
   def substringDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
     val keys = gramKeyCols(spark)
-    val g = withGramKey(substrWindows(spark, sfDir), keys)
-      .persist().transform(graft.api.Caches.tracked)
+    val (g0, rep) = substrKernels(spark, sfDir, keys)
+    val g = g0.persist().transform(graft.api.Caches.tracked)
     g.count()
-    val rep = g.groupBy(keys.map(col): _*)
-      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("fdoc"))
-      .filter(col("nd") >= 2)
-      .select((keys.map(col) :+ col("fdoc")): _*)
     val removable = g.join(rep, keys)
       .filter(col("doc_id") =!= col("fdoc"))
       .select(col("doc_id"), col("n_tokens"), col("i"))
@@ -1709,13 +1729,9 @@ object TextOps {
     * structs — bounded by document length, never global. */
   def substringDedupApply(spark: SparkSession, sfDir: String): DataFrame = {
     val keys = gramKeyCols(spark)
-    val g = withGramKey(substrWindows(spark, sfDir), keys)
-      .persist().transform(graft.api.Caches.tracked)
+    val (g0, rep) = substrKernels(spark, sfDir, keys)
+    val g = g0.persist().transform(graft.api.Caches.tracked)
     g.count()
-    val rep = g.groupBy(keys.map(col): _*)
-      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("fdoc"))
-      .filter(col("nd") >= 2)
-      .select((keys.map(col) :+ col("fdoc")): _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val spans = g.join(rep, keys)
       .filter(col("doc_id") =!= col("fdoc"))

@@ -42,6 +42,32 @@ class KernelCacheSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("substring gram kernels are shared, bit-identical across the substring family") {
+    // baseline: flag off — each query rebuilds the gram table itself
+    val offSpans = rows(TextOps.substringSpans(spark, sf))
+    val offStats = rows(TextOps.substringDedupStats(spark, sf))
+    val offApply = rows(TextOps.substringDedupApply(spark, sf))
+    graft.api.Caches.release(spark)
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    try {
+      val m0 = KernelCache.misses
+      assert(rows(TextOps.substringSpans(spark, sf)) == offSpans)
+      assert(KernelCache.misses - m0 == 2, // windows + rep, built exactly once
+        s"first query should build both substring kernels, built ${KernelCache.misses - m0}")
+      graft.api.Caches.release(spark) // the harness sweep between queries
+      assert(rows(TextOps.substringDedupStats(spark, sf)) == offStats)
+      graft.api.Caches.release(spark)
+      assert(rows(TextOps.substringDedupApply(spark, sf)) == offApply)
+      assert(KernelCache.misses - m0 == 2,
+        s"later queries must reuse, total builds ${KernelCache.misses - m0}")
+    } finally {
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+      graft.api.Caches.release(spark)
+    }
+  }
+
   test("flag off is a pass-through: no entries, no files, plans unchanged") {
     KernelCache.clear()
     val m0 = KernelCache.misses
