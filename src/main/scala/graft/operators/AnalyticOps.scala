@@ -50,6 +50,34 @@ object AnalyticOps {
         round(element_at(col("ps"), 3), 6).as("p75"))
       .orderBy("event_type")
 
+  /** WEIGHTED exact percentiles — the mass-weighted twin of
+    * [[percentiles]]: per return flag, the extended price below which
+    * half / 90% of the QUANTITY mass sits (the "token-weighted length
+    * percentile" shape every packing/budget decision reads, computed
+    * here on the richest numeric table). Spark's `percentile(col, p,
+    * frequency)` is the exact weighted aggregate — its partial state is
+    * a value-counts map, merged map-side like any aggregate, so no sort
+    * and no per-flag single partition. Prices enter as exact integer
+    * CENTS so both engines interpolate over integers (the
+    * `gap_percentiles` proven-parity discipline: type-7 interpolation
+    * on integers matches DuckDB's `quantile_cont` bit-for-bit under
+    * round-6); the oracle re-states the weighting by expanding each
+    * line `l_quantity` times with a lateral `range()` — semantically
+    * the definition of a frequency-weighted percentile. */
+  def weightedPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        expr("cast(l_quantity as bigint)").as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("weight_total"),
+        expr("percentile(cents, array(0.5D, 0.9D, 0.99D), w)").as("ps"))
+      .select(col("l_returnflag"), col("weight_total"),
+        round(element_at(col("ps"), 1) / 100.0, 6).as("wp50"),
+        round(element_at(col("ps"), 2) / 100.0, 6).as("wp90"),
+        round(element_at(col("ps"), 3) / 100.0, 6).as("wp99"))
+      .orderBy("l_returnflag")
+
   /** Inter-event dwell-time distribution: exact p50/p90/p99 of the gap
     * (integer millis) between consecutive events of the same user,
     * grouped by the LATER event's type — the engagement-latency profile
@@ -845,6 +873,7 @@ object AnalyticOps {
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
     "percentiles"      -> (percentiles _),
+    "weighted_percentiles" -> (weightedPercentiles _),
     "rank_quartiles"   -> (rankQuartiles _),
     "string_collect"   -> (stringCollect _),
     "scalar_pack"      -> (scalarPack _),
@@ -898,6 +927,19 @@ object AnalyticOps {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "weighted_percentiles" ->
+      """WITH ex AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |expanded AS (SELECT l_returnflag, cents FROM (
+        | SELECT l_returnflag, cents, unnest(generate_series(1, w)) AS r
+        | FROM ex) t)
+        |SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS weight_total,
+        | round(quantile_cont(cents, 0.5) / 100.0, 6) AS wp50,
+        | round(quantile_cont(cents, 0.9) / 100.0, 6) AS wp90,
+        | round(quantile_cont(cents, 0.99) / 100.0, 6) AS wp99
+        |FROM expanded GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mode_per_group" ->
       """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         | FROM events GROUP BY user_id, event_type),

@@ -1171,8 +1171,46 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Document-length GINI per source — the CONCENTRATION audit next to
+    * the per-feed quality/dup/entropy trio: is a feed's character mass
+    * spread across its documents or held by a few giants? (A crawl
+    * where 1% of docs carry 60% of the bytes needs length capping
+    * before sampling weights mean anything.) Gini over grouped data:
+    * docs aggregate to a per-(source, length) HISTOGRAM first — the
+    * text is at most a few hundred chars, so distinct lengths are
+    * value-bounded METADATA, not data-bounded rows — and the rank-sum
+    * Σ i·x_i folds over the histogram exactly:
+    * 2·Σ i·x = Σ_k x_k · (2c_k − f_k + 1) · f_k with c the cumulative
+    * count, all INTEGER arithmetic summed as DECIMAL (order-free,
+    * engine-exact); one double division at the very end, round-6 with
+    * the identical expression on both sides. The cumulative window
+    * partitions by source over the length histogram — metadata-sized
+    * partitions at any corpus scale. Gini = 0 when every doc is the
+    * same length; → 1 as one document takes all the mass. */
+  def lengthGiniBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+    hist
+      .withColumn("c", sum(col("f")).over(w))
+      .select(col("source"), col("f"), (col("x") * col("f")).as("xf"),
+        (col("x").cast(DecimalType(38, 0)) *
+          (lit(2) * col("c") - col("f") + 1) * col("f")).as("s2k"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_docs"), sum(col("xf")).as("total_chars"),
+        sum(col("s2k")).as("s2"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        round(col("s2").cast("double") /
+            (col("n_docs").cast("double") * col("total_chars").cast("double"))
+          - (col("n_docs").cast("double") + 1.0) / col("n_docs").cast("double"),
+          6).as("gini"))
+      .orderBy("source")
+  }
+
   // ----------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "length_gini_by_source" -> (lengthGiniBySource _),
     "vocab_topk"    -> (vocabTopk _),
     "bpe_merge_topk" -> (bpeMergeTopk _),
     "bpe_train"     -> (bpeTrain _),
@@ -1301,6 +1339,19 @@ object CorpusOps {
         | round(coalesce(1.0 / ($RrfK + ra), 0.0) + coalesce(1.0 / ($RrfK + rb), 0.0), 6) AS rrf
         |FROM la FULL OUTER JOIN lb USING (doc_id)
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "length_gini_by_source" ->
+      """WITH hist AS (SELECT source, n_chars AS x, count(*) AS f
+        | FROM documents GROUP BY source, n_chars),
+        |cum AS (SELECT source, x, f,
+        |  sum(f) OVER (PARTITION BY source ORDER BY x) AS c FROM hist),
+        |per AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_docs,
+        |  CAST(sum(x * f) AS BIGINT) AS total_chars,
+        |  sum(x * (2 * c - f + 1) * f) AS s2 FROM cum GROUP BY source)
+        |SELECT source, n_docs, total_chars,
+        | round(CAST(s2 AS DOUBLE)
+        |   / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+        |  - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE), 6) AS gini
+        |FROM per ORDER BY source""".stripMargin,
     "vocab_topk" ->
       s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn)

@@ -1604,19 +1604,67 @@ object TextOps {
     * windows kernel materializes ONCE; `rep` builds FROM it, so the
     * flag-on suite pays one normalization+explode and one gram
     * aggregate per session instead of one per query. */
+  private def substrWindowsKernel(spark: SparkSession, sfDir: String,
+      keys: Seq[String]): DataFrame =
+    graft.api.KernelCache.getOrBuild(spark,
+      s"substr.windows|$sfDir|$SubstrK|${keys.mkString(",")}",
+      withGramKey(substrWindows(spark, sfDir), keys))
+
   private def substrKernels(spark: SparkSession, sfDir: String,
       keys: Seq[String]): (DataFrame, DataFrame) = {
-    val mode = keys.mkString(",")
-    val g = graft.api.KernelCache.getOrBuild(spark,
-      s"substr.windows|$sfDir|$SubstrK|$mode",
-      withGramKey(substrWindows(spark, sfDir), keys))
+    val g = substrWindowsKernel(spark, sfDir, keys)
     val rep = graft.api.KernelCache.getOrBuild(spark,
-      s"substr.rep|$sfDir|$SubstrK|$mode",
+      s"substr.rep|$sfDir|$SubstrK|${keys.mkString(",")}",
       g.groupBy(keys.map(col): _*)
         .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("fdoc"))
         .filter(col("nd") >= 2)
         .select((keys.map(col) :+ col("fdoc")): _*))
     (g, rep)
+  }
+
+  /** Cross-split 8-gram CONTAMINATION rate — the eval-integrity audit a
+    * training run signs off on (Lee et al. / GPT-3 appendix style): for
+    * every val/test document under the `dataset_split` doc-hash fence,
+    * does ANY of its k-token windows also occur in a TRAIN document?
+    * Complements the neighboring audits exactly: `split_leakage` counts
+    * NEAR-duplicate pairs straddling the fence (MinHash signal),
+    * `decontaminate` flags a designated eval slice by rare 3-gram
+    * shingles; this is the per-SPLIT verbatim-overlap RATE on the
+    * actual split assignment — the number quoted in a dataset card.
+    *
+    * Scale shape: the same windows kernel as the substring family
+    * (KernelCache-eligible; window generation is a pure map), the split
+    * a pure expression of doc_id; ONE gram semi-join against the
+    * distinct train grams (the corpus-wide shuffle, `substr.hashGrams`
+    * applies), then doc-level distinct + two metadata-sized aggregates.
+    * Denominators count ALL split docs (a sub-k doc cannot be flagged
+    * but belongs in the rate). */
+  def ngramContaminationRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = gramKeyCols(spark)
+    val g = substrWindowsKernel(spark, sfDir, keys)
+      .persist().transform(graft.api.Caches.tracked)
+    g.count()
+    def splitOf = {
+      val b = PipelineOps.keyHash("spl") % 1000
+      when(b < 900, "train").when(b < 950, "val").otherwise("test")
+    }
+    val lab = g.select((col("doc_id") +: keys.map(col)): _*)
+      .withColumn("split", splitOf)
+    val trainGrams = lab.filter(col("split") === "train")
+      .select(keys.map(col): _*).distinct()
+    val contaminated = lab.filter(col("split") =!= "train")
+      .join(trainGrams, keys, "left_semi")
+      .select(col("doc_id"), col("split")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_contaminated"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("split", splitOf).filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("split"), "left_outer")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("contamination_rate"))
+      .orderBy("split")
   }
 
   /** Windows from any (doc_id, norm) frame — the streaming twin probes
@@ -1815,6 +1863,7 @@ object TextOps {
     "dedup_pairs_canonical" -> (dedupPairsCanonical _),
     "lsh_bucket_profile"  -> (lshBucketProfile _),
     "substring_spans"     -> (substringSpans _),
+    "ngram_contamination_rate" -> (ngramContaminationRate _),
     "substring_dedup_stats" -> (substringDedupStats _),
     "substring_dedup_apply" -> (substringDedupApply _),
     "pipeline_funnel"     -> (pipelineFunnel _),
@@ -2090,6 +2139,28 @@ object TextOps {
         | CAST(max(i) - min(i) + $SubstrK AS INTEGER) AS span_tokens,
         | count(*) AS n_windows
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
+    "ngram_contamination_rate" ->
+      s"""WITH $substrCtesSql,
+        |lab AS (SELECT doc_id, gram,
+        | CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+        |  ELSE 'test' END AS split
+        | FROM (SELECT doc_id, gram,
+        |  ${PipelineOps.keyHashSql("spl")} % 1000 AS b FROM g) t),
+        |tg AS MATERIALIZED (SELECT DISTINCT gram FROM lab WHERE split = 'train'),
+        |cont AS (SELECT split, count(*) AS n_contaminated FROM (
+        | SELECT DISTINCT l.doc_id, l.split
+        | FROM lab l JOIN tg USING (gram) WHERE l.split <> 'train') c
+        | GROUP BY split),
+        |den AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        | SELECT CASE WHEN ${PipelineOps.keyHashSql("spl")} % 1000 < 900 THEN 'train'
+        |   WHEN ${PipelineOps.keyHashSql("spl")} % 1000 < 950 THEN 'val'
+        |   ELSE 'test' END AS split FROM documents) d
+        | WHERE split <> 'train' GROUP BY split)
+        |SELECT den.split, den.n_docs,
+        | CAST(coalesce(cont.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        | round(CAST(coalesce(cont.n_contaminated, 0) AS DOUBLE)
+        |  / CAST(den.n_docs AS DOUBLE), 6) AS contamination_rate
+        |FROM den LEFT JOIN cont USING (split) ORDER BY split""".stripMargin,
     "substring_dedup_stats" ->
       s"""WITH $substrCtesSql,
         |rep AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram

@@ -1994,4 +1994,88 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     val sizes = rows.map(_.getLong(0)).toSeq
     assert(sizes == sizes.sorted && sizes.distinct == sizes, "histogram keys not strictly ascending")
   }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("weighted_percentiles equals the type-7 quantile over the weight-expanded multiset") {
+    val got = operators.AnalyticOps.weightedPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        expr("cast(l_quantity as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def q7(sorted: Array[Long], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, sorted.length - 1)
+      sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    val expect = rows.groupBy(_._1).map { case (flag, rs) =>
+      val expanded = rs.flatMap { case (_, c, w) => Array.fill(w.toInt)(c) }.sorted
+      flag -> (rs.map(_._3).sum,
+        round6(q7(expanded, 0.5) / 100.0),
+        round6(q7(expanded, 0.9) / 100.0),
+        round6(q7(expanded, 0.99) / 100.0))
+    }
+    assert(got == expect, s"weighted percentiles diverged:\n$got\nvs\n$expect")
+  }
+
+  test("length_gini_by_source equals the sorted-rank Gini per source") {
+    val got = operators.CorpusOps.lengthGiniBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val lens = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = lens.groupBy(_._1).map { case (src, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.length.toLong
+      val t = xs.sum
+      val s = xs.zipWithIndex.map { case (x, i) => (i + 1L).toDouble * x }.sum
+      src -> (n, t, round6(2.0 * s / (n.toDouble * t.toDouble) - (n + 1.0) / n))
+    }
+    assert(got.keySet == expect.keySet)
+    for ((src, (n, t, g)) <- expect) {
+      val (gn, gt, gg) = got(src)
+      assert(gn == n && gt == t, s"$src counts diverged")
+      assert(math.abs(gg - g) < 2e-6, s"$src gini $gg vs brute $g")
+    }
+    // sanity: every gini in [0, 1)
+    assert(got.values.forall { case (_, _, g) => g >= 0.0 && g < 1.0 })
+  }
+
+  test("ngram_contamination_rate equals the brute-force window-overlap recount") {
+    val got = operators.TextOps.ngramContaminationRate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def splitOf(id: Long): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"spl:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(md5.take(7), 16) % 1000
+      if (b < 900) "train" else if (b < 950) "val" else "test"
+    }
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val bySplit = docs.groupBy(d => splitOf(d._1))
+    val trainGrams = bySplit.getOrElse("train", Array.empty)
+      .flatMap(d => grams(d._2)).toSet
+    val expect = Seq("test", "val").map { s =>
+      val ds = bySplit.getOrElse(s, Array.empty)
+      val contaminated = ds.count(d => grams(d._2).exists(trainGrams))
+      s -> (ds.length.toLong, contaminated.toLong,
+        round6(contaminated.toDouble / ds.length))
+    }.toMap
+    assert(got == expect, s"contamination diverged:\n$got\nvs\n$expect")
+    // the audit is non-vacuous on this corpus: planted clone families
+    // straddle the fence
+    assert(got.values.exists(_._2 > 0L), "no contamination found — fixture no longer exercises the audit")
+  }
 }
