@@ -435,8 +435,11 @@ object CowTable {
       val (next, newEntries, snapSchema) =
         mergeAttempt(spark, root, updates, key, nNewFiles, meta)
       beforeCommit(attempt)
+      // keytype from the RESOLVED snapshot, not from updates: a merge
+      // narrower than a widened table must record the table's type
       if (tryCommitManifest(root, next, newEntries._1 ++ newEntries._2,
-          meta + ("key" -> key) + keyTypeMeta(updates, key) +
+          meta + ("key" -> key) +
+            ("keytype" -> snapSchema(key).dataType.catalogString) +
             schemaMeta(snapSchema)))
         return next
       // lost the race: reclaim this attempt's data files before re-diffing
@@ -460,9 +463,34 @@ object CowTable {
     // Derived from the CURRENT version's schema (not the touched files'
     // union): an upsert touching only pre-widen files must not drop a
     // column an earlier evolution added to files it leaves untouched.
+    //
+    // SAME-NAME TYPE CONFLICTS (r16, the MERGE schema-resolution gap):
+    // an updates column that shares a name with a current column but
+    // not its type resolves to the TIGHTEST LOSSLESS common type
+    // (int→long, int/long→double, same-type no-op) — the snapshot
+    // schema records the WIDENED type and the merged frame is cast to
+    // it below, so the written files and the `#schema` header always
+    // agree (recording the narrow type against widened parquet would
+    // break the explicit-schema read of the new version). A pair with
+    // NO lossless widening (string vs int, decimal precision changes)
+    // fails loudly BEFORE any file is written: silent coercion is how
+    // a merge eats data.
     val curSchema = readVersion(spark, root, cur).schema
+    val resolvedCur = curSchema.map { f =>
+      updates.schema.find(_.name == f.name) match {
+        case Some(u) if u.dataType != f.dataType =>
+          val widened = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(f.dataType, u.dataType)
+          f.copy(dataType = widened.getOrElse(sys.error(
+            s"mergeUpsert schema conflict on column '${f.name}' at $root: " +
+              s"table has ${f.dataType.catalogString}, updates carry " +
+              s"${u.dataType.catalogString} and no lossless widening " +
+              "exists — cast the updates explicitly before merging")))
+        case _ => f
+      }
+    }
     val snapSchema = org.apache.spark.sql.types.StructType(
-      curSchema ++ updates.schema.filterNot(f =>
+      resolvedCur ++ updates.schema.filterNot(f =>
         curSchema.fieldNames.contains(f.name)))
     val names = manifest(root, cur)
     val touched: Set[String] = {
@@ -494,7 +522,7 @@ object CowTable {
     // under the version's recorded `#schema` ([[readVersion]]); a later
     // [[compact]] rewrites everything to the union schema. Time travel
     // is untouched — old manifests record their own (narrower) schema.
-    val merged =
+    val merged0 =
       if (touchedNames.isEmpty) updates
       else {
         // current-version schema is already in hand — explicit-schema
@@ -504,6 +532,15 @@ object CowTable {
         touchedDf.join(updates.select(col(key)), Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       }
+    // align every written column to the RESOLVED snapshot type, so the
+    // files always match the `#schema` header (columns the merged frame
+    // lacks stay absent — readVersion nulls them, the mixed-schema
+    // contract)
+    val merged = merged0.select(merged0.columns.map { c =>
+      val target = snapSchema(c).dataType
+      if (merged0.schema(c).dataType == target) col(c)
+      else col(c).cast(target).as(c)
+    }: _*)
     // carry untouched files' FULL entry lines (their recorded key
     // ranges stay valid — the files are immutable)
     val untouchedEntries = entryLines(root, cur)

@@ -551,4 +551,47 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     // v1 history is gone; its superseded files are not
     intercept[Exception](CowTable.readVersion(spark, root, 1).collect())
   }
+
+  test("mergeUpsert resolves same-name type conflicts by lossless widening; rejects lossy ones") {
+    import spark.implicits._
+    val root = tempDir("cow_widen")
+    val base = (0L until 100L).map(id => (id, id.toInt))
+      .toDF("event_id", "score") // score: INT
+    CowTable.init(spark, root, base, "event_id", nFiles = 4)
+    assert(CowTable.read(spark, root).schema("score").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // updates carry score as LONG with values beyond int range: the
+    // snapshot must WIDEN (files and #schema header agree — an explicit
+    // narrow-schema read over widened parquet would fail)
+    val updates = Seq((5L, 10000000000L), (200L, 20000000000L))
+      .toDF("event_id", "score")
+    val v2 = CowTable.mergeUpsert(spark, root, updates, "event_id")
+    val snap = CowTable.readVersion(spark, root, v2)
+    assert(snap.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType, "type not widened")
+    val got = snap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) == 10000000000L && got(200L) == 20000000000L)
+    assert(got(6L) == 6L, "survivor row lost its value in the widening")
+    assert(got.size == 101)
+    // time travel: v1 still reads INT
+    assert(CowTable.readVersion(spark, root, 1).schema("score").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a narrower follow-up merge (int updates into the widened table)
+    // keeps the WIDE type — the keytype/schema header must not regress
+    val narrow = Seq((7L, 77)).toDF("event_id", "score")
+      .select(col("event_id"), col("score").cast("int").as("score"))
+    val v3 = CowTable.mergeUpsert(spark, root, narrow, "event_id")
+    assert(CowTable.readVersion(spark, root, v3).schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(CowTable.read(spark, root).filter(col("event_id") === 7L)
+      .head().getLong(1) == 77L)
+    // LOSSY conflict (string vs long) fails loudly BEFORE writing and
+    // publishes nothing
+    val before = CowTable.currentVersion(root)
+    val bad = Seq((8L, "oops")).toDF("event_id", "score")
+    val e = intercept[RuntimeException](
+      CowTable.mergeUpsert(spark, root, bad, "event_id"))
+    assert(e.getMessage.contains("schema conflict on column 'score'"))
+    assert(CowTable.currentVersion(root) == before, "failed merge published a version")
+  }
 }
