@@ -869,6 +869,203 @@ object AnalyticOps {
       .orderBy("user_id")
   }
 
+  /** EWMA trailing-window length (observations per smoothed point). */
+  private[operators] val EwmaWindow = 20
+
+  /** Final EWMA derivation — ONE string feeds both engines, over the
+    * exact integer inputs (wsum, k), so the double chain is identical:
+    * a single division of two exactly-representable values, then the
+    * defensive round-6. */
+  private val EwmaExpr =
+    "round(CAST(wsum AS DOUBLE) / ((CAST(p2k AS DOUBLE) - 1.0) * 100.0), 6) AS ewma"
+
+  /** Exponentially-weighted moving average of `value` per user (α = ½,
+    * trailing [[EwmaWindow]] observations) — the smoothing pass a
+    * metrics/anomaly pipeline runs before thresholding a noisy signal.
+    *
+    * Determinism: α = ½ makes every weight an exact power of two, so the
+    * whole kernel is INTEGER arithmetic — values go to cents, each is
+    * scaled by 2^i (oldest-first index i), and the weighted sum is an
+    * exact BIGINT fold (max ≈ 5·10¹⁰, far under 2⁶³). The normalized
+    * EWMA is then wsum / (100·(2^k − 1)): one double division of two
+    * exact integers, identical in both engines ([[EwmaExpr]]).
+    *
+    * Scale shape: one user-partitioned window (users scale with the
+    * data, so parallelism does too); the frame keeps ≤ [[EwmaWindow]]
+    * elements per row, so state is constant per row and the whole op is
+    * one shuffle + a codegen'd map — no iterative recurrence, which is
+    * what makes EWMA (normally a sequential scan) distributable. */
+  def ewmaSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(EwmaWindow - 1), Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
+      .withColumn("vals", collect_list(col("cents")).over(w))
+      .selectExpr("user_id", "event_id", "ts", "value",
+        // oldest-first index i ⇒ weight 2^(i−k); scaled by 2^k the fold
+        // is Σ cents_i · 2^i — exact in BIGINT
+        "aggregate(transform(vals, (x, i) -> x * shiftleft(cast(1 as bigint), i)), cast(0 as bigint), (a, x) -> a + x) AS wsum",
+        "shiftleft(cast(1 as bigint), size(vals)) AS p2k")
+      .selectExpr("user_id", "event_id", "ts", "value", EwmaExpr)
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** CUSUM statistic — ONE string for both engines over exact integer
+    * inputs (cum/t per row, n/sx/sxx per group), so the standardized
+    * cumulative sum is an identical IEEE chain: the classic
+    * S_t = (Σ_{i≤t} x_i − t·x̄) / (σ·√n), whose max |S_t| position is the
+    * single-changepoint estimate. Cents units cancel in the ratio. */
+  private val CusumStatExpr =
+    "(CAST(cum AS DOUBLE) - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))" +
+      " / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE) - 1.0)) * sqrt(CAST(n AS DOUBLE)))"
+
+  /** CUSUM single-changepoint detection per event type: the (ts,
+    * event_id) position where the standardized cumulative deviation from
+    * the type mean peaks — the standard offline level-shift locator a
+    * data-quality pipeline runs on a feed's value series.
+    *
+    * Determinism: the cumulative sums are exact integer cents under a
+    * DECIMAL window aggregate (order-independent under any shuffle), the
+    * per-type moments (n, Σx, Σx²) are exact from ONE map-side-combined
+    * aggregate, and the statistic is a single shared double chain
+    * ([[CusumStatExpr]]) — never a float cumsum, whose windowed
+    * accumulation order differs between engines.
+    *
+    * Scale shape: one type-partitioned window sort + a 5-row broadcast
+    * moments join; the argmax is a per-type rank over the same window
+    * partitioning (sort reused), so the whole op is one shuffle. */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
+    val moments = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).cast("double").as("sxx"))
+    val scanned = base
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum",
+        sum(col("cents").cast(DecimalType(38, 0)))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .join(broadcast(moments), "event_type")
+      .withColumn("stat", expr(CusumStatExpr))
+    scanned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("stat")).desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n"), col("t").as("change_pos"),
+        col("event_id").as("change_event_id"), col("ts").as("change_ts"),
+        round(col("stat"), 6).as("cusum_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Autocorrelation lags computed by [[valueAutocorr]]. */
+  private[operators] val AcfLags = Seq(1, 2, 3)
+
+  /** ACF derivation for lag k — ONE string per lag feeds both engines
+    * over exact BIGINT inputs (n, sx, sxx, spK, aK, bK), so the double
+    * chain is identical: the textbook sample estimator
+    * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², with the numerator
+    * expanded to exact integer aggregates (Σ x_t·x_{t−k} − x̄·(A+B)
+    * + (n−k)·x̄², A = Σ_{t>k}x_t, B = Σ_{t≤n−k}x_t). Cents² units
+    * cancel in the ratio. */
+  private def acfExpr(k: Int): String = {
+    val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"round((CAST(sp$k AS DOUBLE) - $mean * (CAST(a$k AS DOUBLE) + CAST(b$k AS DOUBLE))" +
+      s" + (CAST(n AS DOUBLE) - $k.0) * $mean * $mean)" +
+      s" / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS acf"
+  }
+
+  /** Sample autocorrelation of `value` per event type at lags 1–3 — the
+    * serial-dependence probe (near-zero everywhere says the feed's
+    * values are order-independent noise; a decaying positive ladder
+    * says smoothing/forecasting has signal to work with).
+    *
+    * Determinism: ONE lag-window pass produces the three shifted
+    * columns, then a single map-side-combined aggregate collects exact
+    * power/product sums in DECIMAL(38,0) (the statsPack headroom — lag
+    * products of cents would not overflow BIGINT until ~10⁹ rows per
+    * type, but the decimal partials make the op correct at any scale),
+    * re-narrowed to BIGINT for output parity; the estimator is a
+    * per-lag shared double chain ([[acfExpr]]) — no float accumulates
+    * anywhere. Scale shape: one type-partitioned window sort + one
+    * aggregate to |types| rows; the lag unrolling is a 3-way union over
+    * those 5 rows (metadata). */
+  def valueAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
+      .select(Seq(col("event_type"), col("cents")) ++
+        AcfLags.map(k => lag(col("cents"), k).over(w).as(s"l$k")): _*)
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n"),
+        sum(col("cents").cast(dec)).cast("long").as("sx"),
+        sum((col("cents") * col("cents")).cast(dec)).cast("long").as("sxx")) ++
+        AcfLags.flatMap { k =>
+          Seq(sum((col("cents") * col(s"l$k")).cast(dec)).cast("long").as(s"sp$k"),
+            sum(when(col(s"l$k").isNotNull, col("cents")).cast(dec)).cast("long").as(s"a$k"),
+            sum(when(col(s"l$k").isNotNull, col(s"l$k")).cast(dec)).cast("long").as(s"b$k"))
+        }
+    val agg = base.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
+    AcfLags.map { k =>
+      agg.selectExpr("event_type", s"CAST($k AS BIGINT) AS lag", acfExpr(k))
+    }.reduce(_ unionByName _)
+      .orderBy("event_type", "lag")
+  }
+
+  /** Burst hours reported per type by [[burstHours]]. */
+  private[operators] val BurstTopK = 3
+
+  /** Rate z-score — ONE string for both engines over exact integer
+    * inputs (c per cell, n/sc/scc per type over the COMPLETE hour
+    * spine). */
+  private val BurstZExpr =
+    "round((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " / sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE) - 1.0)), 6) AS z"
+
+  /** Top-[[BurstTopK]] burst HOURS per event type: hourly event counts
+    * z-scored against the type's own hourly-rate distribution — the
+    * RATE anomaly detector next to the VALUE detectors (anomaly_zscore/
+    * anomaly_mad); what an ops pipeline pages on (traffic spike), and
+    * what a curation pipeline reads to find scrape storms.
+    *
+    * The hour spine is COMPLETE (min..max hour × type, zeros filled):
+    * moments over only-observed hours would bias the mean high and hide
+    * bursts in sparse types. Determinism: counts are exact integers
+    * over the spine, moments exact BIGINT sums, z one shared double
+    * chain ([[BurstZExpr]]); the rank orders by (count, hour) — z is
+    * monotone in the count within a type, so the rank never compares
+    * doubles. Scale shape: one (type, hour) map-side-combined aggregate
+    * (the key space is types × hours — calendar-bounded metadata at any
+    * corpus size), spine exploded from a 1-row min/max aggregate,
+    * broadcast joins only. */
+  def burstHours(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val spine = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .selectExpr("explode(sequence(hmin, hmax, interval 1 hour)) AS h")
+    val types = ev.select(col("event_type")).distinct()
+    val cells = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val moments = cells.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"))
+    cells.join(broadcast(moments), "event_type")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c").desc, col("h"))))
+      .filter(col("rk") <= BurstTopK)
+      .selectExpr("event_type", "CAST(rk AS BIGINT) AS rank", "h AS burst_hour",
+        "c AS n_events", BurstZExpr)
+      .orderBy("event_type", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
@@ -891,6 +1088,10 @@ object AnalyticOps {
     "quantile_bins"    -> (quantileBins _),
     "interval_union_time" -> (intervalUnionTime _),
     "mode_per_group"   -> (modePerGroup _),
+    "ewma_smooth"      -> (ewmaSmooth _),
+    "cusum_changepoint" -> (cusumChangepoint _),
+    "value_autocorr"   -> (valueAutocorr _),
+    "burst_hours"      -> (burstHours _),
     "date_pack"        -> (datePack _),
     "pattern_filter"   -> (patternFilter _),
     "trailing_window"  -> (trailingWindow _),
@@ -950,6 +1151,86 @@ object AnalyticOps {
         |SELECT user_id, event_type AS mode_event_type, n,
         | round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ewma_smooth" ->
+      s"""WITH c AS (SELECT user_id, event_id, ts, value,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_id, ts, value,
+        |  list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW) AS vals
+        | FROM c),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |  CAST(list_sum(list_transform(vals,
+        |    (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS wsum,
+        |  CAST(1 AS BIGINT) << array_length(vals) AS p2k
+        | FROM l)
+        |SELECT user_id, event_id, ts, value, $EwmaExpr
+        |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+    "cusum_changepoint" ->
+      s"""WITH c AS (SELECT event_type, event_id, ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS DOUBLE) AS sx,
+        |  CAST(sum(cents * cents) AS DOUBLE) AS sxx
+        | FROM c GROUP BY event_type),
+        |s AS (SELECT c.event_type, c.event_id, c.ts, m.n,
+        |  CAST(row_number() OVER (PARTITION BY c.event_type
+        |    ORDER BY c.ts, c.event_id) AS BIGINT) AS t,
+        |  CAST(sum(c.cents) OVER (PARTITION BY c.event_type
+        |    ORDER BY c.ts, c.event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+        |  m.sx, m.sxx
+        | FROM c JOIN m USING (event_type)),
+        |st AS (SELECT event_type, event_id, ts, n, t,
+        |  $CusumStatExpr AS stat FROM s),
+        |r AS (SELECT event_type, event_id, ts, n, t, stat,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(stat) DESC, t) AS rk FROM st)
+        |SELECT event_type, n, t AS change_pos, event_id AS change_event_id,
+        | ts AS change_ts, round(stat, 6) AS cusum_stat
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "value_autocorr" -> {
+      val lagCols = AcfLags
+        .map(k => s"lag(cents, $k) OVER w AS l$k").mkString(",\n  ")
+      val aggCols = AcfLags.map(k =>
+        s"CAST(sum(cents * l$k) AS BIGINT) AS sp$k,\n  " +
+          s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN cents END) AS BIGINT) AS a$k,\n  " +
+          s"CAST(sum(l$k) AS BIGINT) AS b$k").mkString(",\n  ")
+      val arms = AcfLags.map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, ${acfExpr(k)} FROM a")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH c AS (SELECT event_type, event_id, ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT event_type, cents,
+        |  $lagCols
+        | FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sx,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sxx,
+        |  $aggCols
+        | FROM l GROUP BY event_type)
+        |$arms
+        |ORDER BY event_type, lag""".stripMargin
+    },
+    "burst_hours" ->
+      s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        | FROM ev GROUP BY event_type, h),
+        |mm AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ev),
+        |spine AS (SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        | FROM mm),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |cells AS (SELECT t.event_type, s.h, coalesce(c.c, 0) AS c
+        | FROM spine s CROSS JOIN types t
+        | LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = s.h),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        | FROM cells GROUP BY event_type),
+        |r AS (SELECT cells.event_type, h, c, n, sc, scc,
+        |  CAST(row_number() OVER (PARTITION BY cells.event_type
+        |    ORDER BY c DESC, h) AS BIGINT) AS rank
+        | FROM cells JOIN m USING (event_type))
+        |SELECT event_type, rank, h AS burst_hour, c AS n_events, $BurstZExpr
+        |FROM r WHERE rank <= $BurstTopK ORDER BY event_type, rank""".stripMargin,
     "interval_union_time" ->
       """WITH b AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
         | FROM events),

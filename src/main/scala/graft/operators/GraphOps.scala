@@ -364,10 +364,58 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** k-core threshold and peel rounds for the query surface. */
+  private[graft] val KCoreK = 2
+  private[graft] val KCoreRounds = 4
+
+  /** k-core decomposition (k = [[KCoreK]], [[KCoreRounds]] synchronous
+    * peel rounds) over the LSH candidate-pair graph — the fourth
+    * graph-family member (centrality / cohesion / community / CORE):
+    * iteratively strip nodes of degree < k; what survives is the
+    * graph's dense backbone, the standard "which dup clusters are load-
+    * bearing vs band-collision fuzz" cut. Bounded-round semantics, the
+    * LPA discipline: the result is DEFINED as the state after exactly
+    * [[KCoreRounds]] peels (the true core is the fixpoint; each round
+    * strictly shrinks the graph, and the spec drives the core to
+    * fixpoint on a fixture to show 4 rounds suffice there).
+    *
+    * Scale shape: per round ONE degree aggregate (explode + map-side-
+    * combined count) and two semi-joins back on the edge list — all
+    * key-keyed hash joins, no adjacency materialization, per-round
+    * lineage truncated (the pagerank/CC/LPA discipline). At 100 TB each
+    * round is a fixed shuffle set over a shrinking edge list. */
+  def kCore(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    kCoreOf(TextOps.candidatePairs(spark, sfDir))
+
+  /** Peel core over an arbitrary pair list — separated so the spec can
+    * drive it with known-core graphs and to fixpoint. */
+  private[graft] def kCoreOf(pairsIn: DataFrame, k: Int = KCoreK,
+      rounds: Int = KCoreRounds): DataFrame = {
+    var edges = pairsIn.select(col("doc_a"), col("doc_b"))
+      .persist().transform(graft.api.Caches.tracked)
+    edges.count()
+    for (_ <- 1 to rounds) {
+      val keep = edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      edges = truncate(edges
+        .join(keep.select(col("node").as("ka")),
+          col("doc_a") === col("ka"), "left_semi")
+        .join(keep.select(col("node").as("kb")),
+          col("doc_b") === col("kb"), "left_semi"))
+    }
+    edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
-    "label_prop_communities" -> (labelPropagation _))
+    "label_prop_communities" -> (labelPropagation _),
+    "k_core" -> (kCore _))
 
   /** DuckDB oracle: the three iterations unrolled as CTEs, stating the
     * identical integer fixed-point chain (`//` = Spark's `DIV`; both
@@ -441,6 +489,26 @@ object GraphOps {
           |SELECT l.node AS doc_id, l.lbl AS community, sz.community_size
           |FROM l$LpaRounds l JOIN sz ON sz.lbl = l.lbl
           |ORDER BY doc_id""".stripMargin
+      },
+      // the peel rounds unrolled as CTEs: per round a degree count with
+      // HAVING >= k and a both-endpoints-survive edge filter
+      "k_core" -> {
+        def peel(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""k$i AS MATERIALIZED (SELECT node FROM (
+            | SELECT doc_a AS node FROM $prev
+            | UNION ALL SELECT doc_b AS node FROM $prev) v
+            | GROUP BY node HAVING count(*) >= $KCoreK),
+            |e$i AS MATERIALIZED (SELECT e.doc_a, e.doc_b FROM $prev e
+            | JOIN k$i a ON a.node = e.doc_a JOIN k$i b ON b.node = e.doc_b)""".stripMargin
+        }
+        s"""WITH ${TextOps.candCtesSql},
+          |e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM cand),
+          |${(1 to KCoreRounds).map(peel).mkString(",\n")}
+          |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+          | SELECT doc_a AS node FROM e$KCoreRounds
+          | UNION ALL SELECT doc_b AS node FROM e$KCoreRounds) v
+          |GROUP BY node ORDER BY doc_id""".stripMargin
       })
   }
 }

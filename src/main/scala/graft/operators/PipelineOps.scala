@@ -463,9 +463,63 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- mix rebalance
+  /** Target language mix as integer numerators over [[MixDenom]] —
+    * upweight English, equal shares for the rest (the standard
+    * pretraining-mix shape). Both engines' arithmetic is GENERATED from
+    * this one map, and every numerator divides the denominator, so the
+    * capacity computation stays in exact integers. */
+  private[operators] val MixTarget: Seq[(String, Int)] =
+    Seq("de" -> 1, "en" -> 4, "es" -> 1, "fr" -> 1, "zh" -> 1)
+  private[operators] val MixDenom = 8
+
+  /** Final mix derivations — ONE string list feeds both engines over the
+    * exact integer inputs (tnum, tmin, chars), so the double chains are
+    * identical. */
+  private val MixExprs: Seq[String] = Seq(
+    s"round(CAST(tnum AS DOUBLE) / $MixDenom.0, 6) AS target_share",
+    s"round(CAST(tmin AS DOUBLE) * CAST(tnum AS DOUBLE) / $MixDenom.0, 6) AS kept_chars",
+    s"round((CAST(tmin AS DOUBLE) * CAST(tnum AS DOUBLE) / $MixDenom.0) / CAST(chars AS DOUBLE), 6) AS keep_rate")
+
+  /** Downsampling weights that hit a TARGET language mix ([[MixTarget]])
+    * under the rate ≤ 1 constraint — the static corpus-rebalance step
+    * (DoReMi-style fixed mix) a pretraining pipeline runs before
+    * sampling. The largest achievable total char budget is
+    * T = min_l(chars_l / share_l); each language keeps share_l·T chars,
+    * i.e. rate_l = share_l·T / chars_l, with the binding (scarcest
+    * relative to its target) language kept whole.
+    *
+    * Determinism: per-language char masses are exact BIGINTs, each
+    * capacity chars_l/share_l is an exact integer because every
+    * numerator divides [[MixDenom]] (the factor is precomputed in
+    * Scala — no division in either engine), and the final shares/rates
+    * are one shared double chain ([[MixExprs]]). Scale shape: one
+    * map-side-combined aggregate to |langs| rows, then a 1-row
+    * broadcast min — everything after the aggregate is metadata. */
+  def mixRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val tnumCol = MixTarget.foldRight(lit(null).cast("long")) {
+      case ((l, t), other) => when(col("lang") === l, lit(t.toLong)).otherwise(other)
+    }
+    // chars_l / (tnum/denom) = chars_l · (denom/tnum) — exact, Scala-side factor
+    val capFactor = MixTarget.foldRight(lit(null).cast("long")) {
+      case ((l, t), other) =>
+        when(col("lang") === l, lit((MixDenom / t).toLong)).otherwise(other)
+    }
+    val agg = docs(spark, sfDir)
+      .filter(col("lang").isin(MixTarget.map(_._1): _*))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("tnum", tnumCol)
+      .withColumn("cap", col("chars") * capFactor)
+    agg.crossJoin(broadcast(agg.agg(min(col("cap")).as("tmin"))))
+      .selectExpr(Seq("lang", "n_docs", "chars") ++ MixExprs: _*)
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
+    "mix_rebalance"     -> (mixRebalance _),
     "quota_sample"      -> (quotaSample _),
     "dp_counts"         -> (dpCounts _),
     "k_anonymity"       -> (kAnonymity _),
@@ -506,6 +560,25 @@ object PipelineOps {
         s"""SELECT doc_id, lang FROM documents
           |WHERE ${keyHashSql("smp")} % 100 < $rateCase
           |ORDER BY doc_id""".stripMargin,
+      "mix_rebalance" -> {
+        val tnumCase = MixTarget
+          .map { case (l, t) => s"WHEN '$l' THEN CAST($t AS BIGINT)" }
+          .mkString("CASE lang ", " ", " END")
+        val capCase = MixTarget
+          .map { case (l, t) => s"WHEN '$l' THEN CAST(${MixDenom / t} AS BIGINT)" }
+          .mkString("CASE lang ", " ", " END")
+        val langList = MixTarget.map { case (l, _) => s"'$l'" }.mkString(", ")
+        s"""WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars
+          | FROM documents WHERE lang IN ($langList) GROUP BY lang),
+          |b AS (SELECT lang, n_docs, chars,
+          |  $tnumCase AS tnum,
+          |  chars * $capCase AS cap
+          | FROM a),
+          |m AS (SELECT min(cap) AS tmin FROM b)
+          |SELECT lang, n_docs, chars, ${MixExprs.mkString(",\n ")}
+          |FROM b, m ORDER BY lang""".stripMargin
+      },
       "quota_sample" ->
         s"""SELECT doc_id, source, rank FROM (
           | SELECT doc_id, source,

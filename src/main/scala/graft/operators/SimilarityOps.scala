@@ -726,6 +726,48 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Cosine between each source feed's embedding CENTROID and the
+    * corpus-wide centroid — the per-feed semantic-drift probe (a feed
+    * whose centroid points away from the corpus is topically unlike the
+    * rest: a scrape gone wrong, or a genuinely novel domain worth
+    * upweighting). Embeddings align to documents by id (vec_id =
+    * doc_id), the driver tables' contract.
+    *
+    * Determinism: coordinates go through the same floor(x·10⁶+0.5)
+    * fixed-point as [[embedDimStats]]; per-(source, dim) and per-dim
+    * sums are exact integers, and — the key move — the 1/n centroid
+    * normalizations CANCEL in cosine, so dot and norms are computed on
+    * the raw integer sums (DECIMAL products, order-independent) and
+    * only the final quotient runs in double, identically on both
+    * engines. Scale shape: one id-keyed join (embeddings ↔ documents),
+    * one (source, dim)-keyed aggregate (feeds × dims rows — metadata),
+    * then a broadcast of the 64-row global centroid; nothing downstream
+    * of the aggregate scales with the corpus. */
+  def sourceCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec18 = DecimalType(18, 0)
+    val dec38 = DecimalType(38, 0)
+    val q = vecs(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        expr("cast(floor(col * 1000000.0 + 0.5) as bigint)").as("q"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val per = q.groupBy(col("source"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q").cast(dec18)).as("s1"))
+    val glob = per.groupBy(col("dim"))
+      .agg(sum(col("s1")).cast(dec18).as("g1"))
+    per.join(broadcast(glob), "dim")
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum((col("s1") * col("g1")).cast(dec38)).cast("double").as("dot"),
+        sum((col("s1") * col("s1")).cast(dec38)).cast("double").as("ns2"),
+        sum((col("g1") * col("g1")).cast(dec38)).cast("double").as("ng2"))
+      .select(col("source"), col("n_vecs"),
+        round(col("dot") / (sqrt(col("ns2")) * sqrt(col("ng2"))), 6).as("cos_to_global"))
+      .withColumn("drift", round(lit(1.0) - col("cos_to_global"), 6))
+      .orderBy("source")
+  }
+
   /** Top-[[DimCorrTopK]] most-correlated embedding dimension pairs —
     * the redundancy probe a feature pipeline runs before whitening /
     * PCA (|corr|→1 dims carry duplicate signal; corr≈0 everywhere says
@@ -1621,6 +1663,7 @@ object SimilarityOps {
     "jl_project"         -> (jlProject _),
     "jl_recall"          -> (jlRecall _),
     "embed_dim_stats"    -> (embedDimStats _),
+    "source_centroid_drift" -> (sourceCentroidDrift _),
     "embed_standardize"  -> (embedStandardize _),
     "embed_robust_standardize" -> (embedRobustStandardize _),
     "ann_probe_sweep"    -> (annProbeSweep _),
@@ -1872,6 +1915,28 @@ object SimilarityOps {
         |   - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
         |  / count(*) / 1e12, 6) AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    "source_centroid_drift" ->
+      s"""WITH v AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        |q AS (SELECT vec_id, i - 1 AS dim,
+        |  CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+        | FROM v, (SELECT unnest(generate_series(1, (SELECT max(array_length(v)) FROM v))) AS i) s
+        | WHERE i <= array_length(v)),
+        |j AS (SELECT d.source, q.dim, q.qv
+        | FROM q JOIN documents d ON d.doc_id = q.vec_id),
+        |per AS (SELECT source, dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(qv) AS HUGEINT) AS s1
+        | FROM j GROUP BY source, dim),
+        |gcent AS (SELECT dim, CAST(sum(s1) AS HUGEINT) AS g1
+        | FROM per GROUP BY dim),
+        |agg AS (SELECT p.source, max(p.n) AS n_vecs,
+        |  CAST(sum(p.s1 * g.g1) AS DOUBLE) AS dot,
+        |  CAST(sum(p.s1 * p.s1) AS DOUBLE) AS ns2,
+        |  CAST(sum(g.g1 * g.g1) AS DOUBLE) AS ng2
+        | FROM per p JOIN gcent g USING (dim) GROUP BY p.source)
+        |SELECT source, n_vecs,
+        | round(dot / (sqrt(ns2) * sqrt(ng2)), 6) AS cos_to_global,
+        | round(1.0 - round(dot / (sqrt(ns2) * sqrt(ng2)), 6), 6) AS drift
+        |FROM agg ORDER BY source""".stripMargin,
     // the ann_recall construction generalized over a probe dimension:
     // probe-tagged flip buckets, PARTITIONed rank windows instead of
     // LIMIT, LEFT-join completion for zero-hit probes; the mask list is

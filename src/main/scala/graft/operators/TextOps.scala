@@ -249,7 +249,7 @@ object TextOps {
   /** Unsorted LSH candidate pairs (doc_a < doc_b) for graph-shaped
     * consumers ([[GraphOps.triangleCount]]) — same kernel as
     * [[dedupMinhashPairs]] without the presentation sort. */
-  private[operators] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
     candidatePairsFrom(shingles(spark, sfDir, 3))
 
   /** Exact-dedup-first LSH composition — the PRODUCTION pipeline order
@@ -641,6 +641,51 @@ object TextOps {
         round(col("i").cast("double") /
           (col("sa") + col("sb") - col("i")).cast("double"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  /** Pairwise FEED-level shingle Jaccard: how much raw n-gram content
+    * each pair of source feeds shares — the corpus-composition probe a
+    * pipeline owner reads before merging feeds (near-1 pairs are mirror
+    * crawls of the same upstream; the cross-feed dedup budget goes
+    * where this matrix is dense).
+    *
+    * Shape: the shingle explode collapses FIRST to distinct
+    * (source, sh) — the per-feed gram SET, the quantity actually being
+    * compared — so the self-join on `sh` fans out to at most
+    * C(|sources|, 2) rows per gram, bounded by the FEED count squared,
+    * never by documents. At 100 TB the distinct is the big shuffle
+    * (gram-keyed, map-side combinable); the pair join moves only
+    * set-cardinality metadata. With thousands of feeds one would cap
+    * per-gram fan-out by dropping grams present in nearly all feeds (a
+    * df ceiling — they contribute Jaccard mass everywhere and decide
+    * nothing); at 20 feeds the exact form is the oracle-honest choice.
+    *
+    * The per-doc distinct-shingle base routes through the SAME
+    * `shingles3` session kernel as the dedup-diagnostic family
+    * (bit-neutral: doc-level distinct then source-level distinct equals
+    * source-level distinct directly), so with
+    * `spark.graft.kernel.sessionCache=true` this query joins the
+    * suite's one shared shingle build instead of re-exploding the
+    * corpus. */
+  def sourceOverlapJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = graft.api.KernelCache.getOrBuild(spark, s"shingles3:$sfDir",
+        shingles(spark, sfDir, 3).distinct())
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+      .persist().transform(graft.api.Caches.tracked)
+    ss.count()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = ss.as("a")
+      .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("sz_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("sz_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 
   /** Thresholds swept by [[dedupThresholdSweep]]. */
   private[operators] val DedupSweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -1876,6 +1921,7 @@ object TextOps {
     "dedup_canonical"     -> (dedupCanonical _),
     "dedup_survivorship"  -> (dedupSurvivorship _),
     "ngram_jaccard"       -> (ngramJaccard _),
+    "source_overlap_jaccard" -> (sourceOverlapJaccard _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "minhash_containment" -> (minhashContainment _),
     "cross_source_neardup" -> (crossSourceNeardup _),
@@ -2340,6 +2386,24 @@ object TextOps {
         | JOIN sizes sa ON sa.doc_id = i.doc_a
         | JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "source_overlap_jaccard" ->
+      s"""WITH $shingleCtesSql,
+        |ss AS (SELECT DISTINCT d.source, s.sh
+        | FROM sh s JOIN documents d USING (doc_id)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+        | FROM ss GROUP BY source),
+        |inter AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        | FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        | GROUP BY a.source, b.source)
+        |SELECT i.source_a, i.source_b, i.n_common,
+        | round(CAST(i.n_common AS DOUBLE)
+        |   / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        | JOIN sizes sa ON sa.source = i.source_a
+        | JOIN sizes sb ON sb.source = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // the ngram_jaccard pair stack crossed with the literal threshold
     // frame (generated from the same Scala constant), two aggregates,
     // LEFT-join completion for thresholds no pair reaches

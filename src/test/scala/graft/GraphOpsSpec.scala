@@ -175,4 +175,37 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
     assert(deep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("k_core peels tails and isolates, keeps the dense backbone") {
+    import spark.implicits._
+    // triangle {1,2,3} (the 2-core) + tail chain 3-4-5 + isolated edge 6-7
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val core = GraphOps.kCoreOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core should be exactly the triangle: $core")
+    // k=3: the triangle has no 3-core — everything peels
+    assert(GraphOps.kCoreOf(pairs, k = 3).count() == 0L)
+    // a chain needs one peel per link: 4 rounds leave the center of a
+    // 10-link path, fixpoint (extra rounds) empties it — the bounded-
+    // round semantics is real, and the spec documents the difference
+    val chain = (1L to 10L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    assert(GraphOps.kCoreOf(chain, rounds = 4).count() > 0L)
+    assert(GraphOps.kCoreOf(chain, rounds = 8).count() == 0L)
+  }
+
+  test("k_core query surface reaches fixpoint at its round count on the corpus") {
+    val atSurface = GraphOps.kCore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deeper = GraphOps.kCoreOf(
+      graft.operators.TextOps.candidatePairs(spark, sf),
+      rounds = GraphOps.KCoreRounds + 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atSurface == deeper,
+      "4 peel rounds do not reach the 2-core fixpoint on the candidate graph")
+    // every survivor meets the degree bar — true at fixpoint
+    assert(atSurface.values.forall(_ >= GraphOps.KCoreK))
+  }
 }

@@ -42,6 +42,28 @@ class KernelCacheSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("source_overlap_jaccard rides the shared shingle kernel, bit-identical") {
+    val off = rows(TextOps.sourceOverlapJaccard(spark, sf))
+    graft.api.Caches.release(spark)
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    try {
+      val m0 = KernelCache.misses
+      // warm the family kernel the way a diagnostic suite would
+      TextOps.ngramJaccard(spark, sf).collect()
+      graft.api.Caches.release(spark)
+      val built = KernelCache.misses - m0
+      assert(rows(TextOps.sourceOverlapJaccard(spark, sf)) == off)
+      // the overlap query reuses shingles3 — no kernel build of its own
+      assert(KernelCache.misses - m0 == built,
+        s"source_overlap_jaccard must reuse shingles3, built ${KernelCache.misses - m0 - built} extra")
+    } finally {
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+      graft.api.Caches.release(spark)
+    }
+  }
+
   test("substring gram kernels are shared, bit-identical across the substring family") {
     // baseline: flag off — each query rebuilds the gram table itself
     val offSpans = rows(TextOps.substringSpans(spark, sf))

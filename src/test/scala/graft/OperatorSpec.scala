@@ -2078,4 +2078,200 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     // straddle the fence
     assert(got.values.exists(_._2 > 0L), "no contamination found — fixture no longer exercises the audit")
   }
+
+  test("ewma_smooth equals the sequential trailing-window EWMA recurrence") {
+    val got = operators.AnalyticOps.ewmaSmooth(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+    val expect = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2))
+      ordered.indices.map { t =>
+        val win = ordered.slice(math.max(0, t - 19), t + 1)
+        // newest-last: weight for lag d is 0.5^(d+1); normalizer 1 − 0.5^k
+        val k = win.length
+        val num = win.zipWithIndex.map { case (r, i) =>
+          math.round(r._4 * 100).toDouble * math.pow(0.5, k - i)
+        }.sum
+        ordered(t)._2 -> num / ((1.0 - math.pow(0.5, k)) * 100.0)
+      }
+    }
+    assert(got.size == rows.length)
+    for ((id, e) <- expect)
+      assert(math.abs(got(id) - e) < 2e-6, s"event $id ewma ${got(id)} vs brute $e")
+  }
+
+  test("cusum_changepoint picks the max-|S| position of the standardized cumsum") {
+    val got = operators.AnalyticOps.cusumChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+      .toMap
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+    val expect = rows.groupBy(_._1).map { case (tpe, rs) =>
+      val cents = rs.sortBy(r => (r._3, r._2)).map(r => (r._2, math.round(r._4 * 100)))
+      val n = cents.length.toDouble
+      val sx = cents.map(_._2.toDouble).sum
+      val sxx = cents.map(c => c._2.toDouble * c._2.toDouble).sum
+      val mean = sx / n
+      val std = math.sqrt((sxx - sx * sx / n) / (n - 1.0))
+      var cum = 0L
+      val stats = cents.zipWithIndex.map { case ((id, c), i) =>
+        cum += c
+        (i + 1L, id, (cum - (i + 1) * mean) / (std * math.sqrt(n)))
+      }
+      val best = stats.maxBy(s => (math.abs(s._3), -s._1))
+      tpe -> (cents.length.toLong, best._1, best._2, best._3)
+    }
+    assert(got.keySet == expect.keySet)
+    for ((tpe, (n, pos, id, s)) <- expect) {
+      val (gn, gpos, gid, gs) = got(tpe)
+      assert(gn == n && gpos == pos && gid == id, s"$tpe changepoint diverged: $gpos/$gid vs $pos/$id")
+      assert(math.abs(gs - s) < 2e-6, s"$tpe stat $gs vs brute $s")
+    }
+  }
+
+  test("source_overlap_jaccard equals the brute-force per-feed shingle-set Jaccard") {
+    val got = operators.TextOps.sourceOverlapJaccard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val bySource = docs.groupBy(_._1).map { case (s, ds) => s -> ds.flatMap(d => shingles(d._2)).toSet }
+    val expect = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      i = (bySource(a) & bySource(b)).size if i > 0
+    } yield (a, b) -> (i.toLong,
+      round6(i.toDouble / (bySource(a).size + bySource(b).size - i)))).toMap
+    assert(got.keySet == expect.keySet, "pair set diverged")
+    for ((k, (i, j)) <- expect) {
+      assert(got(k)._1 == i, s"$k intersection ${got(k)._1} vs brute $i")
+      assert(math.abs(got(k)._2 - j) < 2e-6, s"$k jaccard ${got(k)._2} vs brute $j")
+    }
+    assert(got.nonEmpty, "no overlapping feed pairs — fixture no longer exercises the op")
+  }
+
+  test("source_centroid_drift equals the brute-force quantized-centroid cosine") {
+    val got = operators.SimilarityOps.sourceCentroidDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val src = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray
+        .map(x => math.floor(x * 1000000.0 + 0.5).toLong)))
+    val bySource = vecs.groupBy(v => src(v._1))
+    val dims = vecs.head._2.length
+    def centroidSums(vs: Array[(Long, Array[Long])]): Array[BigInt] =
+      (0 until dims).map(d => vs.map(v => BigInt(v._2(d))).sum).toArray
+    val g1 = centroidSums(vecs)
+    for ((s, vs) <- bySource) {
+      val s1 = centroidSums(vs)
+      val dot = (0 until dims).map(d => s1(d) * g1(d)).sum
+      val ns2 = (0 until dims).map(d => s1(d) * s1(d)).sum
+      val ng2 = (0 until dims).map(d => g1(d) * g1(d)).sum
+      val cos = dot.toDouble / (math.sqrt(ns2.toDouble) * math.sqrt(ng2.toDouble))
+      val (n, gcos, gdrift) = got(s)
+      assert(n == vs.length.toLong, s"$s n_vecs $n vs ${vs.length}")
+      assert(math.abs(gcos - cos) < 2e-6, s"$s cos $gcos vs brute $cos")
+      assert(math.abs(gdrift - (1.0 - gcos)) < 2e-6, s"$s drift inconsistent")
+    }
+    assert(got.keySet == bySource.keySet)
+  }
+
+  test("value_autocorr equals the textbook sample ACF estimator") {
+    val got = operators.AnalyticOps.valueAutocorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+    val expect = rows.groupBy(_._1).flatMap { case (tpe, rs) =>
+      val x = rs.sortBy(r => (r._3, r._2)).map(r => math.round(r._4 * 100).toDouble)
+      val n = x.length
+      val mean = x.sum / n
+      val den = x.map(v => (v - mean) * (v - mean)).sum
+      (1L to 3L).map { k =>
+        val num = (k.toInt until n).map(t => (x(t) - mean) * (x(t - k.toInt) - mean)).sum
+        (tpe, k) -> num / den
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    for ((key, e) <- expect)
+      assert(math.abs(got(key) - e) < 2e-6, s"$key acf ${got(key)} vs brute $e")
+    // serial independence sanity on the synthetic feed: |r_k| small
+    assert(got.values.forall(v => math.abs(v) < 0.5))
+  }
+
+  test("burst_hours z-scores hourly rates over the COMPLETE hour spine") {
+    val got = operators.AnalyticOps.burstHours(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toMap
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val hourMs = 3600L * 1000L
+    val (hmin, hmax) = (rows.map(_._2).min, rows.map(_._2).max)
+    val spine = hmin to hmax by hourMs
+    val types = rows.map(_._1).distinct
+    val counts = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    for (tpe <- types) {
+      val cells = spine.map(h => h -> counts.getOrElse((tpe, h), 0L))
+      val n = cells.length.toDouble
+      val sc = cells.map(_._2).sum.toDouble
+      val scc = cells.map(c => c._2.toDouble * c._2).sum
+      val mean = sc / n
+      val std = math.sqrt((scc - sc * sc / n) / (n - 1.0))
+      val top = cells.sortBy { case (h, c) => (-c, h) }.take(3)
+      top.zipWithIndex.foreach { case ((h, c), i) =>
+        val (gh, gc, gz) = got((tpe, i + 1L))
+        assert(gh == h && gc == c, s"$tpe rank ${i + 1} cell ($gh,$gc) vs brute ($h,$c)")
+        assert(math.abs(gz - (c - mean) / std) < 2e-6, s"$tpe z $gz")
+      }
+    }
+    // bursts are real on this feed: top-1 z exceeds 2σ somewhere
+    assert(got.collect { case ((_, 1L), (_, _, z)) => z }.exists(_ > 2.0))
+  }
+
+  test("mix_rebalance hits the target mix with the binding language kept whole") {
+    val got = operators.PipelineOps.mixRebalance(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // the target mix, restated independently of the implementation constant
+    val target = Map("en" -> 4, "de" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1)
+    val denom = 8
+    val chars = docs.groupBy(_._1).map { case (l, ds) => l -> ds.map(_._2).sum }
+    val tmin = chars.map { case (l, c) => c * (denom / target(l)) }.min
+    assert(got.keySet == chars.keySet)
+    var keptTotal = 0.0
+    for ((l, (nd, c, share, kept, rate)) <- got) {
+      assert(c == chars(l), s"$l chars $c vs ${chars(l)}")
+      assert(nd == docs.count(_._1 == l).toLong)
+      val expKept = tmin.toDouble * target(l) / denom
+      assert(math.abs(kept - expKept) < 2e-6, s"$l kept $kept vs $expKept")
+      assert(math.abs(rate - expKept / c) < 2e-6, s"$l rate $rate")
+      assert(rate <= 1.0 + 1e-9, s"$l rate > 1")
+      assert(math.abs(share - target(l).toDouble / denom) < 1e-9)
+      keptTotal += kept
+    }
+    // the binding language is kept whole; realized mix == target mix
+    assert(got.values.exists { case (_, _, _, _, rate) => rate > 1.0 - 1e-9 },
+      "no binding language at rate 1")
+    for ((l, (_, _, _, kept, _)) <- got)
+      assert(math.abs(kept / keptTotal - target(l).toDouble / denom) < 1e-6,
+        s"$l realized share off target")
+  }
 }
