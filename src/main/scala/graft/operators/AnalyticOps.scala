@@ -1268,7 +1268,7 @@ object AnalyticOps {
         | FROM events, cuts WHERE c1 IS NOT NULL)
         |SELECT bin, count(*) AS n,
         | round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS vsum
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // ann_recall shape: the exact side re-stated, the sketch's rank-window
     // verdict as a boolean the deterministic GK sketch must clear
@@ -1333,7 +1333,7 @@ object AnalyticOps {
         |FROM events ORDER BY event_id""".stripMargin,
     "range_join" ->
       """SELECT event_id, count(*) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM events JOIN orders
         | ON o_custkey % 50 = user_id
         | AND o_orderdate >= ts - INTERVAL 3 DAY
@@ -1343,7 +1343,7 @@ object AnalyticOps {
     "above_avg_filter" ->
       """SELECT o_orderkey, c_mktsegment, o_totalprice, round(seg_avg, 6) AS seg_avg FROM (
         | SELECT o_orderkey, c_mktsegment, o_totalprice,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS VARCHAR) AS DOUBLE)
         |    / CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS seg_avg
         | FROM orders JOIN customer ON o_custkey = c_custkey) t
         |WHERE o_totalprice > seg_avg ORDER BY o_orderkey""".stripMargin,
@@ -1370,11 +1370,11 @@ object AnalyticOps {
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "salted_join" ->
       """WITH dim AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS user_value
         | FROM events GROUP BY user_id)
         |SELECT e.event_id, e.user_id, e.event_type, d.user_events,
         | round(d.user_value, 6) AS user_value

@@ -1299,8 +1299,8 @@ object CorpusOps {
       |vocab AS MATERIALIZED (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
       |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
       |nll AS MATERIALIZED (SELECT t.doc_id, count(*) AS n_tokens,
-      | round(CAST(sum(CAST(round(-ln(CAST(v.cnt AS DOUBLE) / n.total), 6)
-      |   AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+      | round(CAST(CAST(sum(CAST(round(-ln(CAST(v.cnt AS DOUBLE) / n.total), 6)
+      |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nll
       | FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN n
       | GROUP BY t.doc_id)""".stripMargin
 
@@ -1446,8 +1446,8 @@ object CorpusOps {
         |cu AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM cuv GROUP BY u),
         |nbt AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cuv)
         |SELECT nb AS n_bigrams, CAST(count(*) AS BIGINT) AS n_types,
-        | CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)) *
-        |   ln(CAST(c AS DOUBLE) / CAST(cu AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |   ln(CAST(c AS DOUBLE) / CAST(cu AS DOUBLE)), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  AS cond_entropy
         |FROM cuv JOIN cu USING (u), nbt GROUP BY nb""".stripMargin,
     // same bigram base; both PMI margins derive from the cuv table,
@@ -1608,9 +1608,9 @@ object CorpusOps {
         |vc AS (SELECT v, count(*) AS cv FROM db GROUP BY v),
         |nn AS (SELECT count(*) AS nn FROM db)
         |SELECT db.doc_id, count(*) AS n_bigrams,
-        | round(CAST(sum(CAST(round(-ln(
+        | round(CAST(CAST(sum(CAST(round(-ln(
         |   CAST(0.9 AS DOUBLE) * (CAST(big.cuv AS DOUBLE) / CAST(uni.cu AS DOUBLE)) +
-        |   CAST(0.1 AS DOUBLE) * (CAST(vc.cv AS DOUBLE) / CAST(nn.nn AS DOUBLE))), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |   CAST(0.1 AS DOUBLE) * (CAST(vc.cv AS DOUBLE) / CAST(nn.nn AS DOUBLE))), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  / CAST(count(*) AS DOUBLE), 6) AS mean_nll
         |FROM db JOIN big ON big.u = db.u AND big.v = db.v
         | JOIN uni ON uni.u = db.u
@@ -1629,7 +1629,7 @@ object CorpusOps {
         | CASE WHEN rn * 3 <= n THEN 'head'
         |      WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
         | CAST(count(*) AS BIGINT) AS n_docs,
-        | round(CAST(sum(CAST(mean_nll AS DECIMAL(18,6))) AS DOUBLE)
+        | round(CAST(CAST(sum(CAST(mean_nll AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE), 6) AS avg_nll
         |FROM r GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "chunk_overlap" ->

@@ -1158,8 +1158,8 @@ object RelationalOps {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q3_sql" ->
       """SELECT l_orderkey,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | o_orderdate, o_orderpriority
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1172,8 +1172,8 @@ object RelationalOps {
         |LIMIT 10""".stripMargin,
     "q5_revenue" ->
       """SELECT n.n_name,
-        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1188,19 +1188,19 @@ object RelationalOps {
         |ORDER BY revenue DESC, n.n_name""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
-        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         | SELECT l_orderkey,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         | FROM lineitem GROUP BY l_orderkey
-        | HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        | HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 250.0)
         |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
         | o.o_totalprice, big.sum_qty
         |FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
@@ -1208,8 +1208,8 @@ object RelationalOps {
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(9,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         | count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1230,8 +1230,8 @@ object RelationalOps {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1247,12 +1247,12 @@ object RelationalOps {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-        | round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        | round(CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
         |   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
         |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
-        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE), 6) AS mkt_share
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1272,12 +1272,12 @@ object RelationalOps {
         | GROUP BY c.c_custkey) t
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q14_promo_share" ->
-      """SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      """SELECT round(100.0 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
         |   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
         |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
-        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE), 6) AS promo_revenue,
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE), 6) AS promo_revenue,
         | count(*) AS n_lines
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -1303,17 +1303,17 @@ object RelationalOps {
         | WHERE p.p_brand = 'Brand#23'),
         |th AS (
         | SELECT l_partkey,
-        |  0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  0.2 * (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE)) AS qty_thresh
         | FROM li GROUP BY l_partkey)
-        |SELECT round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+        |SELECT round(CAST(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0, 6)
         |  AS avg_yearly, count(*) AS n_lines
         |FROM li JOIN th ON li.l_partkey = th.l_partkey
         |WHERE li.l_quantity < th.qty_thresh
         |HAVING count(*) > 0""".stripMargin,
     "q19_bracket_revenue" ->
-      """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | count(*) AS n_lines
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
@@ -1328,11 +1328,11 @@ object RelationalOps {
         | SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         | WHERE c_nationkey % 2 = 1),
         |ab AS (
-        | SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        | SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS avg_bal
         | FROM sel WHERE c_acctbal > 0.0)
         |SELECT sel.c_nationkey, count(*) AS numcust,
-        | CAST(sum(CAST(sel.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        | CAST(CAST(sum(CAST(sel.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
         |FROM sel, ab
         |WHERE sel.c_acctbal > ab.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1371,10 +1371,10 @@ object RelationalOps {
         |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
     "q9_product_profit" ->
       """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
         |     * (1 - CAST(l.l_discount AS DECIMAL(9,4)))
         |   - CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |     * CAST(l.l_tax AS DECIMAL(9,4))) AS DOUBLE) AS sum_profit
+        |     * CAST(l.l_tax AS DECIMAL(9,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1384,8 +1384,8 @@ object RelationalOps {
         |ORDER BY n.n_name, o_year DESC""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c.c_custkey, c.c_name,
-        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l.l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | c.c_acctbal, n.n_name
         |FROM orders o
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1399,18 +1399,18 @@ object RelationalOps {
         |LIMIT 20""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "distinct_count" ->
@@ -1424,17 +1424,17 @@ object RelationalOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_broadcast" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_shuffle" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_multiway" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -1468,7 +1468,7 @@ object RelationalOps {
     "cond_agg" ->
       """SELECT event_type,
         | CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-        | CAST(sum(CASE WHEN value > 50 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_big,
+        | CAST(CAST(sum(CASE WHEN value > 50 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_big,
         | bool_or(value > 190) AS any_huge
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "latest_per_key" ->
@@ -1485,15 +1485,15 @@ object RelationalOps {
         |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
     "running_sum" ->
       """SELECT user_id, event_id, ts,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |   PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "range_frame" ->
       """SELECT event_id, user_id,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |   PARTITION BY user_id ORDER BY epoch_ms(ts)
-        |   RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+        |   RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_sum,
         | CAST(count(*) OVER (
         |   PARTITION BY user_id ORDER BY epoch_ms(ts)
         |   RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_n
@@ -1512,7 +1512,7 @@ object RelationalOps {
         |FROM att WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
     "sliding_counts" ->

@@ -2264,7 +2264,7 @@ object SimilarityOps {
         |tot AS (SELECT count(*) AS n FROM a)
         |SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n_members,
         | round(CAST(count(*) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS share,
-        | round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+        | round(CAST(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE), 6) AS avg_dist
         |FROM a, tot GROUP BY cid, tot.n ORDER BY list_id""".stripMargin,
     "kmeans_iterate" -> kmeansIterateSql,
@@ -2438,7 +2438,7 @@ object SimilarityOps {
         else s"""(SELECT CAST(sum(CASE WHEN x.cid <> p.cid THEN 1 ELSE 0 END) AS BIGINT)
           | FROM a$r x JOIN a${r - 1} p USING (vec_id))""".stripMargin
       s"""SELECT $r AS round,
-        | (SELECT round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE), 6) FROM a$r) AS inertia,
+        | (SELECT round(CAST(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6) FROM a$r) AS inertia,
         | $changed AS n_changed""".stripMargin
     }
     val rounds = 1 to KmeansIterRounds

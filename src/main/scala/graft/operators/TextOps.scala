@@ -2590,8 +2590,8 @@ object TextOps {
         | GROUP BY doc_id, ch),
         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nc FROM cc GROUP BY doc_id)
         |SELECT doc_id, nc AS n_chars,
-        | CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)) *
-        |   ln(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)) *
+        |   ln(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  AS entropy
         |FROM cc JOIN tot USING (doc_id) GROUP BY doc_id, nc
         |ORDER BY doc_id""".stripMargin,
@@ -2612,8 +2612,8 @@ object TextOps {
         | FROM documents GROUP BY source, lang),
         |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source)
         |SELECT source, count(*) AS n_langs,
-        | CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
-        |   ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |   ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |  AS lang_entropy
         |FROM c JOIN t USING (source) GROUP BY source ORDER BY source""".stripMargin,
     "lang_dist" ->
@@ -2643,7 +2643,7 @@ object TextOps {
     "quality_by_source" ->
       s"""WITH $qualityCtesSql
         |SELECT d.source, count(*) AS n_docs,
-        | round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE) /
+        | round(CAST(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) /
         |  CAST(count(*) AS DOUBLE), 6) AS avg_quality,
         | min(q.quality) AS min_quality, max(q.quality) AS max_quality
         |FROM q JOIN documents d USING (doc_id)
@@ -2694,10 +2694,10 @@ object TextOps {
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
         |  CAST(count(*) - count(DISTINCT md5($normSql)) AS BIGINT) AS n_norm_dups,
-        |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+        |  round(CAST(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS mean_len
         | FROM documents),
-        |mq AS (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |mq AS (SELECT round(CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS mean_quality FROM q)
         |SELECT n_docs, n_tokens, n_langs, n_sources, n_exact_dups,
         | n_norm_dups, mean_len, mean_quality
