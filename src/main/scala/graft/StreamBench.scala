@@ -163,6 +163,30 @@ object StreamBench {
         s""","anomalies":$outRows,"state_keys":$nKeys,""" +
           s""""state_doubles_per_key":${operators.AnalyticOps.ZscoreWindow}""")
     }
+    // ---- streaming ewma: trailing integer smoothing rings per user ----
+    locally {
+      // rate measurement only, like anomaly: StreamingSpec covers the
+      // bit-parity contract under ordered delivery
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/ewma_in")
+      val n = spark.read.parquet(s"$stage/ewma_in").count()
+      val nKeys = spark.read.parquet(s"$stage/ewma_in")
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      val in = fileStream(s"$stage/ewma_in", evs.schema).as[RawEvent]
+      val q = graft.streaming.StreamingEwma.smooth(in)
+        .writeStream.format("parquet")
+        .option("path", s"$stage/ewma_out")
+        .option("checkpointLocation", s"$stage/ewma_ckpt")
+        .outputMode("append").start()
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val outRows = spark.read.parquet(s"$stage/ewma_out").count()
+      require(outRows == n, s"ewma rows $outRows != streamed $n")
+      // state = one ring of ≤ EwmaWindow longs per user — constant
+      report("ewma", n, sec,
+        s""","state_keys":$nKeys,""" +
+          s""""state_longs_per_key":${operators.AnalyticOps.EwmaWindow}""")
+    }
     // ---- streaming decontamination: train docs vs the eval index ------
     locally {
       val evalIdx = TextOps.evalShingleIndex(spark, sfDir).persist()

@@ -869,8 +869,9 @@ object AnalyticOps {
       .orderBy("user_id")
   }
 
-  /** EWMA trailing-window length (observations per smoothed point). */
-  private[operators] val EwmaWindow = 20
+  /** EWMA trailing-window length (observations per smoothed point) —
+    * shared with the serve-time twin (streaming.StreamingEwma). */
+  private[graft] val EwmaWindow = 20
 
   /** Final EWMA derivation — ONE string feeds both engines, over the
     * exact integer inputs (wsum, k), so the double chain is identical:

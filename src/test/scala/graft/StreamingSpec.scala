@@ -981,6 +981,43 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(weird(2).value_winsorized == graft.streaming.StreamingWinsorize.round6(lo))
   }
 
+  test("streaming ewma equals the batch ewma_smooth bit-for-bit across waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed per-user event order = the batch window order (ts, event_id);
+    // splitting the GLOBALLY ordered feed preserves each user's order
+    val all = graft.model.Tables.events(spark, sf).as[RawEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingEwma.smooth(stream.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .option("checkpointLocation", tempDir("ewma_ckpt"))
+      .outputMode("append").start()
+    try {
+      // state carries the ring across the wave boundary: the union over
+      // any order-preserving split equals one batch over the whole input
+      val half = all.length / 2
+      stream.addData(all.take(half): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(half): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    val expected = graft.operators.AnalyticOps.ewmaSmooth(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(got.size == all.length)
+    assert(got == expected, "streamed ewma diverged from the batch window")
+    // non-finite values from a foreign feed never throw: they emerge as
+    // their own ewma (flag-through) and do not poison the ring
+    val weird = graft.streaming.StreamingEwma.smooth(Seq(
+      RawEvent(1L, ts(0), 99L, "t", Double.NaN, "{}"),
+      RawEvent(2L, ts(1), 99L, "t", 1.0, "{}")).toDS())
+      .collect().sortBy(_.event_id)
+    assert(weird(0).ewma.isNaN)
+    assert(weird(1).ewma == 1.0) // k=1 window: ewma of a single value
+  }
+
   test("streaming session windows equal the batch sessionize on closed sessions across waves") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
