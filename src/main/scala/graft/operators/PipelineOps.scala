@@ -516,10 +516,55 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  // --------------------------------------------------------- time split
+  /** Early-fraction of the temporal split. */
+  private[operators] val TimeSplitFrac = 0.8
+
+  /** TEMPORAL train/eval split over the event stream: cut at the exact
+    * 80th-percentile timestamp, report each side plus the USER overlap
+    * across the cut — the leakage a time split exists to control (a
+    * hash split mixes future into train; a time split's residual risk
+    * is entities straddling the fence, and `shared_users` is that
+    * number). The forecasting-eval counterpart of the hash-based
+    * `dataset_split`/`group_split`.
+    *
+    * Determinism: the cut is the exact type-7 interpolated percentile
+    * of integer epoch-micros (the proven `percentiles` parity — both
+    * engines interpolate the same two exact integers in double);
+    * membership is `us <= cut`, a pure row expression against the
+    * 1-row broadcast cut. Scale shape: one exact-percentile aggregate
+    * (value-counts-map partial state), one map-only split pass, two
+    * distinct-user aggregates + a broadcast intersect — no corpus-sized
+    * shuffle beyond the user distincts. */
+  def timeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(expr(s"percentile(us, $TimeSplitFrac)").as("cut"))
+    val lab = ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("us") <= col("cut"), "early").otherwise("late"))
+    val users = lab.select(col("split"), col("user_id")).distinct()
+      .persist().transform(graft.api.Caches.tracked)
+    users.count()
+    val shared = users.filter(col("split") === "early")
+      .select(col("user_id"))
+      .join(users.filter(col("split") === "late").select(col("user_id")),
+        Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("shared_users"))
+    lab.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .crossJoin(broadcast(shared))
+      .orderBy("split")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "mix_rebalance"     -> (mixRebalance _),
+    "time_split"        -> (timeSplit _),
     "quota_sample"      -> (quotaSample _),
     "dp_counts"         -> (dpCounts _),
     "k_anonymity"       -> (kAnonymity _),
@@ -579,6 +624,21 @@ object PipelineOps {
           |SELECT lang, n_docs, chars, ${MixExprs.mkString(",\n ")}
           |FROM b, m ORDER BY lang""".stripMargin
       },
+      "time_split" ->
+        s"""WITH ev AS (SELECT event_id, ts, user_id,
+          |  epoch_us(ts) AS us FROM events),
+          |c AS (SELECT quantile_cont(us, $TimeSplitFrac) AS cut FROM ev),
+          |lab AS (SELECT ev.*, CASE WHEN us <= c.cut THEN 'early'
+          |  ELSE 'late' END AS split FROM ev, c),
+          |u AS MATERIALIZED (SELECT DISTINCT split, user_id FROM lab),
+          |sh AS (SELECT CAST(count(*) AS BIGINT) AS shared_users FROM (
+          | SELECT user_id FROM u WHERE split = 'early'
+          | INTERSECT SELECT user_id FROM u WHERE split = 'late') i)
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          | min(ts) AS min_ts, max(ts) AS max_ts, sh.shared_users
+          |FROM lab, sh GROUP BY split, sh.shared_users
+          |ORDER BY split""".stripMargin,
       "quota_sample" ->
         s"""SELECT doc_id, source, rank FROM (
           | SELECT doc_id, source,

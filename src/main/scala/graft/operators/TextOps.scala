@@ -1712,6 +1712,46 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Per-SOURCE contamination: the `ngram_contamination_rate` audit
+    * broken down by feed — which source's val/test documents carry
+    * verbatim train 8-grams. The dataset-card number names the problem;
+    * this one names the CULPRIT (a feed that syndicates the same wire
+    * content into every split contaminates structurally, and the fix —
+    * feed-level dedup or exclusion — is per-source, not per-doc).
+    *
+    * Same kernel and scale shape as the rate query (windows kernel is
+    * KernelCache-eligible, one train-gram semi-join, doc-level
+    * distinct); the only addition is a documents join for `source` and
+    * a |sources|-row aggregate. */
+  def contaminationBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = gramKeyCols(spark)
+    val g = substrWindowsKernel(spark, sfDir, keys)
+      .persist().transform(graft.api.Caches.tracked)
+    g.count()
+    def splitOf = {
+      val b = PipelineOps.keyHash("spl") % 1000
+      when(b < 900, "train").when(b < 950, "val").otherwise("test")
+    }
+    val lab = g.select((col("doc_id") +: keys.map(col)): _*)
+      .withColumn("split", splitOf)
+    val trainGrams = lab.filter(col("split") === "train")
+      .select(keys.map(col): _*).distinct()
+    val contaminated = lab.filter(col("split") =!= "train")
+      .join(trainGrams, keys, "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .withColumn("split", splitOf).filter(col("split") =!= "train")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_eval_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_eval_docs"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") /
+          col("n_eval_docs").cast("double"), 6).as("contamination_rate"))
+      .orderBy("source")
+  }
+
   /** Windows from any (doc_id, norm) frame — the streaming twin probes
     * ARRIVING documents' windows against an offline gram index. */
   private[graft] def substrWindowsOf(normDf: DataFrame): DataFrame =
@@ -1909,6 +1949,7 @@ object TextOps {
     "lsh_bucket_profile"  -> (lshBucketProfile _),
     "substring_spans"     -> (substringSpans _),
     "ngram_contamination_rate" -> (ngramContaminationRate _),
+    "contamination_by_source" -> (contaminationBySource _),
     "substring_dedup_stats" -> (substringDedupStats _),
     "substring_dedup_apply" -> (substringDedupApply _),
     "pipeline_funnel"     -> (pipelineFunnel _),
@@ -2207,6 +2248,29 @@ object TextOps {
         | round(CAST(coalesce(cont.n_contaminated, 0) AS DOUBLE)
         |  / CAST(den.n_docs AS DOUBLE), 6) AS contamination_rate
         |FROM den LEFT JOIN cont USING (split) ORDER BY split""".stripMargin,
+    "contamination_by_source" ->
+      s"""WITH $substrCtesSql,
+        |lab AS (SELECT doc_id, gram,
+        | CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+        |  ELSE 'test' END AS split
+        | FROM (SELECT doc_id, gram,
+        |  ${PipelineOps.keyHashSql("spl")} % 1000 AS b FROM g) t),
+        |tg AS MATERIALIZED (SELECT DISTINCT gram FROM lab WHERE split = 'train'),
+        |hits AS (SELECT DISTINCT l.doc_id
+        | FROM lab l JOIN tg USING (gram) WHERE l.split <> 'train'),
+        |ev AS (SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |  CASE WHEN ${PipelineOps.keyHashSql("spl")} % 1000 < 900 THEN 'train'
+        |   WHEN ${PipelineOps.keyHashSql("spl")} % 1000 < 950 THEN 'val'
+        |   ELSE 'test' END AS split FROM documents) d
+        | WHERE split <> 'train')
+        |SELECT ev.source, CAST(count(*) AS BIGINT) AS n_eval_docs,
+        | CAST(sum(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS n_contaminated,
+        | round(CAST(sum(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+        |FROM ev LEFT JOIN hits h USING (doc_id)
+        |GROUP BY ev.source ORDER BY source""".stripMargin,
     "substring_dedup_stats" ->
       s"""WITH $substrCtesSql,
         |rep AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram

@@ -2079,6 +2079,49 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(got.values.exists(_._2 > 0L), "no contamination found — fixture no longer exercises the audit")
   }
 
+  test("time_split cuts at the type-7 0.8 percentile and counts straddling users") {
+    val got = operators.PipelineOps.timeSplit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getTimestamp(3).getTime,
+          r.getTimestamp(4).getTime, r.getLong(5))).toMap
+    val rows = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val us = rows.map(_._2).sorted
+    val h = (us.length - 1) * 0.8
+    val lo = math.floor(h).toInt
+    val cut = us(lo) + (h - lo) * (us(math.min(lo + 1, us.length - 1)) - us(lo))
+    val early = rows.filter(_._2 <= cut)
+    val late = rows.filter(_._2 > cut)
+    val shared = (early.map(_._1).toSet & late.map(_._1).toSet).size.toLong
+    assert(got("early")._1 == early.length && got("late")._1 == late.length)
+    assert(got("early")._2 == early.map(_._1).distinct.length)
+    assert(got("late")._2 == late.map(_._1).distinct.length)
+    assert(got("early")._5 == shared && got("late")._5 == shared)
+    assert(got("early")._3 == early.map(_._2).min / 1000) // ms vs µs: ts getTime
+    // temporal fence: nothing early is later than anything late
+    assert(got("early")._4 < got("late")._3)
+    // the split is non-degenerate and leakage-bearing on this feed
+    assert(shared > 0L && late.nonEmpty)
+  }
+
+  test("contamination_by_source reconciles with the per-split rate query") {
+    val bySource = operators.TextOps.contaminationBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val bySplit = operators.TextOps.ngramContaminationRate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // totals reconcile: same eval universe, same contaminated doc set
+    assert(bySource.values.map(_._1).sum == bySplit.values.map(_._1).sum)
+    assert(bySource.values.map(_._2).sum == bySplit.values.map(_._2).sum)
+    for ((s, (n, c, rate)) <- bySource) {
+      assert(c <= n, s"$s contaminated > docs")
+      assert(math.abs(rate - c.toDouble / n) < 2e-6, s"$s rate")
+    }
+    // non-vacuous: some source carries contamination
+    assert(bySource.values.exists(_._2 > 0L))
+  }
+
   test("ewma_smooth equals the sequential trailing-window EWMA recurrence") {
     val got = operators.AnalyticOps.ewmaSmooth(spark, sf).collect()
       .map(r => r.getLong(1) -> r.getDouble(4)).toMap
