@@ -915,11 +915,16 @@ object AnalyticOps {
     * inputs (cum/t per row, n/sx/sxx per group), so the standardized
     * cumulative sum is an identical IEEE chain: the classic
     * S_t = (Σ_{i≤t} x_i − t·x̄) / (σ·√n), whose max |S_t| position is the
-    * single-changepoint estimate. Cents units cancel in the ratio. */
+    * single-changepoint estimate. Cents units cancel in the ratio.
+    * Degenerate groups (n ≤ 1 or zero variance — a 1-row or constant
+    * feed) emit stat 0 via the shared CASE rather than NULL/NaN/∞,
+    * whose ordering under the argmax rank is engine-specific. */
+  private val CusumVarNum =
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
   private val CusumStatExpr =
-    "(CAST(cum AS DOUBLE) - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))" +
-      " / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))" +
-      " / (CAST(n AS DOUBLE) - 1.0)) * sqrt(CAST(n AS DOUBLE)))"
+    s"CASE WHEN CAST(n AS DOUBLE) <= 1.0 OR $CusumVarNum <= 0.0 THEN 0.0 ELSE " +
+      "(CAST(cum AS DOUBLE) - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))" +
+      s" / (sqrt($CusumVarNum / (CAST(n AS DOUBLE) - 1.0)) * sqrt(CAST(n AS DOUBLE))) END"
 
   /** CUSUM single-changepoint detection per event type: the (ts,
     * event_id) position where the standardized cumulative deviation from
@@ -987,14 +992,25 @@ object AnalyticOps {
     *
     * Determinism: ONE lag-window pass produces the three shifted
     * columns, then a single map-side-combined aggregate collects exact
-    * power/product sums in DECIMAL(38,0) (the statsPack headroom — lag
-    * products of cents would not overflow BIGINT until ~10⁹ rows per
-    * type, but the decimal partials make the op correct at any scale),
-    * re-narrowed to BIGINT for output parity; the estimator is a
-    * per-lag shared double chain ([[acfExpr]]) — no float accumulates
-    * anywhere. Scale shape: one type-partitioned window sort + one
-    * aggregate to |types| rows; the lag unrolling is a 3-way union over
-    * those 5 rows (metadata). */
+    * power/product sums in DECIMAL(38,0); the estimator is a per-lag
+    * shared double chain ([[acfExpr]]) — no float accumulates anywhere.
+    * The sums are re-narrowed to BIGINT for output parity, which caps
+    * the op at |Σ cents·cents| < 2⁶³ (~10⁹ rows per type for cent-scale
+    * values). Past the cap Spark's non-ANSI decimal→long cast would
+    * silently NULL while DuckDB's CAST errors — divergent failure
+    * modes — so [[narrowChecked]] turns the Spark-side overflow into a
+    * loud `raise_error` at the same boundary (the guard is evaluated
+    * only on the |types| aggregate rows, so it costs nothing).
+    * Scale shape: one type-partitioned window sort + one aggregate to
+    * |types| rows; the lag unrolling is a 3-way union over those 5
+    * rows (metadata). */
+  private def narrowChecked(c: org.apache.spark.sql.Column, name: String) = {
+    val lim = lit(Long.MaxValue).cast(DecimalType(38, 0))
+    when(c.isNotNull && abs(c) > lim,
+        raise_error(concat(lit(s"valueAutocorr: $name overflows BIGINT: "), c.cast("string"))))
+      .otherwise(c.cast("long")).as(name)
+  }
+
   def valueAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
@@ -1004,12 +1020,12 @@ object AnalyticOps {
         AcfLags.map(k => lag(col("cents"), k).over(w).as(s"l$k")): _*)
     val aggCols: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("n"),
-        sum(col("cents").cast(dec)).cast("long").as("sx"),
-        sum((col("cents") * col("cents")).cast(dec)).cast("long").as("sxx")) ++
+        narrowChecked(sum(col("cents").cast(dec)), "sx"),
+        narrowChecked(sum((col("cents") * col("cents")).cast(dec)), "sxx")) ++
         AcfLags.flatMap { k =>
-          Seq(sum((col("cents") * col(s"l$k")).cast(dec)).cast("long").as(s"sp$k"),
-            sum(when(col(s"l$k").isNotNull, col("cents")).cast(dec)).cast("long").as(s"a$k"),
-            sum(when(col(s"l$k").isNotNull, col(s"l$k")).cast(dec)).cast("long").as(s"b$k"))
+          Seq(narrowChecked(sum((col("cents") * col(s"l$k")).cast(dec)), s"sp$k"),
+            narrowChecked(sum(when(col(s"l$k").isNotNull, col("cents")).cast(dec)), s"a$k"),
+            narrowChecked(sum(when(col(s"l$k").isNotNull, col(s"l$k")).cast(dec)), s"b$k"))
         }
     val agg = base.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
     AcfLags.map { k =>
@@ -1023,11 +1039,16 @@ object AnalyticOps {
 
   /** Rate z-score — ONE string for both engines over exact integer
     * inputs (c per cell, n/sc/scc per type over the COMPLETE hour
-    * spine). */
+    * spine). Degenerate types (a single spine hour or a perfectly
+    * constant hourly rate) emit z = 0 via the shared CASE rather than
+    * NULL/NaN/∞ — the rank itself never reads z (it orders by count),
+    * but the emitted column must still hash identically. */
+  private val BurstVarNum =
+    "(CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))"
   private val BurstZExpr =
-    "round((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))" +
-      " / sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))" +
-      " / (CAST(n AS DOUBLE) - 1.0)), 6) AS z"
+    s"round(CASE WHEN CAST(n AS DOUBLE) <= 1.0 OR $BurstVarNum <= 0.0 THEN 0.0 ELSE " +
+      "(CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))" +
+      s" / sqrt($BurstVarNum / (CAST(n AS DOUBLE) - 1.0)) END, 6) AS z"
 
   /** Top-[[BurstTopK]] burst HOURS per event type: hourly event counts
     * z-scored against the type's own hourly-rate distribution — the

@@ -391,8 +391,9 @@ object GraphOps {
     * drive it with known-core graphs and to fixpoint. */
   private[graft] def kCoreOf(pairsIn: DataFrame, k: Int = KCoreK,
       rounds: Int = KCoreRounds): DataFrame = {
-    var edges = pairsIn.select(col("doc_a"), col("doc_b"))
+    val initial = pairsIn.select(col("doc_a"), col("doc_b"))
       .persist().transform(graft.api.Caches.tracked)
+    var edges = initial
     edges.count()
     for (_ <- 1 to rounds) {
       val keep = edges
@@ -405,6 +406,12 @@ object GraphOps {
         .join(keep.select(col("node").as("kb")),
           col("doc_b") === col("kb"), "left_semi"))
     }
+    // Each round's `truncate` is an EAGER checkpoint, so after ≥1 round
+    // `edges` no longer reads the initial cache — release it here rather
+    // than rely on Caches.tracked (a no-op when kCoreOf is called outside
+    // a Caches scope, where repeated fixpoint probes would otherwise
+    // accumulate persisted copies for the session lifetime).
+    if (rounds >= 1 && (edges ne initial)) initial.unpersist(false)
     edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))

@@ -472,6 +472,13 @@ object PipelineOps {
   private[operators] val MixTarget: Seq[(String, Int)] =
     Seq("de" -> 1, "en" -> 4, "es" -> 1, "fr" -> 1, "zh" -> 1)
   private[operators] val MixDenom = 8
+  // The capacity factor below is MixDenom / t as INTEGER division — a
+  // numerator that doesn't divide the denominator (e.g. 3/8) would yield
+  // a silently wrong capacity, so the mix shape is validated at load.
+  require(MixTarget.map(_._2).sum == MixDenom,
+    s"MixTarget numerators must sum to MixDenom=$MixDenom")
+  require(MixTarget.forall { case (_, t) => MixDenom % t == 0 },
+    s"every MixTarget numerator must divide MixDenom=$MixDenom exactly")
 
   /** Final mix derivations — ONE string list feeds both engines over the
     * exact integer inputs (tnum, tmin, chars), so the double chains are
@@ -511,7 +518,17 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
       .withColumn("tnum", tnumCol)
       .withColumn("cap", col("chars") * capFactor)
-    agg.crossJoin(broadcast(agg.agg(min(col("cap")).as("tmin"))))
+    // A target language absent from the corpus would silently drop out of
+    // the min(cap) and skew the realized mix — fail loud instead, lazily
+    // (the guard rides the same 1-row broadcast aggregate as tmin).
+    val tminAgg = agg.agg(min(col("cap")).as("tmin_raw"),
+        count(lit(1)).as("nlang"))
+      .select(when(col("nlang") =!= lit(MixTarget.size.toLong),
+          raise_error(concat(lit(s"mixRebalance: corpus has only "),
+            col("nlang").cast("string"),
+            lit(s" of ${MixTarget.size} target languages"))))
+        .otherwise(col("tmin_raw")).as("tmin"))
+    agg.crossJoin(broadcast(tminAgg))
       .selectExpr(Seq("lang", "n_docs", "chars") ++ MixExprs: _*)
       .orderBy("lang")
   }

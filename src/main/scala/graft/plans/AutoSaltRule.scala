@@ -161,7 +161,7 @@ object AutoSalt {
     val (summary, total) = df.select(col(keyCol).cast("string")).rdd
       .treeAggregate(zero)(
         seqOp = { case ((m, n), row) =>
-          val k = if (row.isNullAt(0)) " <null>" else row.getString(0)
+          val k = if (row.isNullAt(0)) "\u0000<null>" else row.getString(0)
           mgAdd(m, k, 1L, counters); (m, n + 1L)
         },
         combOp = { case ((m1, n1), (m2, n2)) =>
