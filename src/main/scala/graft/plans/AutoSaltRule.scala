@@ -102,7 +102,16 @@ import graft.api.GraftConfig
   * never triggers it; key-frequency stats see the key itself. */
 object AutoSalt {
   val EnabledKey = "spark.graft.autoSalt.enabled"
-  /** Per-column registration: `spark.graft.autoSalt.key.<col> = buckets`. */
+  /** Per-column registration: `spark.graft.autoSalt.key.<col> = buckets`
+    * or `buckets@fingerprint`. The fingerprint (recorded automatically by
+    * the analyze passes when the measured DataFrame reads ONE file-based
+    * relation) scopes the registration to that RELATION: a key measured
+    * hot on `events.user_id` must not salt every other table's `user_id`
+    * in the session — the rewrite is output-preserving either way, but
+    * an unneeded S× dim replication on a join that never skewed is real
+    * overhead at 100 TB. A bare `buckets` value (manual registration, or
+    * a measured source with no stable identity — in-memory ranges, local
+    * relations) keeps the legacy column-NAME scope. */
   val KeyPrefix = "spark.graft.autoSalt.key."
   /** Hot-key share (percent of table rows) above which
     * [[analyzeAndRegister]] registers the key. 1% of 100 TB landing on
@@ -114,9 +123,58 @@ object AutoSalt {
   def enabled(spark: SparkSession): Boolean =
     GraftConfig.get(spark, EnabledKey, "false").trim.equalsIgnoreCase("true")
 
-  def bucketsFor(spark: SparkSession, keyName: String): Option[Int] = {
-    val b = GraftConfig.getInt(spark, KeyPrefix + keyName, 0)
-    if (b >= 2) Some(b) else None
+  /** A parsed registration: bucket count plus the optional relation
+    * fingerprint that scopes it (None = legacy name scope). */
+  case class Registration(buckets: Int, fingerprint: Option[String])
+
+  def registrationFor(spark: SparkSession, keyName: String): Option[Registration] = {
+    val raw = GraftConfig.get(spark, KeyPrefix + keyName, "").trim
+    if (raw.isEmpty) None
+    else {
+      val (b, fp) = raw.split("@", 2) match {
+        case Array(bs, f) => (bs, Some(f).filter(_.nonEmpty))
+        case Array(bs) => (bs, None)
+      }
+      b.toIntOption.filter(_ >= 2).map(Registration(_, fp))
+    }
+  }
+
+  def bucketsFor(spark: SparkSession, keyName: String): Option[Int] =
+    registrationFor(spark, keyName).map(_.buckets)
+
+  /** Stable identity of a leaf relation: the sorted source root paths of
+    * its file index, hashed. Only file-based relations have one — a
+    * re-read of the same table (new DataFrame, new expr ids) fingerprints
+    * identically, which is what lets a registration recorded on one
+    * DataFrame match the same TABLE inside any later query. */
+  private[plans] def leafFingerprint(leaf: LogicalPlan): Option[String] =
+    leaf match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(fpOf(fs.location.rootPaths.map(_.toString)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def fpOf(parts: Seq[String]): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(parts.sorted))
+
+  /** The fingerprint a registration on `df`/`keyCol` should carry: the
+    * identity of the ONE file-based leaf that outputs `keyCol`. None when
+    * no leaf qualifies (in-memory source) or several do (ambiguous — a
+    * join of two tables both carrying the column); those registrations
+    * fall back to name scope rather than guess. */
+  private[plans] def dfFingerprint(df: DataFrame, keyCol: String): Option[String] = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val owning = leaves.filter(_.output.exists(_.name == keyCol))
+    (if (owning.nonEmpty) owning else leaves)
+      .flatMap(leafFingerprint).distinct match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
   }
 
   /** The diagnostic pass: hottest-key share of `keyCol` in percent (the
@@ -130,7 +188,7 @@ object AutoSalt {
     val sharePct =
       if (row.isNullAt(1) || row.getDouble(1) == 0.0) 0.0
       else 100.0 * row.getDouble(0) / row.getDouble(1)
-    register(spark, keyCol, buckets, sharePct)
+    register(spark, keyCol, buckets, sharePct, dfFingerprint(df, keyCol))
     sharePct
   }
 
@@ -175,7 +233,7 @@ object AutoSalt {
       m
     }
     val sharePct = if (total == 0L) 0.0 else 100.0 * maxCnt / total
-    register(spark, keyCol, buckets, sharePct)
+    register(spark, keyCol, buckets, sharePct, dfFingerprint(df, keyCol))
     sharePct
   }
 
@@ -205,10 +263,11 @@ object AutoSalt {
   }
 
   private def register(spark: SparkSession, keyCol: String, buckets: Int,
-      sharePct: Double): Unit = {
+      sharePct: Double, fingerprint: Option[String]): Unit = {
     val threshold = GraftConfig.get(spark, MinSharePctKey, "1.0").toDouble
     if (sharePct >= threshold)
-      spark.conf.set(KeyPrefix + keyCol, buckets.toString)
+      spark.conf.set(KeyPrefix + keyCol,
+        buckets.toString + fingerprint.map("@" + _).getOrElse(""))
   }
 }
 
@@ -251,17 +310,36 @@ case class AutoSaltRule(spark: SparkSession)
   private def saltOf(rows: Seq[Attribute], buckets: Int): Expression =
     Pmod(Cast(new Murmur3Hash(rows), LongType), Literal(buckets.toLong))
 
+  /** A registration applies to `attr` under `root` when the name matches
+    * AND — for fingerprinted registrations — the attribute traces (by
+    * expr id) to a leaf relation with the registered identity. An
+    * attribute that traces to no file leaf (aliased/derived key, or an
+    * in-memory source) does NOT match a fingerprinted registration: the
+    * conservative direction, since firing costs S× replication on a join
+    * nobody measured. Name-only registrations keep the legacy behavior. */
+  private def attrBuckets(root: LogicalPlan, attr: AttributeReference): Option[Int] =
+    AutoSalt.registrationFor(spark, attr.name).flatMap { reg =>
+      reg.fingerprint match {
+        case None => Some(reg.buckets)
+        case Some(fp) =>
+          val owners = root.collectLeaves().filter(_.outputSet.contains(attr))
+          if (owners.exists(l => AutoSalt.leafFingerprint(l).contains(fp)))
+            Some(reg.buckets)
+          else None
+      }
+    }
+
   /** The join qualifies when some equi-conjunct keys a column registered
-    * via [[AutoSalt.KeyPrefix]] (on either side) AND the replicate side
-    * is too big to broadcast anyway. */
+    * via [[AutoSalt.KeyPrefix]] (on either side, relation-scoped when the
+    * registration carries a fingerprint) AND the replicate side is too
+    * big to broadcast anyway. */
   private def registeredKeyBuckets(j: Join): Option[Int] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     val keyed = conjuncts.collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
              (j.left.outputSet.contains(b) && j.right.outputSet.contains(a)) =>
-        AutoSalt.bucketsFor(spark, a.name)
-          .orElse(AutoSalt.bucketsFor(spark, b.name))
+        attrBuckets(j, a).orElse(attrBuckets(j, b))
     }.flatten.headOption
     keyed.filter { _ =>
       val dimSize = j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
@@ -343,7 +421,7 @@ case class AutoSaltRule(spark: SparkSession)
   private def aggBuckets(a: Aggregate): Option[Int] = {
     val groupAttrs = a.groupingExpressions.collect { case ar: AttributeReference => ar }
     if (groupAttrs.size != a.groupingExpressions.size || groupAttrs.isEmpty) return None
-    val registered = groupAttrs.flatMap(g => AutoSalt.bucketsFor(spark, g.name)).headOption
+    val registered = groupAttrs.flatMap(g => attrBuckets(a.child, g)).headOption
     registered.filter { _ =>
       val shapeOk = a.aggregateExpressions.forall {
         case ar: AttributeReference => groupAttrs.exists(_.exprId == ar.exprId)

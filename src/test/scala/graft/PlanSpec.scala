@@ -579,4 +579,65 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       }
     } finally cleanup()
   }
+
+  test("autoSalt registration is RELATION-scoped: a same-named key on another table never salts") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{AutoSalt, AutoSaltRule}
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSaltRule(spark)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val base = java.nio.file.Files.createTempDirectory("autosalt_scope").toString
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // two FILE-backed tables sharing the key name: `hot` is 80% one key,
+      // `flat` is uniform — the skew lives in ONE relation only
+      spark.range(50000).select(
+          when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 97).as("user_id"),
+          col("id").as("event_id"))
+        .write.parquet(s"$base/hot")
+      spark.range(50000).select((col("id") % 997).as("user_id"),
+          col("id").as("event_id"))
+        .write.parquet(s"$base/flat")
+      val hot = spark.read.parquet(s"$base/hot")
+      val flat = spark.read.parquet(s"$base/flat")
+      val dim = spark.range(997).select(col("id").as("user_id"),
+        (col("id") * 3).as("weight"))
+      val share = AutoSalt.analyzeAndRegister(spark, hot, "user_id")
+      assert(share > 50.0)
+      // the registration must carry the relation fingerprint
+      val reg = spark.conf.get(AutoSalt.KeyPrefix + "user_id")
+      assert(reg.contains("@"), s"file-backed registration must be fingerprinted, got: $reg")
+      spark.conf.set(AutoSalt.EnabledKey, "true")
+      // the MEASURED table's join salts...
+      val pHot = hot.join(dim, "user_id").groupBy("user_id")
+        .agg(sum("weight").as("w")).queryExecution.optimizedPlan.toString
+      assert(pHot.contains("__graft_salt"), s"registered relation must salt:\n$pHot")
+      // ...the other table's same-named join does NOT (the S× dim
+      // replication it would pay was never measured as needed)
+      val pFlat = flat.join(dim, "user_id").groupBy("user_id")
+        .agg(sum("weight").as("w")).queryExecution.optimizedPlan.toString
+      assert(!pFlat.contains("__graft_salt"),
+        s"unmeasured relation with same key name must stay unsalted:\n$pFlat")
+      // a RE-READ of the measured table (new DataFrame, new expr ids)
+      // still matches: the fingerprint is the table identity, not the df
+      val pHot2 = spark.read.parquet(s"$base/hot").join(dim, "user_id")
+        .groupBy("user_id").agg(sum("weight").as("w"))
+        .queryExecution.optimizedPlan.toString
+      assert(pHot2.contains("__graft_salt"), s"re-read of measured table must salt:\n$pHot2")
+      // a manual (fingerprint-less) registration keeps legacy name scope
+      spark.conf.set(AutoSalt.KeyPrefix + "user_id", "16")
+      val pFlatLegacy = flat.join(dim, "user_id").groupBy("user_id")
+        .agg(sum("weight").as("w")).queryExecution.optimizedPlan.toString
+      assert(pFlatLegacy.contains("__graft_salt"),
+        "manual bare-buckets registration must keep name scope")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[AutoSaltRule])
+      spark.conf.unset(AutoSalt.EnabledKey)
+      spark.conf.unset(AutoSalt.KeyPrefix + "user_id")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
