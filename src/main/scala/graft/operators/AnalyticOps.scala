@@ -941,23 +941,37 @@ object AnalyticOps {
     * Scale shape: one type-partitioned window sort + a 5-row broadcast
     * moments join; the argmax is a per-type rank over the same window
     * partitioning (sort reused), so the whole op is one shuffle. */
-  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val base = Tables.events(spark, sfDir)
+  /** The offline per-type moments artifact (n, Σcents, Σcents² — exact
+    * under DECIMAL partials, emitted as doubles): what the batch scan
+    * joins against, and what [[graft.streaming.StreamingCusum]] trains
+    * on offline (|types| rows — metadata). */
+  private[graft] def cusumMoments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
-    val moments = base.groupBy(col("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents").cast(DecimalType(38, 0))).cast("double").as("sx"),
         sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).cast("double").as("sxx"))
-    val scanned = base
+
+  /** The per-event CUSUM scan (event_type, event_id, ts, n, t, stat) the
+    * changepoint argmax reads — exposed so the streaming twin's
+    * per-event parity has a batch counterpart to diff against. */
+  private[graft] def cusumScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
+    base
       .withColumn("t", row_number().over(wOrd).cast("long"))
       .withColumn("cum",
         sum(col("cents").cast(DecimalType(38, 0)))
           .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
-      .join(broadcast(moments), "event_type")
+      .join(broadcast(cusumMoments(spark, sfDir)), "event_type")
       .withColumn("stat", expr(CusumStatExpr))
-    scanned
+  }
+
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    cusumScan(spark, sfDir)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("event_type"))
           .orderBy(abs(col("stat")).desc, col("t"))))

@@ -1684,25 +1684,48 @@ object TextOps {
     * applies), then doc-level distinct + two metadata-sized aggregates.
     * Denominators count ALL split docs (a sub-k doc cannot be flagged
     * but belongs in the rate). */
-  def ngramContaminationRate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The split fence shared by both contamination audits: a pure
+    * doc-hash expression, identical wherever it is evaluated. */
+  private def contamSplitOf = {
+    val b = PipelineOps.keyHash("spl") % 1000
+    when(b < 900, "train").when(b < 950, "val").otherwise("test")
+  }
+
+  /** Contaminated-eval-docs KERNEL: distinct (doc_id, split) of val/test
+    * documents carrying ANY verbatim train k-gram. This is the expensive
+    * common base of `ngram_contamination_rate` and
+    * `contamination_by_source` — the windows explode, the train-gram
+    * distinct, and the corpus-wide semi-join — which the two audits
+    * otherwise rebuild back to back (SCALING.md priced them at 5.3 s +
+    * 4.1 s at 10× each). Session-cached via [[graft.api.KernelCache]]:
+    * a pure function of (corpus, k, key mode), and the output is
+    * longs/strings only, so the parquet round-trip is bit-neutral
+    * (KernelCacheSpec pins per-consumer parity). `split` is functional
+    * on doc_id, so the (doc_id, split) distinct serves both consumers —
+    * the per-split counter reads it as-is, the per-source audit takes
+    * doc_id alone. */
+  private def contaminatedEvalDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val keys = gramKeyCols(spark)
-    val g = substrWindowsKernel(spark, sfDir, keys)
-      .persist().transform(graft.api.Caches.tracked)
-    g.count()
-    def splitOf = {
-      val b = PipelineOps.keyHash("spl") % 1000
-      when(b < 900, "train").when(b < 950, "val").otherwise("test")
-    }
-    val lab = g.select((col("doc_id") +: keys.map(col)): _*)
-      .withColumn("split", splitOf)
-    val trainGrams = lab.filter(col("split") === "train")
-      .select(keys.map(col): _*).distinct()
-    val contaminated = lab.filter(col("split") =!= "train")
-      .join(trainGrams, keys, "left_semi")
-      .select(col("doc_id"), col("split")).distinct()
+    graft.api.KernelCache.getOrBuild(spark,
+      s"contam.docs|$sfDir|$SubstrK|${keys.mkString(",")}", {
+        val g = substrWindowsKernel(spark, sfDir, keys)
+          .persist().transform(graft.api.Caches.tracked)
+        g.count()
+        val lab = g.select((col("doc_id") +: keys.map(col)): _*)
+          .withColumn("split", contamSplitOf)
+        val trainGrams = lab.filter(col("split") === "train")
+          .select(keys.map(col): _*).distinct()
+        lab.filter(col("split") =!= "train")
+          .join(trainGrams, keys, "left_semi")
+          .select(col("doc_id"), col("split")).distinct()
+      })
+  }
+
+  def ngramContaminationRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val contaminated = contaminatedEvalDocs(spark, sfDir)
       .groupBy(col("split")).agg(count(lit(1)).as("n_contaminated"))
     Tables.documents(spark, sfDir).select(col("doc_id"))
-      .withColumn("split", splitOf).filter(col("split") =!= "train")
+      .withColumn("split", contamSplitOf).filter(col("split") =!= "train")
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .join(contaminated, Seq("split"), "left_outer")
       .select(col("split"), col("n_docs"),
@@ -1724,24 +1747,11 @@ object TextOps {
     * distinct); the only addition is a documents join for `source` and
     * a |sources|-row aggregate. */
   def contaminationBySource(spark: SparkSession, sfDir: String): DataFrame = {
-    val keys = gramKeyCols(spark)
-    val g = substrWindowsKernel(spark, sfDir, keys)
-      .persist().transform(graft.api.Caches.tracked)
-    g.count()
-    def splitOf = {
-      val b = PipelineOps.keyHash("spl") % 1000
-      when(b < 900, "train").when(b < 950, "val").otherwise("test")
-    }
-    val lab = g.select((col("doc_id") +: keys.map(col)): _*)
-      .withColumn("split", splitOf)
-    val trainGrams = lab.filter(col("split") === "train")
-      .select(keys.map(col): _*).distinct()
-    val contaminated = lab.filter(col("split") =!= "train")
-      .join(trainGrams, keys, "left_semi")
+    val contaminated = contaminatedEvalDocs(spark, sfDir)
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(1L))
     Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
-      .withColumn("split", splitOf).filter(col("split") =!= "train")
+      .withColumn("split", contamSplitOf).filter(col("split") =!= "train")
       .join(contaminated, Seq("doc_id"), "left_outer")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_eval_docs"),

@@ -90,6 +90,31 @@ class KernelCacheSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("contamination pair shares the contaminated-docs kernel, bit-identical") {
+    // baseline: flag off — each audit rebuilds windows + semi-join itself
+    val offRate = rows(TextOps.ngramContaminationRate(spark, sf))
+    val offBySrc = rows(TextOps.contaminationBySource(spark, sf))
+    graft.api.Caches.release(spark)
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    try {
+      val m0 = KernelCache.misses
+      assert(rows(TextOps.ngramContaminationRate(spark, sf)) == offRate)
+      // windows kernel + contaminated-docs kernel, built exactly once
+      assert(KernelCache.misses - m0 == 2,
+        s"first audit should build windows + contam kernels, built ${KernelCache.misses - m0}")
+      graft.api.Caches.release(spark) // the harness sweep between queries
+      assert(rows(TextOps.contaminationBySource(spark, sf)) == offBySrc)
+      // the second audit reuses BOTH kernels: no builds of its own
+      assert(KernelCache.misses - m0 == 2,
+        s"contamination_by_source must reuse, total builds ${KernelCache.misses - m0}")
+    } finally {
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+      graft.api.Caches.release(spark)
+    }
+  }
+
   test("flag off is a pass-through: no entries, no files, plans unchanged") {
     KernelCache.clear()
     val m0 = KernelCache.misses

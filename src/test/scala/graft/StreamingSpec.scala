@@ -1018,6 +1018,63 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(weird(1).ewma == 1.0) // k=1 window: ewma of a single value
   }
 
+  test("streaming cusum equals the batch scan bit-for-bit across waves; argmax = changepoint rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // moments train OFFLINE on the same corpus the stream replays
+    val moments = graft.streaming.StreamingCusum.offlineMoments(spark, sf)
+    // feed per-type event order = the batch window order (ts, event_id);
+    // splitting the GLOBALLY ordered feed preserves each type's order
+    val all = graft.model.Tables.events(spark, sf).as[RawEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingCusum.scan(stream.toDS(), moments)
+      .writeStream.format("memory").queryName("cusum_out")
+      .option("checkpointLocation", tempDir("cusum_ckpt"))
+      .outputMode("append").start()
+    try {
+      // state carries (t, cum) across the wave boundary
+      val half = all.length / 2
+      stream.addData(all.take(half): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(half): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_out").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("t"), r.getAs[Double]("stat")))
+      .toMap
+    // per-event bit parity against the batch scan column
+    val expected = graft.operators.AnalyticOps.cusumScan(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("t"), r.getAs[Double]("stat")))
+      .toMap
+    assert(got.size == all.length)
+    assert(got == expected, "streamed cusum stats diverged from the batch scan")
+    // the per-type argmax over the streamed stats (max |stat|, ties to
+    // the smallest t — the batch rank's exact order) IS the batch
+    // changepoint flag set
+    val streamedArgmax = got.values.groupBy(_._1).map { case (tpe, rows) =>
+      val best = rows.minBy { case (_, t, s) => (-math.abs(s), t) }
+      tpe -> (best._2, graft.streaming.StreamingEwma.round6(best._3))
+    }
+    val batchArgmax = graft.operators.AnalyticOps.cusumChangepoint(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("change_pos"), r.getAs[Double]("cusum_stat"))).toMap
+    assert(streamedArgmax == batchArgmax, "streamed argmax != batch changepoint rows")
+    // serve-time policies: an unknown type emits stat 0 (late signal,
+    // never an alarm); a non-finite value flags through WITHOUT
+    // advancing the type's (t, cum) state
+    val weird = graft.streaming.StreamingCusum.scan(Seq(
+      RawEvent(1L, ts(0), 9L, "unseen_type", 5.0, "{}"),
+      RawEvent(2L, ts(1), 9L, "click", Double.NaN, "{}"),
+      RawEvent(3L, ts(2), 9L, "click", 1.0, "{}")).toDS(), moments)
+      .collect().sortBy(_.event_id)
+    assert(weird(0).stat == 0.0 && weird(0).t == 1L)
+    assert(weird(1).stat.isNaN && weird(1).t == 0L)
+    assert(weird(2).t == 1L, "NaN record must not advance the cusum state")
+  }
+
   test("streaming session windows equal the batch sessionize on closed sessions across waves") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
