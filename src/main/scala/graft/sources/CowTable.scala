@@ -83,7 +83,7 @@ object CowTable {
   /** Newest committed version, 0 if the table does not exist yet. */
   def currentVersion(root: String): Int = listVersions(root).lastOption.getOrElse(0)
 
-  private def manifestLines(root: String, version: Int): Seq[String] =
+  private[graft] def manifestLines(root: String, version: Int): Seq[String] =
     Files.readAllLines(Paths.get(manifestDir(root), s"v$version.list"),
       StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
 
@@ -713,7 +713,8 @@ object CowTable {
     * deleted only when NO kept manifest lists it. The directory listing
     * is materialized BEFORE any delete (mutating a directory under its
     * own open DirectoryStream is unspecified behavior). */
-  def vacuum(root: String, keepVersions: Int = 1): (Int, Int) = {
+  def vacuum(root: String, keepVersions: Int = 1,
+      tmpGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the newest version")
     val versions = listVersions(root)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
@@ -721,7 +722,18 @@ object CowTable {
     val candidates = listDir(Paths.get(filesDir(root)))
       .filter(p => !referenced.contains(p.getFileName.toString))
     candidates.foreach(Files.delete)
+    // a writer that died INSIDE the publish window (after forcing its
+    // staged bytes, before its tmp delete) leaves `.v<N>-<uuid>.tmp` in
+    // the manifest dir forever — no manifest references tmps, so the
+    // version sweep never sees them. Reclaim them here, but only past a
+    // grace age: a LIVE writer's tmp deleted between its force and its
+    // link would fail that writer's commit spuriously.
+    val now = System.currentTimeMillis()
+    val deadTmps = listDir(Paths.get(manifestDir(root)))
+      .filter(p => p.getFileName.toString.endsWith(".tmp"))
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis >= tmpGraceMs)
+    deadTmps.foreach(p => Files.deleteIfExists(p))
     drop.foreach(v => Files.delete(Paths.get(manifestDir(root), s"v$v.list")))
-    (drop.size, candidates.size)
+    (drop.size, candidates.size + deadTmps.size)
   }
 }

@@ -532,6 +532,76 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
     assert(CowTable.readVersion(spark, root, 1).count() == 6)
   }
 
+  test("chaos: writer killed inside the publish window — no torn version, retry lands, vacuum exact") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths => JP, StandardOpenOption => SO}
+    val root = tempDir("cow_chaos")
+    val base = (0L until 1000L).map(id => (id, id % 7, id * 1.0))
+      .toDF("event_id", "user_id", "value")
+    CowTable.init(spark, root, base, "event_id", nFiles = 4)
+
+    // ---- kill window A: writer dies AFTER staging data files, BEFORE
+    // the CAS — on-disk state: orphan parquet in files/, no manifest.
+    // Simulated by planting unreferenced files (what a dead mergeAttempt
+    // leaves, since its cleanup never ran).
+    val orphanA = JP.get(s"$root/files/deadwriter-attempt1.parquet")
+    JF.write(orphanA, Array.fill(128)(0x5a.toByte))
+    // a reader racing the crash sees the OLD version, bit-exact
+    assert(CowTable.currentVersion(root) == 1)
+    assert(CowTable.read(spark, root).count() == 1000L)
+
+    // the restarted writer retries the same logical update and lands
+    val upd = Seq((1L, -1L, 999.0), (5000L, -2L, 111.0))
+      .toDF("event_id", "user_id", "value")
+    assert(CowTable.mergeUpsert(spark, root, upd, "event_id") == 2)
+
+    // ---- kill window B: writer dies BETWEEN the hard-link CAS and its
+    // tmp-delete/dir-fsync — on-disk state: v3.list PUBLISHED with fully
+    // forced bytes, the staging tmp still present. Replayed file-op by
+    // file-op exactly as tryCommitManifest performs them.
+    // carry v2 wholesale: raw manifest lines, headers AND stats intact
+    val body = CowTable.manifestLines(root, 2).mkString("\n")
+    val tmpB = JP.get(s"$root/manifest/.v3-deadbeef.tmp")
+    val ch = java.nio.channels.FileChannel.open(tmpB, SO.CREATE, SO.WRITE)
+    ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8"))); ch.force(true); ch.close()
+    JF.createLink(JP.get(s"$root/manifest/v3.list"), tmpB)
+    // (crash here: no tmp delete, no dir fsync)
+
+    // no torn version: the racing reader sees v3 COMPLETE — the link
+    // published fully-forced bytes, so every manifest line is whole and
+    // the snapshot reads exactly (carried v2 = post-upsert rows)
+    assert(CowTable.currentVersion(root) == 3)
+    val v3got = CowTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(v3got(1L) == ((-1L, 999.0)) && v3got(5000L) == ((-2L, 111.0)))
+    assert(v3got.size == 1001)
+    CowTable.manifestLines(root, 3).filterNot(_.startsWith("#")).foreach(l =>
+      assert(l.split("\\|").length == 3, s"torn manifest line: $l"))
+
+    // the dead writer's RETRY (restarted job, same next-version target)
+    // must lose the CAS on v3 — never overwrite it — and land on v4
+    val upd2 = Seq((2L, -4L, 7.0)).toDF("event_id", "user_id", "value")
+    assert(CowTable.mergeUpsert(spark, root, upd2, "event_id") == 4)
+    val v4got = CowTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(v4got(2L) == ((-4L, 7.0)))
+
+    // ---- vacuum reclaims BOTH crash artifacts exactly: the window-A
+    // orphan data file and the window-B dead tmp (grace 0 in the test;
+    // production default keeps a 1 h grace so a LIVE writer's tmp is
+    // never swept between its force and its link), while every kept
+    // version still reads
+    val (_, reclaimed) = CowTable.vacuum(root, keepVersions = 2, tmpGraceMs = 0L)
+    assert(!JF.exists(orphanA), "window-A orphan data file survived vacuum")
+    assert(!JF.exists(tmpB), "window-B dead manifest tmp survived vacuum")
+    assert(reclaimed >= 2)
+    val onDisk = JF.list(JP.get(s"$root/files"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    val referenced = (CowTable.manifest(root, 3) ++ CowTable.manifest(root, 4)).toSet
+    assert(onDisk == referenced, "vacuum left orphans or deleted referenced files")
+    assert(CowTable.read(spark, root).count() == 1001L)
+  }
+
   test("a reader pinned to an old version survives a concurrent vacuum of newer history") {
     import spark.implicits._
     val root = tempDir("cow_vac")
