@@ -31,4 +31,33 @@ object Payload {
 
   def variant(spark: SparkSession): Boolean =
     GraftConfig.get(spark, ModeKey, "string").trim.equalsIgnoreCase("variant")
+
+  /** The WRITER half of the variant migration (r16 verdict item 6):
+    * materialize the events table with `props` parsed ONCE into a
+    * SHREDDED VARIANT column `pv` — Spark 4's parquet writer stores the
+    * typed fields as real sub-columns (`spark.sql.variant.
+    * writeShredding.enabled` + inferred shredding schema), so a reader
+    * probing `$.k` does columnar-pruned typed reads with ZERO run-time
+    * JSON parsing (`pushVariantIntoScan` rewrites `variant_get` into
+    * the scan itself). This is the regime the read-side flag exists
+    * for; VariantWriterAbSpec prices all three arms (string re-parse /
+    * read-time parse_json / shredded) on identical data and SCALING.md
+    * records the table. Returns the output path. */
+  def writeShredded(spark: SparkSession, sfDir: String, outDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val prev = Seq("spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+      graft.model.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), parse_json(col("props")).as("pv"))
+        .write.mode("overwrite").parquet(outDir)
+      outDir
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -54,6 +54,33 @@ object GraphAnn {
       efSearch: Int = 32,
       nShards: Int = 4)
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.GraphAnn")
+
+  /** Shard-size-adaptive out-degree (r16 verdict item 4). The measured
+    * envelope curve has two pinned points: m=8/efC=48 holds recall
+    * 0.83–1.00 at ≤20k nodes/shard (SCALING.md r13–r15) and collapses
+    * to ~0.35 at 100k (SCALING.md r16 "entry ladder at 100k-node
+    * shards" — whole neighborhoods dropped; connectivity, not entry,
+    * binds). Degree must grow with log(n) for a navigable small-world
+    * graph to stay connected under greedy search (Malkov & Yashunin,
+    * IEEE TPAMI 2018, §4.2's M guidance), so the rule anchors m=8 at
+    * 20k and adds ~3.5 per doubling: m(n) = max(8, round(3.5·(log₂n −
+    * 12))) — 20k→8, 100k→16, 1M→28. efConstruction keeps the measured
+    * 6·m ratio (48 at m=8). */
+  def adaptiveM(nodesPerShard: Long): Int = {
+    val lg = math.log(math.max(2L, nodesPerShard).toDouble) / math.log(2.0)
+    math.max(8, math.round(3.5 * (lg - 12.0)).toInt)
+  }
+
+  /** [[Params]] derived from the expected shard node count along the
+    * measured envelope — what a 100 TB deployment that shards by memory
+    * budget should call instead of copying the ≤20k defaults. */
+  def adaptiveParams(nodesPerShard: Long, efSearch: Int = 32,
+      nShards: Int = 4): Params = {
+    val m = adaptiveM(nodesPerShard)
+    Params(m = m, efConstruction = 6 * m, efSearch = efSearch, nShards = nShards)
+  }
+
   private def dotd(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -119,6 +146,16 @@ object GraphAnn {
     val vec = ordered.toMap
     val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
     if (ordered.isEmpty) return Map.empty
+    // warn (never refuse — the graph still builds and searches, just
+    // with measured-degraded recall) when this shard outgrows what its
+    // configured degree is sized for: the r16 100k measurement showed
+    // m=8 silently dropping whole neighborhoods there, and prose-only
+    // guidance is what this check replaces
+    if (adaptiveM(ordered.size) > p.m)
+      logger.warn(s"GraphAnn shard of ${ordered.size} nodes exceeds the " +
+        s"measured recall envelope for m=${p.m}; derive parameters with " +
+        s"GraphAnn.adaptiveParams(${ordered.size}) (-> m=${adaptiveM(ordered.size)}) " +
+        "or shard smaller — see SCALING.md 'entry ladder at 100k-node shards'")
     val entry = ordered.head._1
     adj(entry) = mutable.ArrayBuffer.empty
     ordered.tail.foreach { case (id, v) =>

@@ -320,4 +320,55 @@ class GraphAnnSpec extends AnyFunSuite with SparkTest {
     assert(fBig < fSmall, s"visited fraction grew with corpus: $fSmall -> $fBig")
     assert(fBig < 0.8, s"beam scans most of the shard at 2000 vectors: $fBig")
   }
+
+  test("adaptive parameters follow the measured envelope curve") {
+    // the two pinned endpoints: <=20k nodes/shard is exactly the
+    // measured-good config; 100k (where m=8 collapsed to ~0.35 recall,
+    // SCALING.md r16) derives a doubled degree
+    assert(GraphAnn.adaptiveParams(20000L) ==
+      GraphAnn.Params(m = 8, efConstruction = 48, efSearch = 32, nShards = 4))
+    assert(GraphAnn.adaptiveM(100000L) == 16)
+    assert(GraphAnn.adaptiveParams(100000L).efConstruction == 96)
+    assert(GraphAnn.adaptiveM(1000000L) >= 24) // keeps growing with log n
+    // monotone non-decreasing — a bigger shard never derives a smaller m
+    val ms = Seq(1000L, 5000L, 20000L, 50000L, 100000L, 500000L, 1000000L)
+      .map(GraphAnn.adaptiveM)
+    assert(ms == ms.sorted)
+    // the build-time warning condition fires exactly where the envelope
+    // is exceeded: the r16 degraded config (m=8 at 100k) trips it, the
+    // measured-good one does not
+    assert(GraphAnn.adaptiveM(100000L) > 8)
+    assert(GraphAnn.adaptiveM(20000L) <= 8)
+  }
+
+  test("recall at 100k-node shards recovers to the <=20k band with derived parameters (env-gated)") {
+    // ~4-8 min single-shard build; run with SPARK_GRAFT_ANN100K=1.
+    // Measured result lives in SCALING.md r17 either way.
+    assume(sys.env.contains("SPARK_GRAFT_ANN100K"), "set SPARK_GRAFT_ANN100K to run")
+    import spark.implicits._
+    val all = LadderProbe.clustered(100000).map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum); id -> v.map(_ / n)
+    }.toMap
+    val vecsDf = LadderProbe.clustered(100000).toSeq.toDF("vec_id", "v")
+    val probes = (0L until 10L).map(id => id -> all(id))
+    def exact(pid: Long, pv: Array[Double]) = all.toSeq.filter(_._1 != pid)
+      .map { case (id, v) => (-v.zip(pv).map { case (a, b) => a * b }.sum, id) }
+      .sorted.take(10).map(_._2).toSet
+    val truth = probes.map { case (p, v) => p -> exact(p, v) }.toMap
+    // the DERIVED config for a 100k shard (m=16/efC=96) vs the r16
+    // measured collapse (m=8/efC=48 -> 32-37/100)
+    val p = GraphAnn.adaptiveParams(100000L, efSearch = 64, nShards = 1)
+    val idx = GraphAnn.buildIndex(vecsDf, p).cache(); idx.count()
+    val got = GraphAnn.search(idx, probes, 11, p).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (pid, rs) =>
+        pid -> rs.map(_._2).filter(_ != pid).take(10).toSet }
+    val recall = probes.map { case (pid, _) =>
+      got(pid).intersect(truth(pid)).size }.sum
+    info(s"recall@10 sum over 10 probes at 100k, derived m=${p.m}/efC=${p.efConstruction}: $recall/100")
+    assert(recall >= 80,
+      s"derived params must recover the <=20k band (>=80/100), got $recall " +
+        "(r16 measured 32-37/100 at m=8/efC=48)")
+    idx.unpersist()
+  }
 }
