@@ -1102,7 +1102,76 @@ object AnalyticOps {
       .orderBy("event_type", "rank")
   }
 
+  /** Trailing window length for [[rollingMedian]] (odd, so full windows
+    * never interpolate; partial head windows may). */
+  private[graft] val RollMedianW = 21
+
+  /** Median derivation — ONE string for both engines over the exact
+    * integer middles (cents): lo+hi is exact, /200.0 folds the cents
+    * scale and the two-middle average into a single double chain. */
+  private val RollingMedianExpr =
+    "round((CAST(mlo AS DOUBLE) + CAST(mhi AS DOUBLE)) / 200.0, 6) AS rolling_median"
+
+  /** Trailing exact MEDIAN of `value` per user ([[RollMedianW]]
+    * observations) — the robust twin of [[ewmaSmooth]]: what a metrics
+    * pipeline thresholds when the feed has spikes an EWMA would chase.
+    *
+    * Determinism: the same construction as the EWMA kernel — both
+    * engines materialize the SORTED window list of exact cents
+    * (`sort_array(collect_list)` / `list_sort(list)`), pick the two
+    * middle elements by integer index (k odd ⇒ same element twice),
+    * and share one double chain ([[RollingMedianExpr]]). Never a
+    * native median()/percentile over doubles, whose interpolation
+    * rules differ across engines.
+    *
+    * Scale shape: one user-partitioned window (users scale with data);
+    * ≤ [[RollMedianW]] longs of frame state per row, the sort is
+    * O(W log W) per row with W constant — the same
+    * constant-state-per-row contract as ewma_smooth. */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(RollMedianW - 1), Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
+      .withColumn("vals", sort_array(collect_list(col("cents")).over(w)))
+      .selectExpr("user_id", "event_id", "ts", "value",
+        "element_at(vals, cast((size(vals) + 1) div 2 as int)) AS mlo",
+        "element_at(vals, cast(size(vals) div 2 + 1 as int)) AS mhi")
+      .selectExpr("user_id", "event_id", "ts", "value", RollingMedianExpr)
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Share derivation for [[dowHourProfile]] — shared chain over exact
+    * integers; rate_vs_uniform = share·7 states how far the cell sits
+    * from a flat weekly profile. */
+  private val DowShareExprs = Seq(
+    "round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share",
+    "round(CAST(n AS DOUBLE) * 7.0 / CAST(tn AS DOUBLE), 6) AS rate_vs_uniform")
+
+  /** Day-of-week seasonality profile per event type: the (type, weekday)
+    * count matrix with each cell's share of its type — the weekly
+    * seasonal index a forecasting pipeline divides out before trend
+    * fitting, and the complement of [[burstHours]] (which finds hour
+    * ANOMALIES; this states the periodic BASELINE).
+    *
+    * Determinism: weekday is Spark's `weekday` (0 = Monday) = DuckDB's
+    * `isodow − 1` — both pure integer functions of the timestamp; counts
+    * are exact; shares one shared double chain. Scale shape: one
+    * map-side-combined aggregate over a (types × 7)-cell key space —
+    * calendar-bounded metadata at any corpus size. */
+  def dowHourProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("weekday(ts)").cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("tn"))
+    cells.join(broadcast(totals), "event_type")
+      .selectExpr(Seq("event_type", "dow", "n") ++ DowShareExprs: _*)
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_median"   -> (rollingMedian _),
+    "dow_hour_profile" -> (dowHourProfile _),
     "pivot_counts"     -> (pivotCounts _),
     "unpivot_metrics"  -> (unpivotMetrics _),
     "percentiles"      -> (percentiles _),
@@ -1145,6 +1214,26 @@ object AnalyticOps {
     "gaps_islands"     -> (gapsIslands _))
 
   val oracles: Map[String, String] = Map(
+    "rolling_median" ->
+      s"""WITH c AS (SELECT user_id, event_id, ts, value,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_id, ts, value,
+        |  list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN ${RollMedianW - 1} PRECEDING AND CURRENT ROW)) AS vals
+        | FROM c),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |  vals[(array_length(vals) + 1) // 2] AS mlo,
+        |  vals[array_length(vals) // 2 + 1] AS mhi
+        | FROM l)
+        |SELECT user_id, event_id, ts, value, $RollingMedianExpr
+        |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+    "dow_hour_profile" ->
+      s"""WITH cells AS (SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn FROM cells GROUP BY 1)
+        |SELECT event_type, dow, n, ${DowShareExprs.mkString(", ")}
+        |FROM cells JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
     "pivot_counts" ->
       """SELECT user_id,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -1208,8 +1208,57 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per source vs the global
+    * corpus over the doc-LENGTH distribution: D_s = max_x |ECDF_s(x) −
+    * ECDF_global(x)| — the standard distribution-drift detector a
+    * curation pipeline pages on when one feed's length profile walks
+    * away from the corpus (truncation bugs, boilerplate floods,
+    * format changes). Complements `source_js_divergence` (which bins;
+    * KS is binless and sup-norm) and `length_gini_by_source` (which
+    * measures inequality, not drift).
+    *
+    * Determinism: the supremum is computed over exact integers —
+    * |cs·Ng − cg·Ns| in DECIMAL(38,0) cross-multiplied form, so no
+    * ratio is ever compared; only the FINAL max is divided, one shared
+    * double chain (the oracle routes its decimal→double through the
+    * proven VARCHAR path; both engines round the same exact integer).
+    * Scale shape: one (source, length) aggregate; the ECDF spine is the
+    * DISTINCT length domain — value-domain-bounded (≤ max doc length),
+    * the calendar-bounded-spine class, so the global cumulative window
+    * is metadata-sized at any corpus size; everything joins broadcast. */
+  def ksSourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    val perLen = d.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val lens = d.select(col("n_chars")).distinct()
+    val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val gcum = d.groupBy(col("n_chars")).agg(count(lit(1)).as("cgl"))
+      .withColumn("cg", sum(col("cgl")).over(Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars"), col("cg"))
+    val cells = lens.crossJoin(broadcast(srcs.select(col("source"))))
+      .join(perLen, Seq("source", "n_chars"), "left")
+      .select(col("source"), col("n_chars"), coalesce(col("c"), lit(0L)).as("c"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cs", sum(col("c")).over(ws))
+      .join(broadcast(gcum), "n_chars")
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("ng"))))
+      .select(col("source"), col("ns"), col("ng"),
+        abs(col("cs").cast(dec) * col("ng").cast(dec)
+          - col("cg").cast(dec) * col("ns").cast(dec)).as("num"))
+      .groupBy(col("source"), col("ns"), col("ng"))
+      .agg(max(col("num")).as("maxnum"))
+      .selectExpr("source", "ns AS n_docs",
+        "round(CAST(maxnum AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(ng AS DOUBLE)), 6) AS ks_stat")
+      .orderBy("source")
+  }
+
   // ----------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ks_source_drift" -> (ksSourceDrift _),
     "length_gini_by_source" -> (lengthGiniBySource _),
     "vocab_topk"    -> (vocabTopk _),
     "bpe_merge_topk" -> (bpeMergeTopk _),
@@ -1305,6 +1354,33 @@ object CorpusOps {
       | GROUP BY t.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ks_source_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |pl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        | FROM d GROUP BY 1, 2),
+        |lens AS (SELECT DISTINCT n_chars FROM d),
+        |srcs AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        | FROM d GROUP BY 1),
+        |gc AS (SELECT n_chars, CAST(sum(cgl) OVER (ORDER BY n_chars
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg
+        | FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS cgl
+        |  FROM d GROUP BY 1) g),
+        |cells AS (SELECT s.source, l.n_chars, coalesce(pl.c, 0) AS c
+        | FROM lens l CROSS JOIN (SELECT source FROM srcs) s
+        | LEFT JOIN pl ON pl.source = s.source AND pl.n_chars = l.n_chars),
+        |cum AS (SELECT source, n_chars, CAST(sum(c) OVER (PARTITION BY source
+        |  ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS cs FROM cells),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM d),
+        |num AS (SELECT c.source, s.ns, nt.ng,
+        |  abs(CAST(c.cs AS HUGEINT) * nt.ng - CAST(g.cg AS HUGEINT) * s.ns) AS num
+        | FROM cum c JOIN gc g USING (n_chars) JOIN srcs s ON s.source = c.source, nt),
+        |mx AS (SELECT source, ns, ng, max(num) AS maxnum
+        | FROM num GROUP BY 1, 2, 3)
+        |SELECT source, ns AS n_docs,
+        | round(CAST(CAST(maxnum AS VARCHAR) AS DOUBLE)
+        |   / (CAST(ns AS DOUBLE) * CAST(ng AS DOUBLE)), 6) AS ks_stat
+        |FROM mx ORDER BY source""".stripMargin,
     "lang_source_pmi" ->
       """WITH cells AS MATERIALIZED (
         | SELECT lang, source, CAST(count(*) AS BIGINT) AS n

@@ -2286,6 +2286,73 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(got.collect { case ((_, 1L), (_, _, z)) => z }.exists(_ > 2.0))
   }
 
+  test("rolling_median equals the brute-force trailing-window median") {
+    val got = operators.AnalyticOps.rollingMedian(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (r.getTimestamp(2).getTime, r.getTimestamp(2).getNanos), r.getDouble(3)))
+    val w = operators.AnalyticOps.RollMedianW
+    val expect = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._3._1, r._3._2, r._2))
+      ordered.indices.map { i =>
+        val win = ordered.slice(math.max(0, i - w + 1), i + 1)
+          .map(r => math.round(r._4 * 100)).sorted
+        val k = win.length
+        val med = (win((k - 1) / 2) + win(k / 2)).toDouble / 200.0
+        ordered(i)._2 -> med
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    for ((id, e) <- expect)
+      assert(math.abs(got(id) - e) < 2e-6, s"event $id median ${got(id)} vs brute $e")
+  }
+
+  test("dow_hour_profile shares sum to 1 per type over the weekday matrix") {
+    val got = operators.AnalyticOps.dowHourProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // every (type, dow) cell present, dow in 0..6 (Monday = 0)
+    assert(got.forall { case ((_, d), _) => d >= 0L && d <= 6L })
+    val byType = got.groupBy(_._1._1)
+    for ((tpe, cells) <- byType) {
+      val shareSum = cells.map(_._2._2).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$tpe shares sum to $shareSum")
+      // rate_vs_uniform is share*7 cellwise
+      cells.foreach { case ((_, d), (_, s, r)) =>
+        assert(math.abs(r - s * 7.0) < 1e-5, s"$tpe dow $d rate $r vs share $s") }
+    }
+    // counts reconcile with the raw table
+    val total = got.map(_._2._1).sum
+    assert(total == graft.model.Tables.events(spark, sf).count())
+  }
+
+  test("ks_source_drift equals the brute-force two-sample KS statistic") {
+    val got = operators.CorpusOps.ksSourceDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lens = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = lens.map(_._2).sorted
+    val ng = all.length.toDouble
+    for ((src, rows) <- lens.groupBy(_._1)) {
+      val xs = rows.map(_._2)
+      val ns = xs.length.toDouble
+      // sup over the observed length domain of |ECDF_s - ECDF_g|
+      val d = all.distinct.map { x =>
+        math.abs(xs.count(_ <= x) / ns - all.count(_ <= x) / ng)
+      }.max
+      val (gotN, gotD) = got(src)
+      assert(gotN == xs.length.toLong)
+      assert(math.abs(gotD - d) < 2e-6, s"$src KS $gotD vs brute $d")
+    }
+    // drift is bounded and nontrivial somewhere on the synthetic corpus
+    assert(got.values.forall { case (_, d) => d >= 0.0 && d <= 1.0 })
+    assert(got.values.exists(_._2 > 0.01))
+  }
+
   test("mix_rebalance hits the target mix with the binding language kept whole") {
     val got = operators.PipelineOps.mixRebalance(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
