@@ -1018,6 +1018,31 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(weird(1).ewma == 1.0) // k=1 window: ewma of a single value
   }
 
+  test("streaming rolling median equals the batch rolling_median bit-for-bit across waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.model.Tables.events(spark, sf).as[RawEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingRollingMedian.smooth(stream.toDS())
+      .writeStream.format("memory").queryName("rmed_out")
+      .option("checkpointLocation", tempDir("rmed_ckpt"))
+      .outputMode("append").start()
+    try {
+      val half = all.length / 2
+      stream.addData(all.take(half): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(half): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rmed_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("rolling_median")).toMap
+    val expected = graft.operators.AnalyticOps.rollingMedian(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("rolling_median")).toMap
+    assert(got.size == all.length)
+    assert(got == expected, "streamed rolling median diverged from the batch window")
+  }
+
   test("streaming cusum equals the batch scan bit-for-bit across waves; argmax = changepoint rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
