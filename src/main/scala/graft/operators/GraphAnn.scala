@@ -56,29 +56,37 @@ object GraphAnn {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.GraphAnn")
 
-  /** Shard-size-adaptive out-degree (r16 verdict item 4). The measured
-    * envelope curve has two pinned points: m=8/efC=48 holds recall
-    * 0.83–1.00 at ≤20k nodes/shard (SCALING.md r13–r15) and collapses
-    * to ~0.35 at 100k (SCALING.md r16 "entry ladder at 100k-node
-    * shards" — whole neighborhoods dropped; connectivity, not entry,
-    * binds). Degree must grow with log(n) for a navigable small-world
-    * graph to stay connected under greedy search (Malkov & Yashunin,
-    * IEEE TPAMI 2018, §4.2's M guidance), so the rule anchors m=8 at
-    * 20k and adds ~3.5 per doubling: m(n) = max(8, round(3.5·(log₂n −
-    * 12))) — 20k→8, 100k→16, 1M→28. efConstruction keeps the measured
-    * 6·m ratio (48 at m=8). */
+  /** Shard-size-adaptive out-degree (r16 verdict item 4). The curve is
+    * MEASURED at both ends on the clustered fixture (SCALING.md r17
+    * "adaptive parameter sweep"): m=8/efC=48 holds recall 0.83–1.00 at
+    * ≤20k nodes/shard (r13–r15) but collapses to ~0.35 at 100k, and the
+    * sweep isolated DEGREE as the binding knob — m=16 stays at ~0.63
+    * regardless of efSearch (128) or efConstruction (192), while m=24
+    * recovers 0.79 at ef=64 and **0.89 at ef=128**, back inside the
+    * ≤20k band. Degree must grow with log(n) for a navigable
+    * small-world graph to stay connected under greedy search (Malkov &
+    * Yashunin, IEEE TPAMI 2018, §4.2's M guidance); anchoring the two
+    * measured points gives ~6.9 per doubling: m(n) = max(8,
+    * round(6.9·(log₂n − log₂20000) + 8)) — 20k→8, 100k→24, 1M→47
+    * (extrapolated past the measured range). efConstruction keeps the
+    * measured 6·m ratio. */
   def adaptiveM(nodesPerShard: Long): Int = {
     val lg = math.log(math.max(2L, nodesPerShard).toDouble) / math.log(2.0)
-    math.max(8, math.round(3.5 * (lg - 12.0)).toInt)
+    math.max(8, math.round(6.9 * (lg - 14.2877) + 8.0).toInt)
   }
 
   /** [[Params]] derived from the expected shard node count along the
     * measured envelope — what a 100 TB deployment that shards by memory
-    * budget should call instead of copying the ≤20k defaults. */
-  def adaptiveParams(nodesPerShard: Long, efSearch: Int = 32,
+    * budget should call instead of copying the ≤20k defaults. efSearch
+    * defaults to the measured 8·m ratio (64 at m=8 — the band's probe
+    * beam; the 100k sweep needed ef≥128 at m=24 to close the band, and
+    * 8·m keeps that margin); pass it explicitly to trade recall for
+    * visits. */
+  def adaptiveParams(nodesPerShard: Long, efSearch: Int = 0,
       nShards: Int = 4): Params = {
     val m = adaptiveM(nodesPerShard)
-    Params(m = m, efConstruction = 6 * m, efSearch = efSearch, nShards = nShards)
+    Params(m = m, efConstruction = 6 * m,
+      efSearch = if (efSearch > 0) efSearch else 8 * m, nShards = nShards)
   }
 
   private def dotd(a: Array[Double], b: Array[Double]): Double = {

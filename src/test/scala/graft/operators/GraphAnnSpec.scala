@@ -326,10 +326,11 @@ class GraphAnnSpec extends AnyFunSuite with SparkTest {
     // measured-good config; 100k (where m=8 collapsed to ~0.35 recall,
     // SCALING.md r16) derives a doubled degree
     assert(GraphAnn.adaptiveParams(20000L) ==
-      GraphAnn.Params(m = 8, efConstruction = 48, efSearch = 32, nShards = 4))
-    assert(GraphAnn.adaptiveM(100000L) == 16)
-    assert(GraphAnn.adaptiveParams(100000L).efConstruction == 96)
-    assert(GraphAnn.adaptiveM(1000000L) >= 24) // keeps growing with log n
+      GraphAnn.Params(m = 8, efConstruction = 48, efSearch = 64, nShards = 4))
+    assert(GraphAnn.adaptiveM(100000L) == 24) // the sweep's recovered point
+    assert(GraphAnn.adaptiveParams(100000L).efConstruction == 144)
+    assert(GraphAnn.adaptiveParams(100000L).efSearch == 192) // 8·m margin
+    assert(GraphAnn.adaptiveM(1000000L) >= 40) // keeps growing with log n
     // monotone non-decreasing — a bigger shard never derives a smaller m
     val ms = Seq(1000L, 5000L, 20000L, 50000L, 100000L, 500000L, 1000000L)
       .map(GraphAnn.adaptiveM)
@@ -355,9 +356,9 @@ class GraphAnnSpec extends AnyFunSuite with SparkTest {
       .map { case (id, v) => (-v.zip(pv).map { case (a, b) => a * b }.sum, id) }
       .sorted.take(10).map(_._2).toSet
     val truth = probes.map { case (p, v) => p -> exact(p, v) }.toMap
-    // the DERIVED config for a 100k shard (m=16/efC=96) vs the r16
-    // measured collapse (m=8/efC=48 -> 32-37/100)
-    val p = GraphAnn.adaptiveParams(100000L, efSearch = 64, nShards = 1)
+    // the DERIVED config for a 100k shard (m=24/efC=144/ef=192) vs the
+    // r16 measured collapse (m=8/efC=48 -> 32-37/100)
+    val p = GraphAnn.adaptiveParams(100000L, nShards = 1)
     val idx = GraphAnn.buildIndex(vecsDf, p).cache(); idx.count()
     val got = GraphAnn.search(idx, probes, 11, p).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
