@@ -344,4 +344,106 @@ class TpchCanonSpec extends AnyFunSuite with SparkTest {
     val nk = out.map(_.getAs[Int]("c_nationkey")).toSeq
     assert(nk == nk.sorted)
   }
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q2_min_cost_supplier rows achieve the region-wide per-part minimum (driver recompute)") {
+    val out = RelationalOps.q2MinCostSupplier(spark, sf01).collect()
+    assert(out.nonEmpty)
+    // driver recompute: per (part, supplier-in-EUROPE) min price in
+    // exact cents, then the per-part min — every output row must sit AT
+    // its part's min, and every min-achieving (part, supplier) in the
+    // slice must appear (LIMIT permitting; the sf0.01 result is small)
+    val euro = Tables.supplier(spark, sf01)
+      .join(Tables.nation(spark, sf01), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf01).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val sliceParts = Tables.part(spark, sf01)
+      .filter(col("p_size") === 5 && col("p_type") === "STANDARD")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val pairMin = Tables.lineitem(spark, sf01)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .filter(r => sliceParts(r.getLong(0)) && euro(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(r => math.round(r.getDouble(2) * 100)).min }
+    val partMin = pairMin.groupBy(_._1._1).map { case (p, m) => p -> m.values.min }
+    val expectPairs = pairMin.filter { case ((p, _), c) => c == partMin(p) }.keySet
+    val gotPairs = out.map(r =>
+      (r.getAs[Long]("p_partkey"), math.round(r.getAs[Double]("supply_cost") * 100))).toSet
+    assert(out.forall(r => math.round(r.getAs[Double]("supply_cost") * 100) ==
+      partMin(r.getAs[Long]("p_partkey"))), "a row is not at its part's min cost")
+    assert(out.length == math.min(100, expectPairs.size))
+    assert(gotPairs.map(_._1).subsetOf(expectPairs.map(_._1)))
+  }
+
+  test("q11_important_stock equals the exact-decimal threshold recompute") {
+    val out = RelationalOps.q11ImportantStock(spark, sf01).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Double]("stock_value")).toMap
+    assert(out.nonEmpty)
+    val natSupp = Tables.supplier(spark, sf01)
+      .join(Tables.nation(spark, sf01).filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val vals = Tables.lineitem(spark, sf01)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+      .collect().filter(r => natSupp(r.getLong(1)))
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(r =>
+        new JBD(r.getDouble(2)).setScale(2, RoundingMode.HALF_UP)
+          .multiply(new JBD(r.getDouble(3)).setScale(2, RoundingMode.HALF_UP)))
+        .foldLeft(JBD.ZERO)(_.add(_)) }
+    val total = vals.values.foldLeft(JBD.ZERO)(_.add(_))
+    val expect = vals.filter { case (_, v) =>
+      v.multiply(new JBD(10000)).compareTo(total) > 0 }
+    assert(out.keySet == expect.keySet, "threshold set differs from exact recompute")
+    for ((p, v) <- expect)
+      assert(math.abs(out(p) - v.doubleValue()) < 1e-6)
+  }
+
+  test("q16_supplier_count equals a set-based driver recompute with both exclusions") {
+    val out = RelationalOps.q16SupplierCount(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getAs[Long]("supplier_cnt"))
+    val bad = Tables.supplier(spark, sf01).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val attrs = Tables.part(spark, sf01)
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 3, 5, 7, 9))
+      .collect().map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"), r.getAs[Int]("p_size"))).toMap
+    val expect = Tables.lineitem(spark, sf01)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (p, s) => attrs.contains(p) && !bad(s) }
+      .groupBy { case (p, _) => attrs(p) }
+      .map { case (g, prs) => g -> prs.map(_._2).distinct.length.toLong }
+    assert(out.toMap == expect)
+    // ordering: cnt desc, then the attribute triple
+    val keys = out.map { case ((b, t, s), c) => (-c, b, t, s) }.toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("q20_promotion_parts suppliers each hold an excess pair (driver recompute)") {
+    val out = RelationalOps.q20PromotionParts(spark, sf01).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(out.nonEmpty)
+    val slice = Tables.part(spark, sf01).filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val rows = Tables.lineitem(spark, sf01)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        expr("year(l_shipdate)").as("y"))
+      .collect().filter(r => slice(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100), r.getAs[Int]("y")))
+    val yearQty = rows.filter(_._4 == 1997).groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._3).sum }
+    val excessSupp = rows.groupBy(r => (r._1, r._2))
+      .collect { case ((p, s), rs)
+        if yearQty.contains(p) && 2 * rs.map(_._3).sum > yearQty(p) => s }.toSet
+    val nat5 = Tables.supplier(spark, sf01)
+      .join(Tables.nation(spark, sf01).filter(col("n_name") === "NATION_5"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    assert(out == excessSupp.intersect(nat5))
+  }
 }
