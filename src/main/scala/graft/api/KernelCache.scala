@@ -63,20 +63,39 @@ object KernelCache {
   def enabled(spark: SparkSession): Boolean =
     GraftConfig.get(spark, EnabledKey, "false").trim.equalsIgnoreCase("true")
 
+  /** Guards the check-build-put sequence. A plain `synchronized` (NOT
+    * `ConcurrentHashMap.computeIfAbsent`) because kernel builds NEST:
+    * the contaminated-docs kernel builds FROM the windows kernel, so
+    * its build block re-enters getOrBuild — computeIfAbsent forbids
+    * mutating the map from inside a mapping function and throws
+    * `IllegalStateException: Recursive update` the moment the two keys
+    * share a bin (r17: both contamination audits died at 0.000 s in the
+    * 100x bench exactly this way, while the spec passed because suite
+    * ordering had already cached the inner kernel). `synchronized` is
+    * reentrant, so nested builds in one thread are fine; concurrent
+    * first calls from different threads serialize, which is the
+    * documented contract. */
+  private val buildLock = new Object
+
   /** `build` when the cache is off; the parquet-materialized kernel when
     * on. The build runs at most once per (application, key); concurrent
-    * first calls serialize on the entry. */
+    * first calls serialize on [[buildLock]]. */
   def getOrBuild(spark: SparkSession, key: String,
       build: => DataFrame): DataFrame = {
     if (!enabled(spark)) return build
     val fullKey = spark.sparkContext.applicationId + "\u0000" + key
-    val path = entries.computeIfAbsent(fullKey, { _ =>
-      missCounter.incrementAndGet()
-      val dir = s"${cacheRoot(spark)}/${spark.sparkContext.applicationId}/" +
-        s"${Integer.toHexString(fullKey.hashCode)}_${entries.size()}"
-      build.write.mode("overwrite").parquet(dir)
-      dir
-    })
+    val path = buildLock.synchronized {
+      val existing = entries.get(fullKey)
+      if (existing != null) existing
+      else {
+        missCounter.incrementAndGet()
+        val dir = s"${cacheRoot(spark)}/${spark.sparkContext.applicationId}/" +
+          s"${Integer.toHexString(fullKey.hashCode)}_${entries.size()}"
+        build.write.mode("overwrite").parquet(dir)
+        entries.put(fullKey, dir)
+        dir
+      }
+    }
     // a fresh read per caller: downstream persist/track lifecycles stay
     // per-query exactly as before, only the BUILD is shared
     if (entries.containsKey(fullKey)) hitCounter.incrementAndGet()
