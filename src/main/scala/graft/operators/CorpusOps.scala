@@ -721,6 +721,52 @@ object CorpusOps {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** Tau derivation — ONE string for both engines over exact integer
+    * inputs (n_pairs, concordant): Kendall tau-a = (C − D)/(C + D);
+    * both rankings are tie-free by construction (total orders on
+    * (score desc, doc_id)), so tau-a and tau-b coincide. A degenerate
+    * overlap (< 2 common docs) emits 0 via the shared CASE. */
+  private val TauExpr =
+    "round(CASE WHEN n_pairs = 0 THEN 0.0 ELSE " +
+      "(CAST(concordant AS DOUBLE) - CAST(n_pairs - concordant AS DOUBLE))" +
+      " / CAST(n_pairs AS DOUBLE) END, 6) AS tau"
+
+  /** Kendall rank correlation between the BM25 and TF-IDF-cosine
+    * top-k rankings over their COMMON documents — the retrieval-method
+    * agreement probe (the `dedup_method_agreement` idea applied to the
+    * ranking stack): near-1 says the lexical rankers are redundant and
+    * RRF fusion adds nothing; near-0 says they disagree and fusion is
+    * load-bearing.
+    *
+    * Determinism: both rankings are total orders (score desc, doc_id);
+    * concordance compares integer rank differences — no score double
+    * ever gates a pair — and tau is one shared chain ([[TauExpr]]).
+    * Scale shape: both rankers reuse the ONE token base (the rrf_fusion
+    * discipline); everything after the two top-k cuts operates on
+    * ≤ k² pair rows — metadata at any corpus size. */
+  def retrievalTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokBase(spark, sfDir)
+    val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wb = Window.orderBy(col("cos").desc, col("doc_id"))
+    val a = bm25From(spark, sfDir, toks)
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val b = denseFrom(spark, sfDir, toks)
+      .withColumn("rb", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val common = a.join(b, "doc_id")
+    val l = common.select(col("doc_id").as("d1"), col("ra").as("ra1"), col("rb").as("rb1"))
+    val r = common.select(col("doc_id").as("d2"), col("ra").as("ra2"), col("rb").as("rb2"))
+    l.join(broadcast(r), col("d1") < col("d2"))
+      .select((((col("ra1") - col("ra2")) * (col("rb1") - col("rb2"))) > 0)
+        .cast("long").as("conc"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("conc")), lit(0L)).as("concordant"))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+      .selectExpr("n_common", "n_pairs", "concordant",
+        "n_pairs - concordant AS discordant", TauExpr)
+  }
+
   // ------------------------------------------------- unigram LM perplexity
   /** Unigram language-model quality score (the CCNet/KenLM-filter proxy):
     * train token probabilities on the corpus itself (cnt / N), score
@@ -1286,6 +1332,7 @@ object CorpusOps {
     "bm25_topk"           -> (bm25Topk _),
     "tfidf_cosine_topk"   -> (tfidfCosineTopk _),
     "rrf_fusion"          -> (rrfFusion _),
+    "retrieval_tau"       -> (retrievalTau _),
     "lang_source_pmi"     -> (langSourcePmi _))
 
   /** Shared oracle CTE stack for the RETRIEVAL family, ending at
@@ -1405,6 +1452,21 @@ object CorpusOps {
       s"""WITH $retrievalCtesSql
         |SELECT doc_id, cos FROM dcos
         |ORDER BY cos DESC, doc_id LIMIT $DenseTopK""".stripMargin,
+    "retrieval_tau" ->
+      s"""WITH $retrievalCtesSql,
+        |la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra
+        |       FROM (SELECT doc_id, bm25 FROM bm25s ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK) t),
+        |lb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rb
+        |       FROM (SELECT doc_id, cos FROM dcos ORDER BY cos DESC, doc_id LIMIT $DenseTopK) t),
+        |cm AS MATERIALIZED (SELECT doc_id, ra, rb FROM la JOIN lb USING (doc_id)),
+        |pr AS (SELECT CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0 THEN 1 ELSE 0 END AS conc
+        |       FROM cm a JOIN cm b ON a.doc_id < b.doc_id),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(sum(conc), 0) AS BIGINT) AS concordant FROM pr),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM cm)
+        |SELECT n_common, n_pairs, concordant,
+        | n_pairs - concordant AS discordant, $TauExpr
+        |FROM ag, nc""".stripMargin,
     "rrf_fusion" ->
       s"""WITH $retrievalCtesSql,
         |la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS ra

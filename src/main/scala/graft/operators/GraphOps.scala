@@ -418,10 +418,30 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Degree HISTOGRAM of the LSH candidate graph: for every degree d,
+    * how many nodes have exactly d candidate neighbors — the structural
+    * health read of the dedup graph (a heavy tail says hub documents or
+    * band-collision fuzz are about to blow the pair joins; the
+    * `lsh_bucket_profile` twin at NODE grain instead of bucket grain).
+    *
+    * Determinism: pure integer counts. Scale shape: one explode + two
+    * map-side-combined aggregates; output is degree-domain-sized
+    * (bounded by the max candidate degree, not the corpus). */
+  def degreeDistribution(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    degreeDistributionOf(TextOps.candidatePairs(spark, sfDir))
+
+  private[graft] def degreeDistributionOf(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
     "label_prop_communities" -> (labelPropagation _),
+    "degree_distribution" -> (degreeDistribution _),
     "k_core" -> (kCore _))
 
   /** DuckDB oracle: the three iterations unrolled as CTEs, stating the
@@ -438,6 +458,13 @@ object GraphOps {
         | FROM nd LEFT JOIN s$i ON s$i.dst = nd.node_id, n)""".stripMargin
     }
     Map(
+      "degree_distribution" ->
+        s"""WITH ${TextOps.candCtesSql},
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          |  SELECT doc_a AS node FROM cand
+          |  UNION ALL SELECT doc_b AS node FROM cand) v GROUP BY node)
+          |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+          |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
       // same degree-ordered orientation stated in SQL: every CASE and
       // join mirrors the Spark plan, so the count is structural, not
       // engine-dependent (all arithmetic is integer)

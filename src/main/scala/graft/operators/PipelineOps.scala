@@ -337,6 +337,50 @@ object PipelineOps {
       .orderBy("split")
   }
 
+  // ------------------------------------------------------ fold balance
+  /** Fold count for [[foldBalanceChi2]]. */
+  private[operators] val ChiFolds = 5
+
+  /** Per-cell χ² derivations — ONE string list for both engines over
+    * exact integer inputs (o, r, c, n, num = o·N − r·c): expected count
+    * e = r·c/N and the independence term (o−e)²/e = num²/(N·r·c). */
+  private val ChiExprs = Seq(
+    "round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected",
+    "round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)" +
+      " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS chi_term")
+
+  /** K-FOLD balance audit: assign every doc to one of [[ChiFolds]] folds
+    * by doc hash (the `dataset_split` fence construction), build the
+    * fold × language contingency table, and report each cell's observed
+    * count, expected count under independence, and χ² term — the
+    * split-balance check a cross-validation pipeline runs before
+    * trusting per-fold metrics (a fold that over-draws one language
+    * biases its eval; Σ chi_term vs the χ² critical value at
+    * (folds−1)(langs−1) df is the test).
+    *
+    * Determinism: counts and margins are exact integers; num = o·N −
+    * r·c is computed in DECIMAL and re-narrowed to BIGINT (caps at
+    * N ≈ 3·10⁹ docs — the value_autocorr headroom discipline), and
+    * both derived columns are one shared double chain ([[ChiExprs]]).
+    * Scale shape: one (fold, lang) map-side-combined aggregate —
+    * folds × langs cells, metadata at any corpus size; margins and the
+    * total derive FROM the cells (no second corpus pass); broadcast
+    * joins only. */
+  def foldBalanceChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = docs(spark, sfDir)
+      .select((keyHash("fold") % ChiFolds).as("fold"), col("lang"))
+      .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("fold")).agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    cells.join(broadcast(rt), "fold").join(broadcast(ct), "lang")
+      .crossJoin(broadcast(cells.agg(sum(col("o")).as("n"))))
+      .withColumn("num",
+        (col("o").cast(dec) * col("n") - col("r").cast(dec) * col("c")).cast("long"))
+      .selectExpr(Seq("fold", "lang", "o AS n_docs") ++ ChiExprs: _*)
+      .orderBy("fold", "lang")
+  }
+
   // ------------------------------------------------------- split leakage
   /** Cross-split contamination audit: counts NEAR-duplicate pairs
     * (MinHash-LSH candidates — the corpus's actual duplicate signal;
@@ -579,6 +623,7 @@ object PipelineOps {
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fold_balance_chi2" -> (foldBalanceChi2 _),
     "sample_stratified" -> (sampleStratified _),
     "mix_rebalance"     -> (mixRebalance _),
     "time_split"        -> (timeSplit _),
@@ -618,6 +663,19 @@ object PipelineOps {
       .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
       .mkString("CASE ", " ", s" ELSE $SampleDefaultRate END")
     Map(
+      "fold_balance_chi2" ->
+        s"""WITH cells AS (SELECT ${keyHashSql("fold")} % $ChiFolds AS fold,
+          |  lang, CAST(count(*) AS BIGINT) AS o
+          | FROM documents GROUP BY 1, 2),
+          |rt AS (SELECT fold, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+          |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+          |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+          |j AS (SELECT cells.fold, cells.lang, cells.o, rt.r, ct.c, nt.n,
+          |  CAST(CAST(cells.o AS HUGEINT) * nt.n
+          |   - CAST(rt.r AS HUGEINT) * ct.c AS BIGINT) AS num
+          | FROM cells JOIN rt USING (fold) JOIN ct USING (lang), nt)
+          |SELECT fold, lang, o AS n_docs, ${ChiExprs.mkString(",\n ")}
+          |FROM j ORDER BY fold, lang""".stripMargin,
       "sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents
           |WHERE ${keyHashSql("smp")} % 100 < $rateCase

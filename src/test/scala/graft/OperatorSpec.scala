@@ -2353,6 +2353,64 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(got.values.exists(_._2 > 0.01))
   }
 
+  test("retrieval_tau equals the brute-force Kendall tau over the common top-k docs") {
+    val row = operators.CorpusOps.retrievalTau(spark, sf).collect().head
+    val bm = operators.CorpusOps.bm25Topk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val tf = operators.CorpusOps.tfidfCosineTopk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // independent rank derivation: sort by (score desc, doc_id)
+    val ra = bm.sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex.toMap
+    val rb = tf.sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex.toMap
+    val common = ra.keySet.intersect(rb.keySet).toSeq.sorted
+    val pairs = for {
+      i <- common.indices; j <- (i + 1) until common.size
+    } yield (common(i), common(j))
+    val conc = pairs.count { case (x, y) =>
+      (ra(x) - ra(y)).sign * (rb(x) - rb(y)).sign > 0 }
+    val disc = pairs.size - conc
+    assert(row.getAs[Long]("n_common") == common.size.toLong)
+    assert(row.getAs[Long]("concordant") == conc.toLong)
+    assert(row.getAs[Long]("discordant") == disc.toLong)
+    val tau = if (pairs.isEmpty) 0.0 else (conc - disc).toDouble / pairs.size
+    assert(math.abs(row.getAs[Double]("tau") - tau) < 2e-6)
+    // on this corpus the two lexical rankers genuinely correlate
+    assert(row.getAs[Double]("tau") > 0.0)
+  }
+
+  test("fold_balance_chi2 terms equal the textbook independence statistic") {
+    val got = operators.PipelineOps.foldBalanceChi2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val o = got.map { case ((f, l), (n, _, _)) => (f, l) -> n }.toMap
+    val rt = o.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val ct = o.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    val n = o.values.sum.toDouble
+    for (((f, l), (obs, e, term)) <- got) {
+      val expE = rt(f) * ct(l) / n
+      assert(math.abs(e - expE) < 2e-6, s"cell ($f,$l) expected $e vs $expE")
+      val expT = (obs - expE) * (obs - expE) / expE
+      assert(math.abs(term - expT) < 2e-5, s"cell ($f,$l) term $term vs $expT")
+    }
+    // counts reconcile with the corpus; the full matrix is present
+    assert(o.values.sum == graft.model.Tables.documents(spark, sf).count())
+    assert(got.length == rt.size * ct.size)
+  }
+
+  test("degree_distribution is the exact histogram of the candidate graph") {
+    val got = operators.GraphOps.degreeDistribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = operators.TextOps.candidatePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expect = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (d, ns) => d -> ns.size.toLong }
+    assert(got == expect)
+    // handshake identity: sum(degree * n_nodes) = 2 * |edges|
+    assert(got.map { case (d, c) => d * c }.sum == 2L * pairs.length)
+  }
+
   test("mix_rebalance hits the target mix with the binding language kept whole") {
     val got = operators.PipelineOps.mixRebalance(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
