@@ -187,6 +187,46 @@ object StreamBench {
         s""","state_keys":$nKeys,""" +
           s""""state_longs_per_key":${operators.AnalyticOps.EwmaWindow}""")
     }
+    // ---- streaming rolling median: robust twin of the ewma ring -------
+    locally {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/rmed_in")
+      val n = spark.read.parquet(s"$stage/rmed_in").count()
+      val nKeys = spark.read.parquet(s"$stage/rmed_in")
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      val in = fileStream(s"$stage/rmed_in", evs.schema).as[RawEvent]
+      val q = graft.streaming.StreamingRollingMedian.smooth(in)
+        .writeStream.format("parquet")
+        .option("path", s"$stage/rmed_out")
+        .option("checkpointLocation", s"$stage/rmed_ckpt")
+        .outputMode("append").start()
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val outRows = spark.read.parquet(s"$stage/rmed_out").count()
+      require(outRows == n, s"rolling median rows $outRows != streamed $n")
+      report("rolling_median", n, sec,
+        s""","state_keys":$nKeys,""" +
+          s""""state_longs_per_key":${operators.AnalyticOps.RollMedianW}""")
+    }
+    // ---- streaming cusum: offline moments, two longs of state per type
+    locally {
+      val moments = graft.streaming.StreamingCusum.offlineMoments(spark, sfDir)
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/cusum_in")
+      val n = spark.read.parquet(s"$stage/cusum_in").count()
+      val in = fileStream(s"$stage/cusum_in", evs.schema).as[RawEvent]
+      val q = graft.streaming.StreamingCusum.scan(in, moments)
+        .writeStream.format("parquet")
+        .option("path", s"$stage/cusum_out")
+        .option("checkpointLocation", s"$stage/cusum_ckpt")
+        .outputMode("append").start()
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      val outRows = spark.read.parquet(s"$stage/cusum_out").count()
+      require(outRows == n, s"cusum rows $outRows != streamed $n")
+      report("cusum", n, sec,
+        s""","state_keys":${moments.size},"state_longs_per_key":2""")
+    }
     // ---- streaming decontamination: train docs vs the eval index ------
     locally {
       val evalIdx = TextOps.evalShingleIndex(spark, sfDir).persist()
