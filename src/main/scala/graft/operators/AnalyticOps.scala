@@ -1169,7 +1169,46 @@ object AnalyticOps {
       .orderBy("event_type", "dow")
   }
 
+  /** SEASONALLY-ADJUSTED burst hours: [[burstHours]] with the z-score
+    * baseline narrowed from the type's ALL-hours distribution to its
+    * SAME-WEEKDAY hours — a Monday traffic peak that is normal for
+    * Mondays stops paging, and a burst that is only anomalous relative
+    * to its own weekday (the seasonal index [[dowHourProfile]] states)
+    * surfaces. Same complete-spine discipline: moments over min..max
+    * hours × type × weekday, zeros filled.
+    *
+    * Determinism: identical to burst_hours — exact integer counts and
+    * moments, the shared [[BurstZExpr]] chain (n/sc/scc now per
+    * (type, dow) — the same column names feed the same string), rank
+    * on (count, hour). Scale shape: the (type, hour) aggregate is the
+    * only corpus-scale work; spine cells carry their weekday as a pure
+    * expression, and the moments key space is types × 7. */
+  def burstHoursSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val spine = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .selectExpr("explode(sequence(hmin, hmax, interval 1 hour)) AS h")
+    val types = ev.select(col("event_type")).distinct()
+    val cells = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        expr("weekday(h)").cast("long").as("dow"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val moments = cells.groupBy(col("event_type"), col("dow")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"))
+    cells.join(broadcast(moments), Seq("event_type", "dow"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c").desc, col("h"))))
+      .filter(col("rk") <= BurstTopK)
+      .selectExpr("event_type", "CAST(rk AS BIGINT) AS rank", "h AS burst_hour",
+        "dow", "c AS n_events", BurstZExpr)
+      .orderBy("event_type", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "burst_hours_seasonal" -> (burstHoursSeasonal _),
     "rolling_median"   -> (rollingMedian _),
     "dow_hour_profile" -> (dowHourProfile _),
     "pivot_counts"     -> (pivotCounts _),
@@ -1214,6 +1253,27 @@ object AnalyticOps {
     "gaps_islands"     -> (gapsIslands _))
 
   val oracles: Map[String, String] = Map(
+    "burst_hours_seasonal" ->
+      s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        | FROM ev GROUP BY event_type, h),
+        |mm AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ev),
+        |spine AS (SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        | FROM mm),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |cells AS (SELECT t.event_type, s.h,
+        |  CAST(isodow(s.h) - 1 AS BIGINT) AS dow, coalesce(c.c, 0) AS c
+        | FROM spine s CROSS JOIN types t
+        | LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = s.h),
+        |m AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        | FROM cells GROUP BY event_type, dow),
+        |r AS (SELECT cells.event_type, h, cells.dow, c, n, sc, scc,
+        |  CAST(row_number() OVER (PARTITION BY cells.event_type
+        |    ORDER BY c DESC, h) AS BIGINT) AS rank
+        | FROM cells JOIN m USING (event_type, dow))
+        |SELECT event_type, rank, h AS burst_hour, dow, c AS n_events, $BurstZExpr
+        |FROM r WHERE rank <= $BurstTopK ORDER BY event_type, rank""".stripMargin,
     "rolling_median" ->
       s"""WITH c AS (SELECT user_id, event_id, ts, value,
         |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),

@@ -238,14 +238,38 @@ object SimilarityOps {
     * and ranked per endpoint. The rank window partitions by vec_id over
     * the PAIR table (linear in n by the adaptive grid), and Spark's
     * WindowGroupLimit pushdown thins each side to k rows pre-shuffle. */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  private def knnEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = neardupPairsUnsorted(spark, sfDir)
     val sym = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cos"))
       .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("cos")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
     sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= KnnK)
-      .orderBy("vec_id", "rank")
+  }
+
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnEdges(spark, sfDir).orderBy("vec_id", "rank")
+
+  /** HUBNESS histogram of the kNN graph: for every in-degree d, how many
+    * vectors appear in exactly d other vectors' top-[[KnnK]] lists —
+    * the classic high-dimensional ANN pathology probe (Radovanović et
+    * al., JMLR 2010): a heavy right tail means a few hub vectors
+    * dominate every neighbor list (distance concentration), degrading
+    * both kNN label quality and graph-index navigability, and the zero
+    * bucket counts anti-hubs no list ever reaches. Reads
+    * [[knnGraph]]'s edges; the candidate kernel is shared.
+    *
+    * Determinism: pure integer counts (the zero bucket via left join
+    * against the full vector set). Scale shape: one count per nbr +
+    * one histogram aggregate — output bounded by the max in-degree. */
+  def knnHubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val indeg = knnEdges(spark, sfDir).select(col("nbr"))
+      .groupBy(col("nbr")).agg(count(lit(1)).as("d"))
+    vecs(spark, sfDir).select(col("vec_id"))
+      .join(indeg.withColumnRenamed("nbr", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(coalesce(col("d"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy("in_degree")
   }
 
   /** Embedding-side dedup groups: connected components over the near-dup
@@ -1659,6 +1683,7 @@ object SimilarityOps {
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "embed_dedup_groups" -> (embedDedupGroups _),
     "knn_graph"          -> (knnGraph _),
+    "knn_hubness"        -> (knnHubness _),
     "embed_quantize"     -> (embedQuantize _),
     "jl_project"         -> (jlProject _),
     "jl_recall"          -> (jlRecall _),
@@ -1852,6 +1877,18 @@ object SimilarityOps {
         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
         | FROM sym) t
         |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+    "knn_hubness" ->
+      s"""WITH $neardupCtesSql,
+        |sym AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos FROM pairs
+        | UNION ALL SELECT vec_b, vec_a, cos FROM pairs),
+        |kn AS (SELECT nbr FROM (
+        | SELECT nbr, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+        | FROM sym) t WHERE rank <= $KnnK),
+        |d AS (SELECT nbr, count(*) AS c FROM kn GROUP BY nbr),
+        |ind AS (SELECT e.vec_id, CAST(coalesce(d.c, 0) AS BIGINT) AS in_degree
+        | FROM embeddings e LEFT JOIN d ON d.nbr = e.vec_id)
+        |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM ind GROUP BY in_degree ORDER BY in_degree""".stripMargin,
     "embed_dedup_groups" ->
       s"""WITH RECURSIVE $neardupCtesSql,
         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs

@@ -2411,6 +2411,57 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(got.map { case (d, c) => d * c }.sum == 2L * pairs.length)
   }
 
+  test("knn_hubness is the exact in-degree histogram of the kNN graph incl. the zero bucket") {
+    val got = operators.SimilarityOps.knnHubness(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = operators.SimilarityOps.knnGraph(spark, sf).collect()
+      .map(_.getAs[Long]("nbr"))
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    val indeg = edges.groupBy(identity).map { case (_, es) => es.length.toLong }
+    val nonZero = indeg.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val expect = nonZero + (0L -> (nVecs - indeg.size))
+    assert(got == expect.filter(_._2 > 0L))
+    // mass identities: every vector bucketed once; total in-degree = |E|
+    assert(got.values.sum == nVecs)
+    assert(got.map { case (d, c) => d * c }.sum == edges.length.toLong)
+  }
+
+  test("burst_hours_seasonal z-scores against the SAME-WEEKDAY baseline") {
+    val got = operators.AnalyticOps.burstHoursSeasonal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val plain = operators.AnalyticOps.burstHours(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getTimestamp(2).getTime, r.getLong(3))).toMap
+    // the RANK orders by (count, hour) in both ops — same burst cells,
+    // different z baselines
+    assert(got.keySet == plain.keySet)
+    for ((k, (h, _, c, _)) <- got)
+      assert((h, c) == plain(k), s"$k cell differs from burst_hours")
+    // brute-force one type's top-1 z against its own-weekday moments
+    val rows = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val hourMs = 3600L * 1000L
+    val (hmin, hmax) = (rows.map(_._2).min, rows.map(_._2).max)
+    val spine = (hmin to hmax by hourMs).toVector
+    val counts = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def dowOf(ms: Long): Long = { // weekday(): 0 = Monday, in UTC
+      val d = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      (d.getDayOfWeek.getValue - 1).toLong
+    }
+    val tpe = got.keySet.head._1
+    val cells = spine.map(h => (h, dowOf(h), counts.getOrElse((tpe, h), 0L)))
+    val (gh, gdow, gc, gz) = got((tpe, 1L))
+    assert(dowOf(gh) == gdow, "emitted dow must be the burst hour's weekday")
+    val same = cells.filter(_._2 == gdow)
+    val n = same.size.toDouble
+    val sc = same.map(_._3).sum.toDouble
+    val scc = same.map(c => c._3.toDouble * c._3).sum
+    val z = (gc - sc / n) / math.sqrt((scc - sc * sc / n) / (n - 1.0))
+    assert(math.abs(gz - z) < 2e-6, s"$tpe seasonal z $gz vs brute $z")
+  }
+
   test("mix_rebalance hits the target mix with the binding language kept whole") {
     val got = operators.PipelineOps.mixRebalance(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
