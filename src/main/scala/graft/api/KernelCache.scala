@@ -50,7 +50,18 @@ object KernelCache {
     * session's warehouse dir (see object doc). */
   val CacheDirKey = "spark.graft.kernel.cacheDir"
 
-  private val entries = new ConcurrentHashMap[String, String]()
+  /** One in-flight-or-done build per key. `path`/`error` publish the
+    * outcome; `done` releases waiters; `owner` is the building thread
+    * (for the same-key re-entry check). */
+  private final class Slot {
+    @volatile var path: String = null
+    @volatile var error: Throwable = null
+    @volatile var owner: Thread = null
+    val done = new java.util.concurrent.CountDownLatch(1)
+  }
+
+  private val slots = new ConcurrentHashMap[String, Slot]()
+  private val dirSeq = new AtomicLong(0)
   private val hitCounter = new AtomicLong(0)
   private val missCounter = new AtomicLong(0)
 
@@ -63,42 +74,61 @@ object KernelCache {
   def enabled(spark: SparkSession): Boolean =
     GraftConfig.get(spark, EnabledKey, "false").trim.equalsIgnoreCase("true")
 
-  /** Guards the check-build-put sequence. A plain `synchronized` (NOT
-    * `ConcurrentHashMap.computeIfAbsent`) because kernel builds NEST:
-    * the contaminated-docs kernel builds FROM the windows kernel, so
-    * its build block re-enters getOrBuild — computeIfAbsent forbids
-    * mutating the map from inside a mapping function and throws
-    * `IllegalStateException: Recursive update` the moment the two keys
-    * share a bin (r17: both contamination audits died at 0.000 s in the
-    * 100x bench exactly this way, while the spec passed because suite
-    * ordering had already cached the inner kernel). `synchronized` is
-    * reentrant, so nested builds in one thread are fine; concurrent
-    * first calls from different threads serialize, which is the
-    * documented contract. */
-  private val buildLock = new Object
-
   /** `build` when the cache is off; the parquet-materialized kernel when
-    * on. The build runs at most once per (application, key); concurrent
-    * first calls serialize on [[buildLock]]. */
+    * on. The build runs at most once per (application, key).
+    *
+    * Locking is PER KEY (a [[Slot]] claimed via `putIfAbsent`), not a
+    * global monitor: unrelated kernel builds in concurrent sessions run
+    * in parallel instead of serializing end-to-end behind one lock held
+    * across a full Spark job, and a build that nests another
+    * [[getOrBuild]] (the contaminated-docs kernel builds FROM the
+    * windows kernel — the r17 `computeIfAbsent` recursion trap) just
+    * claims a SECOND slot with no lock held across the pair, so nesting
+    * can never deadlock. The one cycle that would self-deadlock — a key
+    * whose build re-enters the SAME key on the SAME thread — means the
+    * kernel depends on its own result (a bug in the kernel definition),
+    * and the thread-owner check fails loud instead of hanging. A failed
+    * build removes its slot and wakes waiters, who retry (one of them
+    * becomes the next builder); the failing call itself rethrows. */
   def getOrBuild(spark: SparkSession, key: String,
       build: => DataFrame): DataFrame = {
     if (!enabled(spark)) return build
     val fullKey = spark.sparkContext.applicationId + "\u0000" + key
-    val path = buildLock.synchronized {
-      val existing = entries.get(fullKey)
-      if (existing != null) existing
-      else {
+    var path: String = null
+    while (path == null) {
+      val fresh = new Slot
+      val existing = slots.putIfAbsent(fullKey, fresh)
+      if (existing == null) {
+        fresh.owner = Thread.currentThread()
         missCounter.incrementAndGet()
-        val dir = s"${cacheRoot(spark)}/${spark.sparkContext.applicationId}/" +
-          s"${Integer.toHexString(fullKey.hashCode)}_${entries.size()}"
-        build.write.mode("overwrite").parquet(dir)
-        entries.put(fullKey, dir)
-        dir
+        try {
+          val dir = s"${cacheRoot(spark)}/${spark.sparkContext.applicationId}/" +
+            s"${Integer.toHexString(fullKey.hashCode)}_${dirSeq.getAndIncrement()}"
+          build.write.mode("overwrite").parquet(dir)
+          fresh.path = dir
+        } catch {
+          case t: Throwable =>
+            fresh.error = t
+            slots.remove(fullKey, fresh)
+            throw t
+        } finally fresh.done.countDown()
+        path = fresh.path
+      } else {
+        if ((existing.owner eq Thread.currentThread()) &&
+            existing.path == null && existing.error == null) {
+          throw new IllegalStateException(
+            s"KernelCache: re-entrant build of key '$key' on its own " +
+              "thread — the kernel's build depends on its own result")
+        }
+        existing.done.await()
+        path = existing.path
+        // null here means the builder failed and removed the slot —
+        // loop and retry (this thread may become the next builder)
       }
     }
     // a fresh read per caller: downstream persist/track lifecycles stay
     // per-query exactly as before, only the BUILD is shared
-    if (entries.containsKey(fullKey)) hitCounter.incrementAndGet()
+    hitCounter.incrementAndGet()
     spark.read.parquet(path)
   }
 
@@ -109,5 +139,5 @@ object KernelCache {
 
   /** Drop every entry (files stay on disk under the cache root; the
     * next getOrBuild rebuilds). Test/lifecycle hook. */
-  private[graft] def clear(): Unit = entries.clear()
+  private[graft] def clear(): Unit = slots.clear()
 }

@@ -42,22 +42,22 @@ object Payload {
     * the scan itself). This is the regime the read-side flag exists
     * for; VariantWriterAbSpec prices all three arms (string re-parse /
     * read-time parse_json / shredded) on identical data and SCALING.md
-    * records the table. Returns the output path. */
+    * records the table. Returns the output path.
+    *
+    * The shredding confs are flipped on a CLONED session
+    * (`spark.newSession()` — own SQLConf, shared SparkContext), never on
+    * the caller's: a set/restore window on the shared session would race
+    * any concurrent query or second writeShredded, which could observe
+    * or clobber the flip. The clone is write-scoped and discarded. */
   def writeShredded(spark: SparkSession, sfDir: String, outDir: String): String = {
     import org.apache.spark.sql.functions._
-    val prev = Seq("spark.sql.variant.writeShredding.enabled",
-      "spark.sql.variant.inferShreddingSchema")
-      .map(k => k -> spark.conf.getOption(k))
-    try {
-      prev.foreach { case (k, _) => spark.conf.set(k, "true") }
-      graft.model.Tables.events(spark, sfDir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), parse_json(col("props")).as("pv"))
-        .write.mode("overwrite").parquet(outDir)
-      outDir
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    val s = spark.newSession()
+    s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    graft.model.Tables.events(s, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), parse_json(col("props")).as("pv"))
+      .write.mode("overwrite").parquet(outDir)
+    outDir
   }
 }

@@ -565,9 +565,14 @@ object PipelineOps {
     // A target language absent from the corpus would silently drop out of
     // the min(cap) and skew the realized mix — fail loud instead, lazily
     // (the guard rides the same 1-row broadcast aggregate as tmin).
+    // nlang=0 (empty corpus) is exempt: the fact side is empty so the
+    // result is empty regardless of tmin, and erroring there would make
+    // the empty-input contract depend on AQE pruning the cross join
+    // before this projection evaluates (it must hold with AQE off too).
     val tminAgg = agg.agg(min(col("cap")).as("tmin_raw"),
         count(lit(1)).as("nlang"))
-      .select(when(col("nlang") =!= lit(MixTarget.size.toLong),
+      .select(when(col("nlang") =!= lit(MixTarget.size.toLong) &&
+            col("nlang") =!= lit(0L),
           raise_error(concat(lit(s"mixRebalance: corpus has only "),
             col("nlang").cast("string"),
             lit(s" of ${MixTarget.size} target languages"))))

@@ -158,9 +158,18 @@ object AutoSalt {
       case _ => None
     }
 
-  private def fpOf(parts: Seq[String]): String =
-    java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.orderedHash(parts.sorted))
+  /** 128-bit fingerprint (SHA-256 prefix of the joined sorted roots).
+    * A 32-bit hash here would make a cross-table collision merely
+    * unlikely; a collision silently applies a skew registration to an
+    * unmeasured relation — output-preserving but paying the S-times dim
+    * replication this scoping exists to avoid, with no diagnostic. At
+    * 128 bits a collision is practically impossible at any fleet size. */
+  private def fpOf(parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(
+      parts.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.take(16).map(b => f"$b%02x").mkString
+  }
 
   /** The fingerprint a registration on `df`/`keyCol` should carry: the
     * identity of the ONE file-based leaf that outputs `keyCol`. None when

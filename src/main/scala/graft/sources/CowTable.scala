@@ -727,13 +727,21 @@ object CowTable {
     // the manifest dir forever — no manifest references tmps, so the
     // version sweep never sees them. Reclaim them here, but only past a
     // grace age: a LIVE writer's tmp deleted between its force and its
-    // link would fail that writer's commit spuriously.
+    // link would fail that writer's commit spuriously. The age test
+    // compares THIS process's wall clock to the file mtime stamped by
+    // the WRITER's host — on shared storage with clock skew the
+    // effective grace shrinks by the skew, so tmpGraceMs should stay
+    // comfortably above the fleet's worst clock drift (the 1h default
+    // is ~3 orders of magnitude over NTP-disciplined skew).
     val now = System.currentTimeMillis()
     val deadTmps = listDir(Paths.get(manifestDir(root)))
       .filter(p => p.getFileName.toString.endsWith(".tmp"))
       .filter(p => now - Files.getLastModifiedTime(p).toMillis >= tmpGraceMs)
-    deadTmps.foreach(p => Files.deleteIfExists(p))
+    // count ACTUAL deletions: a writer completing between the listing
+    // and this sweep removes its own tmp first, and deleteIfExists
+    // returning false must not inflate the reclaimed-files count
+    val tmpsDeleted = deadTmps.count(p => Files.deleteIfExists(p))
     drop.foreach(v => Files.delete(Paths.get(manifestDir(root), s"v$v.list")))
-    (drop.size, candidates.size + deadTmps.size)
+    (drop.size, candidates.size + tmpsDeleted)
   }
 }

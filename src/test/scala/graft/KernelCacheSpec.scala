@@ -115,6 +115,74 @@ class KernelCacheSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("per-key locking: a slow build never blocks a different key; same key builds once") {
+    // ADVICE r17: the old global buildLock serialized UNRELATED kernel
+    // builds end-to-end. The per-key slots must let key B build to
+    // completion while key A's build is parked mid-flight, and a second
+    // caller of A must wait for A's single build rather than rebuild.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val m0 = KernelCache.misses
+      val inBuildA = new CountDownLatch(1)
+      val releaseA = new CountDownLatch(1)
+      val slowA = Future {
+        KernelCache.getOrBuild(spark, "t_slow_a", {
+          inBuildA.countDown()
+          assert(releaseA.await(60, TimeUnit.SECONDS), "release latch timed out")
+          spark.range(3).toDF("id")
+        }).count()
+      }
+      assert(inBuildA.await(60, TimeUnit.SECONDS), "build A never started")
+      // a DIFFERENT key builds to completion while A is in flight — this
+      // deadlocks (or times out) under a global build lock
+      assert(KernelCache.getOrBuild(spark, "t_b",
+        spark.range(5).toDF("id")).count() == 5)
+      // a second caller of A's key must WAIT for A's build, never rerun it
+      val waitA = Future {
+        KernelCache.getOrBuild(spark, "t_slow_a",
+          sys.error("second caller must not rebuild")).count()
+      }
+      releaseA.countDown()
+      assert(Await.result(slowA, Duration(120, "s")) == 3)
+      assert(Await.result(waitA, Duration(120, "s")) == 3)
+      assert(KernelCache.misses - m0 == 2,
+        s"expected exactly one build per key, got ${KernelCache.misses - m0}")
+    } finally {
+      pool.shutdown()
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+    }
+  }
+
+  test("a failed build rethrows, releases the key for retry; self-dependency fails loud") {
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    try {
+      intercept[RuntimeException] {
+        KernelCache.getOrBuild(spark, "t_fail", sys.error("boom"))
+      }
+      // the failed slot must not wedge the key: a retry builds cleanly
+      assert(KernelCache.getOrBuild(spark, "t_fail",
+        spark.range(2).toDF("id")).count() == 2)
+      // a kernel whose build re-enters its OWN key on the same thread is
+      // a definitional cycle — fail loud instead of self-deadlocking
+      val e = intercept[IllegalStateException] {
+        KernelCache.getOrBuild(spark, "t_self",
+          KernelCache.getOrBuild(spark, "t_self", spark.range(1).toDF("id")))
+      }
+      assert(e.getMessage.contains("re-entrant"))
+    } finally {
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+    }
+  }
+
   test("flag off is a pass-through: no entries, no files, plans unchanged") {
     KernelCache.clear()
     val m0 = KernelCache.misses

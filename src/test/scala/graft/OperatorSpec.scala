@@ -741,6 +741,22 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("mix_rebalance degrades to empty on empty input even with AQE off") {
+    // ADVICE r17: the nlang guard used to hold on empty input only
+    // because AQE empty-relation propagation pruned the cross join
+    // before the raise_error projection evaluated. The guard now
+    // exempts nlang=0 explicitly, so the contract must hold with
+    // adaptive execution disabled (forced evaluation order).
+    val dst = tempDir("sf0_aqe")
+    graft.model.Tables.load(spark, sf, "documents").limit(0)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(SparkEntry.queries("mix_rebalance")(spark, dst).count() == 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("limit-bearing queries: collect() row count equals count() (AQE replanning guard)") {
     // The round-10 AQE hazard (PLANS.md): replanning dropped a fused
     // sort+limit on the collect/write path while count() still saw the
