@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.KernelCache
-import graft.operators.TextOps
+import graft.operators.{CorpusOps, TextOps}
 
 /** Parity + lifecycle for the session-scoped shared-kernel cache (r15,
   * `spark.graft.kernel.sessionCache`): with the flag on, the dedup
@@ -108,6 +108,39 @@ class KernelCacheSpec extends AnyFunSuite with SparkTest {
       // the second audit reuses BOTH kernels: no builds of its own
       assert(KernelCache.misses - m0 == 2,
         s"contamination_by_source must reuse, total builds ${KernelCache.misses - m0}")
+    } finally {
+      spark.conf.unset(KernelCache.EnabledKey)
+      KernelCache.clear()
+      graft.api.Caches.release(spark)
+    }
+  }
+
+  test("retrieval family shares ONE token-base kernel, bit-identical") {
+    // r17 verdict item 1: bm25_topk / tfidf_cosine_topk / rrf_fusion /
+    // retrieval_tau each rebuilt the full corpus token explode from
+    // cold (~40 s apiece at 100x). With the session cache on, the four
+    // queries must share exactly ONE materialized token base and return
+    // bit-identical results to their self-contained forms.
+    val offBm25 = rows(CorpusOps.bm25Topk(spark, sf))
+    val offDense = rows(CorpusOps.tfidfCosineTopk(spark, sf))
+    val offRrf = rows(CorpusOps.rrfFusion(spark, sf))
+    val offTau = rows(CorpusOps.retrievalTau(spark, sf))
+    graft.api.Caches.release(spark)
+    KernelCache.clear()
+    spark.conf.set(KernelCache.EnabledKey, "true")
+    try {
+      val m0 = KernelCache.misses
+      assert(rows(CorpusOps.bm25Topk(spark, sf)) == offBm25)
+      assert(KernelCache.misses - m0 == 1,
+        s"first retrieval query should build the toks kernel once, built ${KernelCache.misses - m0}")
+      graft.api.Caches.release(spark) // the harness sweep between queries
+      assert(rows(CorpusOps.tfidfCosineTopk(spark, sf)) == offDense)
+      graft.api.Caches.release(spark)
+      assert(rows(CorpusOps.rrfFusion(spark, sf)) == offRrf)
+      graft.api.Caches.release(spark)
+      assert(rows(CorpusOps.retrievalTau(spark, sf)) == offTau)
+      assert(KernelCache.misses - m0 == 1,
+        s"later retrieval queries must reuse the token base, total builds ${KernelCache.misses - m0}")
     } finally {
       spark.conf.unset(KernelCache.EnabledKey)
       KernelCache.clear()

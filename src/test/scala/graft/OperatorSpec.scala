@@ -741,6 +741,20 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("perplexity family is bit-identical with the vocab gate forced low (shuffle path)") {
+    // r17 verdict item 2: above the row gate the vocab join degrades
+    // from broadcast to a token-keyed shuffle — the physical form must
+    // be value-neutral for both consumers of the NLL base.
+    def snap() = Seq(
+      SparkEntry.queries("perplexity_score")(spark, sf).collect().map(_.toString).sorted.toSeq,
+      SparkEntry.queries("ppl_buckets")(spark, sf).collect().map(_.toString).sorted.toSeq)
+    val base = snap()
+    spark.conf.set(graft.api.GraftConfig.BroadcastGateKey, "0")
+    try assert(snap() == base,
+      "shuffle-path vocab join diverged from the broadcast path")
+    finally spark.conf.unset(graft.api.GraftConfig.BroadcastGateKey)
+  }
+
   test("mix_rebalance degrades to empty on empty input even with AQE off") {
     // ADVICE r17: the nlang guard used to hold on empty input only
     // because AQE empty-relation propagation pruned the cross join

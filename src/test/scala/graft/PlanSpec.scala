@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnalyticOps, PipelineOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{AnalyticOps, CorpusOps, PipelineOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Physical-plan shape guards — the scale contract as assertions.
   *
@@ -322,6 +322,27 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       val hOff = plan(SimilarityOps.hardNegatives(spark, sf))
       assert(!hOff.contains("BroadcastNestedLoopJoin") && !hOff.contains("BroadcastExchange"),
         s"gate=0 must strip the anchor broadcast:\n$hOff")
+    } finally {
+      spark.conf.unset(graft.api.GraftConfig.BroadcastGateKey)
+      spark.conf.set(autoKey, autoPrev)
+    }
+  }
+
+  test("perplexity vocab broadcast is gated: hint under the gate, token-keyed shuffle above") {
+    // r17 verdict item 2: vocab is data-dependent (type count grows with
+    // web noise), so its broadcast must ride the shared row gate like
+    // hard_negatives' anchors — never a forced broadcast at any size.
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val autoPrev = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "-1")
+    try {
+      val pOn = plan(CorpusOps.perplexityScore(spark, sf))
+      assert(pOn.contains("BroadcastExchange"),
+        s"vocab not broadcast under the gate:\n$pOn")
+      spark.conf.set(graft.api.GraftConfig.BroadcastGateKey, "0")
+      val pOff = plan(CorpusOps.perplexityScore(spark, sf))
+      assert(!pOff.contains("BroadcastExchange"),
+        s"gate=0 must degrade the vocab join to a token-keyed shuffle:\n$pOff")
     } finally {
       spark.conf.unset(graft.api.GraftConfig.BroadcastGateKey)
       spark.conf.set(autoKey, autoPrev)
