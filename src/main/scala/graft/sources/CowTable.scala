@@ -236,8 +236,13 @@ object CowTable {
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(stage)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // stats read with an EXPLICIT one-column schema: the key column is
+    // all this job needs, and schema inference over a shredded-variant
+    // stage would surface (or trip on) the physical shredding struct
     val stats: Map[String, (String, String)] =
-      spark.read.parquet(stage)
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(df.schema(key))))
+        .parquet(stage)
         .select(col(key), input_file_name().as("__f"))
         .groupBy(col("__f"))
         .agg(min(col(key)).cast("string").as("mn"),
@@ -302,6 +307,79 @@ object CowTable {
     1
   }
 
+  // ---------------------------------------------- shredded-variant tables
+  /** Manifest meta key recording which columns were parsed to VARIANT
+    * and written SHREDDED (comma-joined column names). Recorded at every
+    * commit so upserts/compaction/deletes keep the table shredded. */
+  val ShreddedMetaKey = "shredded"
+
+  private def shreddedColsOf(root: String, version: Int): Seq[String] =
+    versionMeta(root, version).get(ShreddedMetaKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Parse each named STRING column of `df` to VARIANT (columns already
+    * VARIANT — e.g. survivors re-read from the table — pass through).
+    * Runs on the caller's session; only the WRITE needs the shredding
+    * confs ([[bindShredWriteSession]]). */
+  private def parseShredCols(df: DataFrame, jsonCols: Seq[String]): DataFrame =
+    df.select(df.columns.map { c =>
+      if (jsonCols.contains(c) &&
+          df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        parse_json(col(c)).as(c)
+      else col(c)
+    }: _*)
+
+  /** Rebind `df` to a WRITE-SCOPED clone session with parquet variant
+    * shredding on, via a global temp view (the one public cross-session
+    * plan hand-off). The confs live only on the clone — never a
+    * set/restore window on the caller's session (the
+    * Payload.writeShredded discipline) — so concurrent queries can't
+    * observe the flip. The view is dropped as soon as the plan is
+    * resolved into the clone (Datasets capture their analyzed plan at
+    * creation). */
+  private def bindShredWriteSession(df: DataFrame): DataFrame = {
+    val view = "graft_cow_shred_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    try {
+      val s = df.sparkSession.newSession()
+      s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+      s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+      s.table(s"global_temp.$view")
+    } finally df.sparkSession.catalog.dropGlobalTempView(view)
+  }
+
+  /** Create the table as version 1 with `jsonCols` (string JSON columns)
+    * parsed ONCE to VARIANT and written SHREDDED — the r17 A/B's 7.3×
+    * probe win wired into the lake path: the parquet writer stores each
+    * inferred field as a real typed sub-column, so a reader probing
+    * `$.k` via `try_variant_get` does columnar-pruned typed reads with
+    * zero run-time JSON parsing (`pushVariantIntoScan` folds the get
+    * into the scan). Everything else is the ordinary COW lifecycle: the
+    * clustering key is untouched, so per-file min/max stats and
+    * manifest-level pruning ([[readRange]]) work exactly as on a string
+    * table, and [[mergeUpsert]]/[[compact]]/[[deleteRange]] keep the
+    * table shredded via the `#shredded` manifest header (updates may
+    * carry the JSON columns as plain strings — they are parsed at
+    * write). Readers get `spark.sql.variant.allowReadingShredded`
+    * enabled by [[readVersion]] when the version is shredded. */
+  def initShredded(spark: SparkSession, root: String, df: DataFrame,
+      key: String, nFiles: Int, jsonCols: Seq[String],
+      meta: Map[String, String] = Map.empty): Int = {
+    require(listVersions(root).isEmpty, s"table already exists at $root")
+    require(jsonCols.nonEmpty, "initShredded needs at least one JSON column")
+    require(jsonCols.forall(df.columns.contains),
+      s"shred columns ${jsonCols.filterNot(df.columns.contains)} not in frame")
+    require(!jsonCols.contains(key), "the clustering key cannot be shredded")
+    val sdf = parseShredCols(df, jsonCols)
+    writeManifest(root, 1,
+      writeFiles(spark, root, bindShredWriteSession(sdf), nFiles, key),
+      meta + ("key" -> key) + (ShreddedMetaKey -> jsonCols.mkString(",")) +
+        keyTypeMeta(sdf, key) + schemaMeta(sdf.schema))
+    1
+  }
+
   /** Read a specific snapshot (defaults handled by [[read]]). The
     * schema comes from the version's `#schema` manifest header
     * (recorded at every commit), read as an EXPLICIT schema: no footer
@@ -312,6 +390,13 @@ object CowTable {
     * existed fall back to the parquet-footer `mergeSchema` merge. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val paths = manifest(root, version).map(n => s"${filesDir(root)}/$n")
+    // a shredded version needs the reader's shredded-compat switch; the
+    // enable is monotone and value-neutral (it only ALLOWS reading the
+    // shredded physical layout back as variant), so flipping it on the
+    // caller's session is safe — unlike the write-side confs, which stay
+    // on their write-scoped clone
+    if (shreddedColsOf(root, version).nonEmpty)
+      spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
     recordedSchema(root, version) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -435,10 +520,14 @@ object CowTable {
       val (next, newEntries, snapSchema) =
         mergeAttempt(spark, root, updates, key, nNewFiles, meta)
       beforeCommit(attempt)
+      // re-record the shredded header so the NEXT commit's mergeAttempt
+      // still sees a shredded table (meta propagates commit-to-commit)
+      val shredMeta = versionMeta(root, next - 1).get(ShreddedMetaKey)
+        .map(ShreddedMetaKey -> _)
       // keytype from the RESOLVED snapshot, not from updates: a merge
       // narrower than a widened table must record the table's type
       if (tryCommitManifest(root, next, newEntries._1 ++ newEntries._2,
-          meta + ("key" -> key) +
+          meta ++ shredMeta + ("key" -> key) +
             ("keytype" -> snapSchema(key).dataType.catalogString) +
             schemaMeta(snapSchema)))
         return next
@@ -455,10 +544,17 @@ object CowTable {
     * attempt would publish and (carried entry lines, fresh entry
     * lines); the caller owns the commit (and the cleanup on loss). */
   private def mergeAttempt(spark: SparkSession, root: String,
-      updates: DataFrame, key: String, nNewFiles: Int, meta: Map[String, String])
+      updates0: DataFrame, key: String, nNewFiles: Int, meta: Map[String, String])
       : (Int, (Seq[String], Seq[String]), org.apache.spark.sql.types.StructType) = {
     val cur = currentVersion(root)
     require(cur > 0, s"no table at $root")
+    // shredded table: updates may carry the JSON columns as plain
+    // strings — parse them to variant FIRST so schema resolution and the
+    // merge union see matching types, and route the rewrite through the
+    // shred-conf write session so the new files stay shredded
+    val shredCols = shreddedColsOf(root, cur)
+    val updates =
+      if (shredCols.isEmpty) updates0 else parseShredCols(updates0, shredCols)
     // the NEW snapshot's schema: current columns + any updates add.
     // Derived from the CURRENT version's schema (not the touched files'
     // union): an upsert touching only pre-widen files must not drop a
@@ -545,7 +641,9 @@ object CowTable {
     // ranges stay valid — the files are immutable)
     val untouchedEntries = entryLines(root, cur)
       .filter(l => untouched.contains(nameOf(l)))
-    val newEntries = writeFiles(spark, root, merged, nNewFiles, key)
+    val toWrite =
+      if (shredCols.isEmpty) merged else bindShredWriteSession(merged)
+    val newEntries = writeFiles(spark, root, toWrite, nNewFiles, key)
     (cur + 1, (untouchedEntries, newEntries), snapSchema)
   }
 
@@ -611,13 +709,16 @@ object CowTable {
           .exists { case (mn, mx) => !(le(lo, mx) && le(mn, hi)) }
       }
       val snapSchema = readVersion(spark, root, cur).schema
+      val shredMeta = hdr.get(ShreddedMetaKey).map(ShreddedMetaKey -> _)
       val newEntries = if (rewrite.isEmpty) Seq.empty else {
         val df = spark.read.schema(snapSchema)
           .parquet(rewrite.map(l => s"${filesDir(root)}/${nameOf(l)}"): _*)
         val dt = snapSchema(key).dataType
         val inRange = col(key) >= lit(lo).cast(dt) && col(key) <= lit(hi).cast(dt)
+        val survivors = df.filter(!(inRange <=> lit(true)))
         writeFiles(spark, root,
-          df.filter(!(inRange <=> lit(true))), nNewFiles, key)
+          if (shredMeta.isEmpty) survivors else bindShredWriteSession(survivors),
+          nNewFiles, key)
       }
       // The bounds are raw user strings: URL-encode them (the same
       // treatment entryLines give min/max stats) so a bound containing a
@@ -625,7 +726,7 @@ object CowTable {
       // containing ',' or ']' cannot break [[deleteBounds]]' parse
       // (round-13 ADVICE). Read back via [[deleteBounds]], not raw meta.
       if (tryCommitManifest(root, cur + 1, carried ++ newEntries,
-          meta + ("delete" -> s"[${urlEnc(lo)},${urlEnc(hi)}]") + ("key" -> key) +
+          meta ++ shredMeta + ("delete" -> s"[${urlEnc(lo)},${urlEnc(hi)}]") + ("key" -> key) +
             ("keytype" -> hdr.getOrElse("keytype",
               snapSchema(key).dataType.catalogString)) +
             schemaMeta(snapSchema)))
@@ -654,10 +755,14 @@ object CowTable {
       val cur = currentVersion(root)
       require(cur > 0, s"no table at $root")
       val snap = read(spark, root)
-      val newEntries = writeFiles(spark, root, snap, nFiles, key)
+      val shredMeta = versionMeta(root, cur).get(ShreddedMetaKey)
+        .map(ShreddedMetaKey -> _)
+      val toWrite =
+        if (shredMeta.isEmpty) snap else bindShredWriteSession(snap)
+      val newEntries = writeFiles(spark, root, toWrite, nFiles, key)
       if (tryCommitManifest(root, cur + 1, newEntries,
-          Map("compaction" -> "true", "key" -> key) + keyTypeMeta(snap, key) +
-            schemaMeta(snap.schema)))
+          Map("compaction" -> "true", "key" -> key) ++ shredMeta +
+            keyTypeMeta(snap, key) + schemaMeta(snap.schema)))
         return cur + 1
       // an upsert won this version: reclaim and re-compact its snapshot
       newEntries.map(nameOf).foreach(n =>

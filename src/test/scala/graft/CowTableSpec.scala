@@ -263,6 +263,74 @@ class CowTableSpec extends AnyFunSuite with SparkTest {
       == Seq((4242L, -1L)))
   }
 
+  test("shredded table: typed probes match the string path; lifecycle keeps it shredded; pruning intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.VariantType
+    val root = tempDir("cow_shred")
+    val base = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("props"))
+    CowTable.initShredded(spark, root, base, "event_id", nFiles = 4,
+      jsonCols = Seq("props"))
+
+    // the snapshot reads back VARIANT, and the typed probe agrees
+    // value-for-value with the string-path probe over the source
+    val t1 = CowTable.read(spark, root)
+    assert(t1.schema("props").dataType == VariantType)
+    def probed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"),
+        try_variant_get(col("props"), "$.k", "int").as("k"),
+        try_variant_get(col("props"), "$.missing", "string").as("absent"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val expect = base
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        get_json_object(col("props"), "$.missing").as("absent"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(probed(t1) == expect, "shredded probe diverged from string path")
+    // the write-time parse is GONE from the read plan
+    val plan = t1.select(try_variant_get(col("props"), "$.k", "int"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("parse_json"), s"shredded read still parses:\n$plan")
+    // (conf isolation is by construction — the shredding confs are set
+    // only on bindShredWriteSession's clone; they also happen to default
+    // true in this Spark version, so getOption can't probe for a leak)
+
+    // manifest pruning works exactly as on a string table: stats on
+    // every entry, point read opens one file
+    assert(CowTable.fileRanges(root, 1).size == 4)
+    val point = CowTable.readRange(spark, root, "42", "42")
+    assert(point.inputFiles.length == 1)
+    assert(point.select(try_variant_get(col("props"), "$.k", "int")).count() == 1)
+
+    // upsert with STRING props: parsed at write, table stays shredded
+    val newId = 900000000L
+    val updates = Seq((0L, "upd", """{"k": 7, "s": "x"}"""),
+      (newId, "new", """{"k": 8}"""))
+      .toDF("event_id", "event_type", "props")
+    assert(CowTable.mergeUpsert(spark, root, updates, "event_id") == 2)
+    val t2 = CowTable.read(spark, root)
+    assert(t2.schema("props").dataType == VariantType)
+    assert(t2.filter(col("event_id") === 0L)
+      .select(try_variant_get(col("props"), "$.k", "int")).head().getInt(0) == 7)
+    assert(t2.filter(col("event_id") === newId)
+      .select(try_variant_get(col("props"), "$.k", "int")).head().getInt(0) == 8)
+    assert(t2.count() == base.count() + 1)
+    // time travel: v1 still answers the PRE-upsert probe
+    assert(probed(CowTable.readVersion(spark, root, 1)) == expect)
+
+    // compact and deleteRange both keep the table shredded
+    assert(CowTable.compact(spark, root, "event_id", 2) == 3)
+    val t3 = CowTable.read(spark, root)
+    assert(t3.schema("props").dataType == VariantType)
+    assert(t3.filter(col("event_id") === 0L)
+      .select(try_variant_get(col("props"), "$.k", "int")).head().getInt(0) == 7)
+    CowTable.deleteRange(spark, root, newId.toString, newId.toString)
+    val t4 = CowTable.read(spark, root)
+    assert(t4.schema("props").dataType == VariantType)
+    assert(t4.count() == base.count())
+    assert(t4.filter(col("event_id") === newId).count() == 0)
+  }
+
   test("streaming cdc is latest-wins when a NEWER record arrived in an EARLIER batch") {
     import spark.implicits._
     import graft.streaming.ConsumerPipeline.RawEvent

@@ -52,13 +52,31 @@ class VariantWriterAbSpec extends AnyFunSuite with SparkTest {
         (try_variant_get(col("pv"), "$.k", "int") > 50).as("k_big"))
       .orderBy("event_id")
 
-    // value parity: all three arms agree on every row
+    // arm D (r17 verdict item 5): the SAME shredded layout written
+    // through the CowTable lake path — the probe win must survive the
+    // table format (manifest read, explicit variant schema, range-
+    // clustered files)
+    val cowRoot = tempDir("variant_cow")
+    graft.sources.CowTable.initShredded(spark, cowRoot,
+      graft.model.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+      "event_id", nFiles = 8, jsonCols = Seq("props"))
+    def cowPack() = graft.sources.CowTable.read(spark, cowRoot)
+      .select(col("event_id"),
+        try_variant_get(col("props"), "$.k", "int").as("k_val"),
+        (try_variant_get(col("props"), "$.k", "int") % 10).as("k_mod"),
+        try_variant_get(col("props"), "$.missing", "string").as("absent"))
+      .orderBy("event_id")
+
+    // value parity: all arms agree on every row
     val stringPack = rows(AnalyticOps.jsonPathPack(spark, dir))
     spark.conf.set(graft.api.Payload.ModeKey, "variant")
     val readVarPack = try rows(AnalyticOps.jsonPathPack(spark, dir))
       finally spark.conf.unset(graft.api.Payload.ModeKey)
     assert(readVarPack == stringPack, "read-variant arm diverged")
     assert(rows(shreddedPack()) == stringPack, "shredded arm diverged")
+    assert(rows(cowPack()) == stringPack, "cow-shredded arm diverged")
 
     val stringTyped = rows(AnalyticOps.typedPayload(spark, dir))
     assert(rows(shreddedTyped()) == stringTyped, "shredded typed arm diverged")
@@ -67,6 +85,7 @@ class VariantWriterAbSpec extends AnyFunSuite with SparkTest {
     // the one paying compilation
     AnalyticOps.jsonPathPack(spark, dir).write.format("noop").mode("overwrite").save()
     shreddedPack().write.format("noop").mode("overwrite").save()
+    cowPack().write.format("noop").mode("overwrite").save()
     AnalyticOps.typedPayload(spark, dir).write.format("noop").mode("overwrite").save()
     shreddedTyped().write.format("noop").mode("overwrite").save()
 
@@ -76,6 +95,7 @@ class VariantWriterAbSpec extends AnyFunSuite with SparkTest {
     val tReadVarPack = try timeMin2(() => AnalyticOps.jsonPathPack(spark, dir))
       finally spark.conf.unset(graft.api.Payload.ModeKey)
     val tShredPack = timeMin2(() => shreddedPack())
+    val tCowPack = timeMin2(() => cowPack())
 
     val tStringTyped = timeMin2(() => AnalyticOps.typedPayload(spark, dir))
     spark.conf.set(graft.api.Payload.ModeKey, "variant")
@@ -83,7 +103,7 @@ class VariantWriterAbSpec extends AnyFunSuite with SparkTest {
       finally spark.conf.unset(graft.api.Payload.ModeKey)
     val tShredTyped = timeMin2(() => shreddedTyped())
 
-    info(f"json_path_pack: string=$tStringPack%.3fs readVariant=$tReadVarPack%.3fs shredded=$tShredPack%.3fs dir=$dir")
+    info(f"json_path_pack: string=$tStringPack%.3fs readVariant=$tReadVarPack%.3fs shredded=$tShredPack%.3fs cowShredded=$tCowPack%.3fs dir=$dir")
     info(f"typed_payload:  string=$tStringTyped%.3fs readVariant=$tReadVarTyped%.3fs shredded=$tShredTyped%.3fs dir=$dir")
     // the shredded scan must also show the parse GONE from the plan
     val plan = shreddedPack().queryExecution.executedPlan.toString
