@@ -135,6 +135,76 @@ object GraphOps {
     labels
   }
 
+  /** Incrementally merge a DELTA edge list into EXISTING min-label
+    * components (r17 verdict item 6) — the production maintenance move
+    * for continuously-ingested dedup groups: instead of recomputing CC
+    * over the whole corpus when a batch lands, contract each delta edge
+    * to its endpoints' current representatives and run CC only over the
+    * CONTRACTED graph, whose size tracks the components the delta
+    * TOUCHES, never the corpus.
+    *
+    * `labels` is the existing (node_id, group_id) assignment with
+    * group_id = MIN member id of the component (exactly what
+    * [[connectedComponents]] emits); nodes absent from `labels` are
+    * implicit singletons (their own representative) — the same contract
+    * as the full-recompute path, where singletons never enter the loop.
+    * Returns updated (node_id, group_id) covering every node in `labels`
+    * plus every delta endpoint.
+    *
+    * BIT-EQUAL to a full recompute over the edge UNION, by construction:
+    * each old group_id IS its component's min member, so the contracted
+    * graph's min-label CC computes, for every touched representative,
+    * min(old component mins ∪ delta-only node ids) = the union graph's
+    * min member; untouched components keep their labels verbatim. The
+    * dedup_groups_incremental oracle states the FULL recompute while the
+    * engine runs this delta path — the gate proves the equality on real
+    * data, and GraphOpsSpec proves it over multi-wave merges.
+    *
+    * Scale shape: two key-hashed joins of the delta against the label
+    * table (delta-sized shuffle of `labels`' partitions it touches), one
+    * CC over the contracted delta (touched-component-sized — the
+    * size-adaptive local/distributed split inside [[connectedComponents]]
+    * applies), one labels-sized join to re-point touched groups, one
+    * delta-sized anti-join for first-seen nodes. Nothing corpus-sized
+    * beyond the one pass over `labels`. */
+  def incrementalComponents(labels: DataFrame, deltaPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val l = labels.select(col("node_id").cast("long").as("node_id"),
+      col("group_id").cast("long").as("group_id"))
+    val delta = deltaPairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    // contract: each endpoint -> its current representative (self when
+    // unlabeled — a first-seen node or an old singleton)
+    val contracted = delta
+      .join(l.select(col("node_id").as("a"), col("group_id").as("ra")),
+        Seq("a"), "left_outer")
+      .join(l.select(col("node_id").as("b"), col("group_id").as("rb")),
+        Seq("b"), "left_outer")
+      .select(coalesce(col("ra"), col("a")).as("ra"),
+        coalesce(col("rb"), col("b")).as("rb"))
+    // CC over representatives only: every rep's new root is the min
+    // member of the merged component (old group ids are min members;
+    // unlabeled endpoints represent themselves)
+    val repRoots = connectedComponents(contracted, "ra", "rb")
+      .select(col("node_id").as("rep"), col("group_id").as("new_root"))
+      .persist().transform(graft.api.Caches.tracked)
+    repRoots.count()
+    // re-point members of touched components; untouched keep labels
+    val updatedOld = l
+      .join(repRoots.withColumnRenamed("rep", "group_id"), Seq("group_id"), "left_outer")
+      .select(col("node_id"),
+        coalesce(col("new_root"), col("group_id")).as("group_id"))
+    // endpoints seen for the first time in this delta (they were their
+    // own rep inside the contracted CC)
+    val firstSeen = delta
+      .select(explode(array(col("a"), col("b"))).as("node_id")).distinct()
+      .join(l.select(col("node_id")), Seq("node_id"), "left_anti")
+      .join(repRoots.withColumnRenamed("rep", "node_id"), Seq("node_id"), "left_outer")
+      .select(col("node_id"),
+        coalesce(col("new_root"), col("node_id")).as("group_id"))
+    updatedOld.unionByName(firstSeen)
+  }
+
   /** Driver-side min-label union-find (iterative find + full path
     * compression — a 10^6-node chain must not blow the stack). Attaching
     * the larger root under the smaller means every component's final

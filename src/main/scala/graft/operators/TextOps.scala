@@ -867,6 +867,40 @@ object TextOps {
   def dedupGroups(spark: SparkSession, sfDir: String): DataFrame =
     dedupGroupsUnsorted(spark, sfDir).orderBy("doc_id")
 
+  /** INCREMENTAL group-label maintenance (r17 verdict item 6) — the
+    * continuous-ingestion counterpart of [[dedupGroups]], completing
+    * what [[dedupIncremental]] starts: that query issues per-batch
+    * VERDICTS against the index but leaves the group LABELS a full
+    * recompute; this one maintains the labels themselves. The arriving
+    * batch (doc_id % 10 = 9, the dedupIncremental convention) lands on
+    * a corpus whose components are already labeled: delta edges (any
+    * pair touching a new doc) contract to their endpoints' current
+    * representatives and merge through
+    * [[GraphOps.incrementalComponents]] — CC runs only over the
+    * touched-component contraction, never the corpus graph.
+    *
+    * The ORACLE states the full recompute over the edge union
+    * (verbatim the dedup_groups SQL): the gate proves delta maintenance
+    * is bit-equal to recomputation on real data. Candidate generation
+    * is per-pair independent (banding is per-doc), so
+    * cand(union) = cand(old,old) ⊎ cand(touching new) exactly. */
+  def dedupGroupsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    def isNew(c: org.apache.spark.sql.Column) = c % 10 === 9
+    val cand = candidatePairsFrom(shingles(spark, sfDir, 3))
+      .persist().transform(graft.api.Caches.tracked)
+    cand.count()
+    val oldPairs = cand.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+    val deltaPairs = cand.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+    val oldLabels = GraphOps.connectedComponents(oldPairs, "doc_a", "doc_b")
+    val merged = GraphOps.incrementalComponents(oldLabels, deltaPairs,
+      "doc_a", "doc_b")
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(merged.withColumnRenamed("node_id", "doc_id")
+        .withColumnRenamed("group_id", "g"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("g"), col("doc_id")).as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical keep-list from [[dedupGroups]]: one representative doc per
     * component (the min-id member) with its component size — the rows a
     * dedup pipeline keeps and the dup count it reports. */
@@ -1968,6 +2002,7 @@ object TextOps {
     "decontaminate"       -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_groups"        -> (dedupGroups _),
+    "dedup_groups_incremental" -> (dedupGroupsIncremental _),
     "dup_cluster_stats"   -> (dupClusterStats _),
     "dedup_canonical"     -> (dedupCanonical _),
     "dedup_survivorship"  -> (dedupSurvivorship _),
@@ -2385,6 +2420,19 @@ object TextOps {
         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
         |WHERE d.doc_id % 10 = 9 ORDER BY d.doc_id""".stripMargin,
     "dedup_groups" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r)
+        |SELECT doc_id, min(r) AS group_id FROM reach
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the FULL recompute over the edge union, verbatim dedup_groups: the
+    // engine maintains the labels incrementally (delta contraction), and
+    // the gate proves the delta path bit-equals recomputation
+    "dedup_groups_incremental" ->
       s"""WITH RECURSIVE $candCtesSql,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
         | UNION ALL SELECT doc_b, doc_a FROM cand),

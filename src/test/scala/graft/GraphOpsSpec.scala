@@ -86,6 +86,36 @@ class GraphOpsSpec extends AnyFunSuite with SparkTest {
     assert(tg.filter(col("group_id") =!= col("mn")).count() == 0)
   }
 
+  test("incremental components bit-equal a full recompute over multi-wave merges") {
+    import spark.implicits._
+    // wave 0 (the standing corpus): three components {0..3}, {10,11},
+    // {20..22}, plus singletons implicit by absence
+    val wave0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+    // wave 1: a new doc 30 BRIDGES {0..3} and {10,11}; 31-32 is a brand
+    // new pair; 22-23 extends an existing component with a new node
+    val wave1 = Seq((3L, 30L), (30L, 10L), (31L, 32L), (22L, 23L))
+    // wave 2: 5 bridges the wave-1-merged giant with {20..23}; a new
+    // doc 4 with a SMALLER id than nothing it touches; 40 pairs into
+    // the wave-1 pair (31,32) — merging a component born incrementally
+    val wave2 = Seq((0L, 5L), (5L, 20L), (4L, 23L), (40L, 31L))
+
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val l0 = GraphOps.connectedComponents(wave0.toDF("a", "b"), "a", "b")
+    val l1 = GraphOps.incrementalComponents(l0, wave1.toDF("a", "b"), "a", "b")
+    assert(labelsOf(l1) == cc(wave0 ++ wave1),
+      "wave-1 incremental labels diverge from the full recompute")
+    val l2 = GraphOps.incrementalComponents(l1, wave2.toDF("a", "b"), "a", "b")
+    assert(labelsOf(l2) == cc(wave0 ++ wave1 ++ wave2),
+      "wave-2 incremental labels diverge from the full recompute")
+    // an empty delta is the identity
+    val l2b = GraphOps.incrementalComponents(l2,
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(labelsOf(l2b) == labelsOf(l2), "empty delta must be a no-op")
+    graft.api.Caches.release(spark)
+  }
+
   test("pagerank: ranks are a probability-like mass within damping bounds") {
     val rows = graft.operators.GraphOps.pagerank(spark, sf).collect()
     assert(rows.length == graft.operators.GraphOps.PagerankTopK)
