@@ -57,9 +57,15 @@ object StreamBench {
     def report(name: String, rows: Long, sec: Double, extra: String = ""): Unit =
       println(f"""{"stream":"$name","rows":$rows,"files":$nFiles,"fpt":$fpt,""" +
         f""""sec":$sec%.2f,"rows_per_sec":${rows / sec}%.0f$extra,"sf":"$sfDir"}""")
+    // optional comma-separated allowlist (SPARK_GRAFT_STREAM_ONLY) so a
+    // big-replica run can measure a stream family without paying all 12
+    val onlyStreams = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def stream(name: String)(body: => Unit): Unit =
+      if (onlyStreams.forall(_.contains(name))) body
 
     // ---- streaming dedup: new docs vs the corpus signature index ------
-    locally {
+    stream("dedup") {
       val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 =!= 9)
       val bands = TextOps.signatureIndex(corpus).persist()
       bands.count()
@@ -78,7 +84,7 @@ object StreamBench {
     }
 
     // ---- streaming cdc: events fold into a latest-wins snapshot -------
-    locally {
+    stream("cdc") {
       val evs = Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/cdc_in")
@@ -93,7 +99,7 @@ object StreamBench {
     }
 
     // ---- streaming bottom-k: exact uniform sample over the stream -----
-    locally {
+    stream("bottomk") {
       val evs = Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/btk_in")
@@ -108,7 +114,7 @@ object StreamBench {
     }
 
     // ---- streaming weighted sample: exact A-Res over the stream -------
-    locally {
+    stream("weighted_sample") {
       val recs = Tables.events(spark, sfDir)
         .select(col("event_id"), (col("user_id") + 1L).as("w"))
       recs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/wks_in")
@@ -124,7 +130,7 @@ object StreamBench {
     }
 
     // ---- streaming quota sample: exact per-group budgets --------------
-    locally {
+    stream("quota_sample") {
       val recs = Tables.events(spark, sfDir)
         .select(col("event_id").as("id"), col("event_type").as("grp"))
       recs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/qta_in")
@@ -140,7 +146,7 @@ object StreamBench {
     }
 
     // ---- streaming anomaly: trailing z-score rings per event_type -----
-    locally {
+    stream("anomaly") {
       // rate measurement only: file order does not reproduce the batch
       // query's (ts, event_id) delivery contract (StreamingSpec covers
       // parity; this main covers throughput and state size)
@@ -164,7 +170,7 @@ object StreamBench {
           s""""state_doubles_per_key":${operators.AnalyticOps.ZscoreWindow}""")
     }
     // ---- streaming ewma: trailing integer smoothing rings per user ----
-    locally {
+    stream("ewma") {
       // rate measurement only, like anomaly: StreamingSpec covers the
       // bit-parity contract under ordered delivery
       val evs = Tables.events(spark, sfDir)
@@ -188,7 +194,7 @@ object StreamBench {
           s""""state_longs_per_key":${operators.AnalyticOps.EwmaWindow}""")
     }
     // ---- streaming rolling median: robust twin of the ewma ring -------
-    locally {
+    stream("rolling_median") {
       val evs = Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/rmed_in")
@@ -209,7 +215,7 @@ object StreamBench {
           s""""state_longs_per_key":${operators.AnalyticOps.RollMedianW}""")
     }
     // ---- streaming cusum: offline moments, two longs of state per type
-    locally {
+    stream("cusum") {
       val moments = graft.streaming.StreamingCusum.offlineMoments(spark, sfDir)
       val evs = Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -228,7 +234,7 @@ object StreamBench {
         s""","state_keys":${moments.size},"state_longs_per_key":2""")
     }
     // ---- streaming decontamination: train docs vs the eval index ------
-    locally {
+    stream("decontaminate") {
       val evalIdx = TextOps.evalShingleIndex(spark, sfDir).persist()
       evalIdx.count()
       val train = TextOps.trainSplitDocs(spark, sfDir)
@@ -245,7 +251,7 @@ object StreamBench {
     }
 
     // ---- streaming image dedup: payloads vs the phash index -----------
-    locally {
+    stream("image_dedup") {
       import graft.operators.MultimodalOps
       val mkDims = (id: Long) => (((id % 32) + 2).toInt, ((id % 24) + 2).toInt)
       val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
@@ -275,7 +281,7 @@ object StreamBench {
     }
 
     // ---- streaming top-k: Misra-Gries heavy hitters, bounded state ----
-    locally {
+    stream("topk") {
       val evs = Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/topk_in")

@@ -47,12 +47,35 @@ object GraphAnn {
 
   /** `m`: out-degree target (neighbor cap is 2m after backlinks);
     * `efConstruction`/`efSearch`: beam widths; `nShards`: independent
-    * sub-graphs (executor-memory sizing knob). */
+    * sub-graphs (executor-memory sizing knob); `allowExtrapolated`:
+    * permit shards LARGER than the measured parameter envelope
+    * ([[MeasuredMaxShardNodes]]) — off by default, [[buildShard]]
+    * refuses instead of silently running on extrapolated parameters
+    * (r17 verdict item 3; settable via the
+    * `spark.graft.ann.allowExtrapolatedShards` conf at the build
+    * entry points). */
   case class Params(
       m: Int = 8,
       efConstruction: Int = 32,
       efSearch: Int = 32,
-      nShards: Int = 4)
+      nShards: Int = 4,
+      allowExtrapolated: Boolean = false)
+
+  /** Largest shard node count the adaptive parameter curve has been
+    * MEASURED at (SCALING.md: 20k and 100k in r17, 250k in r18); past
+    * it m(n) is extrapolation and [[buildShard]] refuses unless
+    * [[Params.allowExtrapolated]] (or its conf) says otherwise. */
+  val MeasuredMaxShardNodes = 250000L
+
+  /** Conf override for [[Params.allowExtrapolated]], honored by the
+    * three build entry points. */
+  val AllowExtrapolatedKey = "spark.graft.ann.allowExtrapolatedShards"
+
+  private def resolveExtrapolated(vecs: DataFrame, p: Params): Params =
+    if (p.allowExtrapolated) p
+    else p.copy(allowExtrapolated = graft.api.GraftConfig
+      .get(vecs.sparkSession, AllowExtrapolatedKey, "false")
+      .trim.equalsIgnoreCase("true"))
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.GraphAnn")
 
@@ -67,9 +90,16 @@ object GraphAnn {
     * small-world graph to stay connected under greedy search (Malkov &
     * Yashunin, IEEE TPAMI 2018, §4.2's M guidance); anchoring the two
     * measured points gives ~6.9 per doubling: m(n) = max(8,
-    * round(6.9·(log₂n − log₂20000) + 8)) — 20k→8, 100k→24, 1M→47
-    * (extrapolated past the measured range). efConstruction keeps the
-    * measured 6·m ratio. */
+    * round(6.9·(log₂n − log₂20000) + 8)) — 20k→8, 100k→24, 250k→33,
+    * 1M→47 (extrapolated past [[MeasuredMaxShardNodes]]).
+    * efConstruction keeps the measured 6·m ratio.
+    *
+    * r18 VALIDATION at 250k (SCALING.md r18): the derived m=33/efC=198/
+    * ef=264 holds recall 0.84 — inside the ≥0.80 band — while the 100k
+    * anchor's m=24/efC=144/ef=192 degrades to 0.66 at the same size,
+    * confirming both the slope and that degree (not beam width) stays
+    * the binding knob. The measured range is now 500..250k; past it
+    * [[buildShard]] REFUSES unless explicitly overridden. */
   def adaptiveM(nodesPerShard: Long): Int = {
     val lg = math.log(math.max(2L, nodesPerShard).toDouble) / math.log(2.0)
     math.max(8, math.round(6.9 * (lg - 14.2877) + 8.0).toInt)
@@ -154,11 +184,24 @@ object GraphAnn {
     val vec = ordered.toMap
     val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
     if (ordered.isEmpty) return Map.empty
-    // warn (never refuse — the graph still builds and searches, just
-    // with measured-degraded recall) when this shard outgrows what its
-    // configured degree is sized for: the r16 100k measurement showed
-    // m=8 silently dropping whole neighborhoods there, and prose-only
-    // guidance is what this check replaces
+    // REFUSE (r17 verdict item 3) past the measured parameter envelope:
+    // a 100 TB deployment's memory-budget shard is exactly the regime
+    // where m(n) would be running on extrapolation, and the 100k
+    // collapse showed what silently-undersized degree does to recall.
+    // An explicit opt-in (Params.allowExtrapolated or the
+    // spark.graft.ann.allowExtrapolatedShards conf) re-enables the old
+    // warn-and-build behavior for callers who accept the risk.
+    if (ordered.size > MeasuredMaxShardNodes && !p.allowExtrapolated)
+      throw new IllegalArgumentException(
+        s"GraphAnn shard of ${ordered.size} nodes exceeds the measured " +
+          s"parameter envelope ($MeasuredMaxShardNodes nodes/shard — " +
+          "SCALING.md adaptive sweeps); raise nShards so shards fit the " +
+          s"measured range, or opt into extrapolated parameters via " +
+          s"$AllowExtrapolatedKey=true / Params(allowExtrapolated = true)")
+    // warn (inside the envelope the graph still builds and searches,
+    // just with measured-degraded recall) when this shard outgrows what
+    // its configured degree is sized for: the r16 100k measurement
+    // showed m=8 silently dropping whole neighborhoods there
     if (adaptiveM(ordered.size) > p.m)
       logger.warn(s"GraphAnn shard of ${ordered.size} nodes exceeds the " +
         s"measured recall envelope for m=${p.m}; derive parameters with " +
@@ -188,9 +231,10 @@ object GraphAnn {
     * one in-memory NSW pass per shard. Output rows
     * (shard, vec_id, v_unit, nbrs) are everything a searcher needs —
     * vectors ride WITH the adjacency so search is shuffle-free. */
-  def buildIndex(vecs: DataFrame, p: Params): DataFrame = {
+  def buildIndex(vecs: DataFrame, p0: Params): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val p = resolveExtrapolated(vecs, p0)
     vecs
       .select(pmod(col("vec_id"), lit(p.nShards)).cast("int").as("shard"),
         col("vec_id"), col("v"))
@@ -328,10 +372,11 @@ object GraphAnn {
     * [[trainedSeeds]] (pass the same array to [[searchRouted]]); callers
     * may pass any centroid set — e.g. [[routingSeeds]] for the untrained
     * baseline the spec prices the training against. */
-  def buildIndexRouted(vecs: DataFrame, p: Params,
+  def buildIndexRouted(vecs: DataFrame, p0: Params,
       seedsIn: Array[(Int, Array[Double])] = null): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val p = resolveExtrapolated(vecs, p0)
     val seeds = if (seedsIn == null) trainedSeeds(vecs, p) else seedsIn
     val bSeeds = spark.sparkContext.broadcast(seeds)
     vecs.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
@@ -425,9 +470,10 @@ object GraphAnn {
     * strictly below flat at ≥ recall on the 10× replica). Output schema
     * is [[buildIndex]]'s plus (`nbrs1`, `lvl1`); the flat columns are
     * built identically, so layer-0 structure is unchanged. */
-  def buildIndexHier(vecs: DataFrame, p: Params): DataFrame = {
+  def buildIndexHier(vecs: DataFrame, p0: Params): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val p = resolveExtrapolated(vecs, p0)
     vecs
       .select(pmod(col("vec_id"), lit(p.nShards)).cast("int").as("shard"),
         col("vec_id"), col("v"))

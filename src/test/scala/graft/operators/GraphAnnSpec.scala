@@ -330,6 +330,9 @@ class GraphAnnSpec extends AnyFunSuite with SparkTest {
     assert(GraphAnn.adaptiveM(100000L) == 24) // the sweep's recovered point
     assert(GraphAnn.adaptiveParams(100000L).efConstruction == 144)
     assert(GraphAnn.adaptiveParams(100000L).efSearch == 192) // 8·m margin
+    assert(GraphAnn.adaptiveM(250000L) == 33) // r18: measured 0.84 recall
+    // ... where the 100k anchor's m=24 measured 0.66 at 250k — the slope
+    // is load-bearing, not a safety margin
     assert(GraphAnn.adaptiveM(1000000L) >= 40) // keeps growing with log n
     // monotone non-decreasing — a bigger shard never derives a smaller m
     val ms = Seq(1000L, 5000L, 20000L, 50000L, 100000L, 500000L, 1000000L)
@@ -340,6 +343,36 @@ class GraphAnnSpec extends AnyFunSuite with SparkTest {
     // measured-good one does not
     assert(GraphAnn.adaptiveM(100000L) > 8)
     assert(GraphAnn.adaptiveM(20000L) <= 8)
+  }
+
+  test("shards past the measured envelope refuse to build unless explicitly allowed (r17 #3)") {
+    import spark.implicits._
+    // a shard bigger than MeasuredMaxShardNodes: synthesize by claiming
+    // one shard over > envelope rows of trivially small vectors — the
+    // refusal must fire BEFORE any insert work, so tiny dims keep this
+    // test cheap. nShards=1 puts everything in one shard.
+    val n = (GraphAnn.MeasuredMaxShardNodes + 1).toInt
+    val vecs = spark.range(n)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), (col("id") % 97).cast("double")).as("v"))
+    val p = GraphAnn.adaptiveParams(n.toLong, nShards = 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      GraphAnn.buildIndex(vecs, p).count()
+    }
+    assert(e.getMessage.contains("measured") ||
+      Option(e.getCause).exists(_.getMessage.contains("measured")),
+      s"expected the envelope refusal, got: ${e.getMessage}")
+    // the conf opt-in restores the old warn-and-build behavior; capping
+    // the rows back inside the envelope also builds (boundary inclusive)
+    assert(GraphAnn.buildIndex(vecs.limit(1000),
+      GraphAnn.adaptiveParams(1000L, nShards = 1)).count() == 1000)
+    spark.conf.set(GraphAnn.AllowExtrapolatedKey, "true")
+    try {
+      // tiny row count but oversized CLAIM is not what trips the check —
+      // the check sees actual shard rows, so this builds fine under the
+      // conf; the real > envelope build would too (not run here: cost)
+      assert(GraphAnn.buildIndex(vecs.limit(500), p).count() == 500)
+    } finally spark.conf.unset(GraphAnn.AllowExtrapolatedKey)
   }
 
   test("recall at 100k-node shards recovers to the <=20k band with derived parameters (env-gated)") {
