@@ -564,48 +564,69 @@ object CorpusOps {
     * per-doc sum is exact and shuffle-order-independent — the same ln
     * round-6 discipline as tfidf_embedding/perplexity_score.
     *
-    * Scale shape: ONE persisted token explode feeds the df aggregate,
-    * the doc-length aggregate, and the query-term tf — three shuffles
-    * over (token)- or (doc)-keyed partials, never a re-scan. The query
-    * terms and the two one-row stat frames broadcast; term selection is
-    * a TakeOrderedAndProject (per-partition heaps), not a global sort;
-    * the final top-k likewise. */
+    * Scale shape (r18): ONE persisted (doc, token, tf) base — the token
+    * explode pre-reduced by a single wide hash aggregate — feeds
+    * EVERYTHING: df is a map-combined count over the base, doc length a
+    * map-combined sum, the query-term tf a broadcast semi-join
+    * projection. One corpus-sized shuffle total where the r17 plan paid
+    * three-plus (df's count_distinct alone was two exchange phases over
+    * the raw stream). The query terms and the two one-row stat frames
+    * broadcast; term selection is a TakeOrderedAndProject
+    * (per-partition heaps), not a global sort; the final top-k
+    * likewise. */
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
-    bm25From(spark, sfDir, tokBase(spark, sfDir))
+    bm25From(spark, sfDir, tfBase(spark, sfDir))
 
-  /** The one persisted token-explode base the retrieval family shares
+  /** The one persisted TERM-FREQUENCY base the retrieval family shares
     * ([[bm25Topk]], [[tfidfCosineTopk]], [[rrfFusion]] (which feeds BOTH
     * rankers from a single base — the one-base-per-query rule), and
-    * [[retrievalTau]]).
+    * [[retrievalTau]]): (doc_id, token, tf) — the token explode reduced
+    * by ONE hash aggregate.
     *
-    * Session-kernel eligible (r17 verdict item 1): the explode is a pure
-    * function of (corpus, normalization), so with
+    * The r18 sf10 measurement showed the retrieval stack is
+    * AGGREGATE-bound, not explode-bound: its three statistics each
+    * re-shuffled the raw token stream (df was a count_distinct — two
+    * exchange phases — dl a per-doc count, tf its own aggregate). All
+    * three are derivable from tf with map-side-combined aggregates over
+    * the PRE-REDUCED table: df = count per token (distinct is free — tf
+    * rows are unique per (doc, token)), dl = sum(tf) per doc, and the
+    * query-term tf is a broadcast semi-join. One wide shuffle over the
+    * token stream total, instead of three-plus. Values are identical
+    * integers, so every double chain downstream is untouched — the
+    * DuckDB oracles don't change.
+    *
+    * Session-kernel eligible (r17 verdict item 1): tf is a pure function
+    * of (corpus, normalization), and — unlike the raw token stream — is
+    * bounded by distinct (doc, token) pairs, which is the artifact worth
+    * materializing in a 100 TB lake. With
     * `spark.graft.kernel.sessionCache=true` the four retrieval queries
-    * share ONE materialized token table instead of each re-exploding the
-    * corpus — at the 100× replica that is ~40 s of identical work per
-    * query. Parquet round-trips (long doc_id, string token) exactly, so
-    * cached and rebuilt bases are bit-identical; flag off (the oracle
-    * default) is a pass-through of the original plan. The per-query
-    * persist/release lifecycle is unchanged — only the BUILD is shared. */
-  private def tokBase(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = graft.api.KernelCache.getOrBuild(spark, s"toks:$sfDir",
+    * share ONE build; parquet round-trips (long, string, long) exactly,
+    * so cached and rebuilt bases are bit-identical; flag off (the oracle
+    * default) keeps the per-query self-contained plan. */
+  private def tfBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = graft.api.KernelCache.getOrBuild(spark, s"tf:$sfDir",
         TextOps.normed(spark, sfDir)
-          .select(col("doc_id"), explode(split(col("norm"), " ")).as("token")))
+          .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf")))
       .persist().transform(graft.api.Caches.tracked)
-    toks.count()
-    toks
+    tf.count()
+    tf
   }
 
-  private def bm25From(spark: SparkSession, sfDir: String, toks: DataFrame): DataFrame = {
-    val dfv = toks.groupBy(col("token"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+  private def bm25From(spark: SparkSession, sfDir: String, tfb: DataFrame): DataFrame = {
+    // every statistic derives from the pre-reduced tf base: df is a
+    // plain count (tf rows are unique per (doc, token)), dl a sum of
+    // exact integer tfs — value-identical to the raw-stream aggregates
+    val dfv = tfb.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     val terms = dfv.orderBy(col("df").desc, col("token"))
       .offset(Bm25TermOffset).limit(Bm25Terms)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = tfb.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val dlStats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("ndl"))
-    val tfq = toks.join(broadcast(terms.select(col("token"))), Seq("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tfq = tfb.join(broadcast(terms.select(col("token"))), Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"))
     val avgdl = col("sumdl").cast("double") / col("ndl").cast("double")
     val idf = log((col("n").cast("double") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5) + 1.0)
@@ -649,11 +670,12 @@ object CorpusOps {
     * 5-term query and the two 1-row norms broadcast; both top-k cuts
     * are TakeOrderedAndProject. */
   def tfidfCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
-    denseFrom(spark, sfDir, tokBase(spark, sfDir))
+    denseFrom(spark, sfDir, tfBase(spark, sfDir))
 
-  private def denseFrom(spark: SparkSession, sfDir: String, toks: DataFrame): DataFrame = {
-    val dfv = toks.groupBy(col("token"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+  private def denseFrom(spark: SparkSession, sfDir: String, tfb: DataFrame): DataFrame = {
+    // df from the pre-reduced base (bm25From's derivation note applies)
+    val dfv = tfb.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val idf = dfv.crossJoin(broadcast(nDocs))
       .select(col("token"),
@@ -661,8 +683,7 @@ object CorpusOps {
           .as("idf"))
     val terms = dfv.orderBy(col("df").desc, col("token"))
       .offset(Bm25TermOffset).limit(Bm25Terms)
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val w = tf.join(idf, Seq("token"))
+    val w = tfb.join(idf, Seq("token"))
       .select(col("doc_id"), col("token"),
         (col("tf").cast("double") * col("idf")).as("w"))
     val n2d = w.select(col("doc_id"),
@@ -713,7 +734,7 @@ object CorpusOps {
     * rounded double divisions over exact integer denominators, summed
     * and round-6, doc_id tie-broken. */
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokBase(spark, sfDir)
+    val toks = tfBase(spark, sfDir)
     val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
     val wb = Window.orderBy(col("cos").desc, col("doc_id"))
     val a = bm25From(spark, sfDir, toks)
@@ -757,7 +778,7 @@ object CorpusOps {
     * discipline); everything after the two top-k cuts operates on
     * ≤ k² pair rows — metadata at any corpus size. */
   def retrievalTau(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokBase(spark, sfDir)
+    val toks = tfBase(spark, sfDir)
     val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
     val wb = Window.orderBy(col("cos").desc, col("doc_id"))
     val a = bm25From(spark, sfDir, toks)
