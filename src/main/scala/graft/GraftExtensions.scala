@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MsgPackToJson}
+import graft.functions.{DotProduct, JaroWinkler, MsgPackToJson}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions for SQL use. Install with
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"msgpack_to_json expects exactly 1 argument, got ${children.size}")
         MsgPackToJson(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"jaro_winkler expects exactly 2 arguments, got ${children.size}")
+        JaroWinkler(children(0), children(1))
       }))
     // Flag-gated automatic skew salting (see graft.plans.AutoSalt): off
     // until spark.graft.autoSalt.enabled=true AND a key is registered, so

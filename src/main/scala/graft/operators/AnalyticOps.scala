@@ -1207,8 +1207,104 @@ object AnalyticOps {
       .orderBy("event_type", "rank")
   }
 
+  // --------------------------------------------------- robust trend / survival
+  /** Theil–Sen trend of the daily event volume: the MEDIAN of all
+    * pairwise slopes between daily counts (Theil 1950 / Sen 1968) — the
+    * robust answer to "is traffic growing?" that a single outage day or
+    * crawl burst cannot drag the way it drags OLS (29% breakdown point
+    * vs 0%). Reports the OLS slope beside it: divergence between the
+    * two IS the outlier signal.
+    *
+    * Scale shape: the pair explosion is over the DAILY spine — bounded
+    * by the square of the calendar window (the burst_hours class),
+    * never by event count; 100 TB of events still reduce to one
+    * map-combined (day, count) aggregate before any pairing. The
+    * median picks rows by row_number over slope VALUE order, so slope
+    * ties are value-deterministic; both middles average for even pair
+    * counts (exact-rational slopes from integer deltas, round-6 at the
+    * end). */
+  def theilSenTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+      .persist().transform(graft.api.Caches.tracked)
+    daily.count()
+    val slopes = daily.as("a")
+      .join(broadcast(daily.as("b")), col("b.d") > col("a.d"))
+      .select(((col("b.cnt") - col("a.cnt")).cast("double") /
+        (col("b.d") - col("a.d")).cast("double")).as("slope"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.orderBy(col("slope"))).cast("long"))
+    val np = slopes.agg(count(lit(1)).as("np"))
+    val med = ranked.crossJoin(broadcast(np))
+      .filter(col("rn") === expr("(np + 1) div 2") || col("rn") === expr("np div 2 + 1"))
+      .agg(round(avg(col("slope")), 6).as("ts_slope"))
+    // OLS over the same exact-integer daily series (the zipf_slope chain)
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("d")).as("sx"),
+      sum(col("cnt")).as("sy"), sum(col("d") * col("cnt")).as("sxy"),
+      sum(col("d") * col("d")).as("sxx"))
+    val nd = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val ols = stats.filter(col("n") >= 2)
+      .select(col("n").as("n_days"),
+        round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6).as("ols_slope"))
+    ols.crossJoin(broadcast(np.select(col("np").as("n_pairs"))))
+      .crossJoin(broadcast(med))
+      .select(col("n_days"), col("n_pairs"), col("ts_slope"), col("ols_slope"))
+  }
+
+  /** Kaplan–Meier survival curve of user LIFETIME (hours between a
+    * user's first and last event, all spells complete): for each
+    * distinct lifetime t, the at-risk count n(t) = users with lifetime
+    * ≥ t, the event count d(t), and the product-limit estimate
+    * S(t) = Π_{t'≤t} (n−d)/n — the retention curve read off raw event
+    * logs (Kaplan & Meier 1958).
+    *
+    * Determinism: the product runs in log space with each factor's ln
+    * rounded to 6 dp and cast DECIMAL(18,6) BEFORE the cumulative
+    * window sum — decimal addition is exact and associative, so the
+    * running sum is engine- and order-independent (the bigram_entropy
+    * discipline); the final S(t) is one exp + round-6. The terminal
+    * point (n = d: everyone at risk exits) would be ln 0, so it carries
+    * a NULL term and a cumulative zero-flag pins S = 0 from there on —
+    * the estimator's own convention.
+    *
+    * Scale shape: one user-keyed map-combined aggregate reduces the
+    * event log to lifetimes; the HOUR bucketing makes the curve's spine
+    * value-domain-bounded (≤ hours in the observation window — the
+    * burst_hours calendar-spine class), so the single-partition
+    * cumulative window is bounded no matter the user count. */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val durs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(expr("(max(us) - min(us)) div 3600000000").as("dur_h"))
+    val dd = durs.groupBy(col("dur_h")).agg(count(lit(1)).as("d"))
+    val nu = durs.agg(count(lit(1)).as("nu"))
+    val prevW = Window.orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumW = Window.orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dd.crossJoin(broadcast(nu))
+      .withColumn("n", col("nu") - coalesce(sum(col("d")).over(prevW), lit(0L)))
+      .withColumn("term", when(col("d") === col("n"), lit(null))
+        .otherwise(round(log((col("n") - col("d")).cast("double") /
+          col("n").cast("double")), 6).cast(DecimalType(18, 6))))
+      .withColumn("zero",
+        max(when(col("d") === col("n"), 1).otherwise(0)).over(cumW))
+      .withColumn("survival", when(col("zero") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("term")).over(cumW).cast("double")), 6)))
+      .select(col("dur_h"), col("n").as("n_at_risk"), col("d").as("n_events"),
+        col("survival"))
+      .orderBy("dur_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "burst_hours_seasonal" -> (burstHoursSeasonal _),
+    "theil_sen_trend"  -> (theilSenTrend _),
+    "survival_curve"   -> (survivalCurve _),
     "rolling_median"   -> (rollingMedian _),
     "dow_hour_profile" -> (dowHourProfile _),
     "pivot_counts"     -> (pivotCounts _),
@@ -1253,6 +1349,59 @@ object AnalyticOps {
     "gaps_islands"     -> (gapsIslands _))
 
   val oracles: Map[String, String] = Map(
+    // pairwise slopes over the daily spine; median via row_number on
+    // slope VALUE order (value-deterministic under ties), OLS beside it
+    "theil_sen_trend" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |pairs AS (
+        | SELECT (CAST(b.cnt AS DOUBLE) - CAST(a.cnt AS DOUBLE)) /
+        |        (CAST(b.d AS DOUBLE) - CAST(a.d AS DOUBLE)) AS slope
+        | FROM daily a JOIN daily b ON b.d > a.d),
+        |r AS (SELECT slope,
+        |  CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rn FROM pairs),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+        |med AS (SELECT round(avg(slope), 6) AS ts_slope FROM r, np
+        | WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sx,
+        |  CAST(sum(cnt) AS BIGINT) AS sy, CAST(sum(d * cnt) AS BIGINT) AS sxy,
+        |  CAST(sum(d * d) AS BIGINT) AS sxx FROM daily)
+        |SELECT s.n AS n_days, np.np AS n_pairs, med.ts_slope,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS ols_slope
+        |FROM s, np, med WHERE s.n >= 2""".stripMargin,
+    // product-limit in log space: round-6 DECIMAL terms before the
+    // cumulative sum (exact, order-independent), terminal n=d row pins
+    // S=0 via the cumulative zero flag
+    "survival_curve" ->
+      """WITH ue AS (
+        | SELECT user_id,
+        |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS dur_h
+        | FROM events GROUP BY user_id),
+        |dd AS (SELECT dur_h, CAST(count(*) AS BIGINT) AS d FROM ue GROUP BY dur_h),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM ue),
+        |base AS (SELECT dur_h, d,
+        |  nu - coalesce(CAST(sum(d) OVER (ORDER BY dur_h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n
+        | FROM dd, nu),
+        |t AS (SELECT dur_h, d, n,
+        |  CASE WHEN d = n THEN NULL
+        |   ELSE CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) END AS term
+        | FROM base),
+        |sel AS (SELECT dur_h, d, n,
+        |  max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER cum AS zero,
+        |  sum(term) OVER cum AS st
+        | FROM t WINDOW cum AS (ORDER BY dur_h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT dur_h, n AS n_at_risk, d AS n_events,
+        | CASE WHEN zero = 1 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE round(exp(CAST(st AS DOUBLE)), 6) END AS survival
+        |FROM sel ORDER BY dur_h""".stripMargin,
     "burst_hours_seasonal" ->
       s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c

@@ -800,6 +800,52 @@ object CorpusOps {
         "n_pairs - concordant AS discordant", TauExpr)
   }
 
+  /** Docs treated as pseudo-relevant by [[prfExpansion]] (the BM25
+    * top-10, standard PRF depth). */
+  private[operators] val PrfRelDocs = 10
+  /** Expansion terms returned by [[prfExpansion]]. */
+  private[operators] val PrfTerms = 20
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    * positive-feedback term): take the BM25 top-[[PrfRelDocs]] docs as
+    * pseudo-relevant, score every token they contain — EXCLUDING the
+    * original query terms — by its summed tf·idf mass across that set,
+    * and return the top-[[PrfTerms]] expansion terms. The classic
+    * second-pass retrieval move (and, in a training-data pipeline, the
+    * topic-probe that tells you what a seed query's neighborhood is
+    * actually about before mining it).
+    *
+    * Everything derives from the shared [[tfBase]] kernel: the
+    * relevant-doc list is [[bm25Topk]]'s head (10-row broadcast), idf is
+    * [[tfidfCosineTopk]]'s smoothed chain from the same df aggregate,
+    * and each tf·idf contribution is round-6 DECIMAL(18,6) before the
+    * per-token sum (order-exact). Scale shape: the candidate token set
+    * is bounded by 10 docs' vocabulary — the big side of its idf join is
+    * token-keyed, never a vocabulary broadcast; both cuts are
+    * TakeOrderedAndProject. */
+  def prfExpansion(spark: SparkSession, sfDir: String): DataFrame = {
+    val tfb = tfBase(spark, sfDir)
+    val dfv = tfb.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val terms = dfv.orderBy(col("df").desc, col("token"))
+      .offset(Bm25TermOffset).limit(Bm25Terms)
+    val rel = bm25From(spark, sfDir, tfb).limit(PrfRelDocs).select(col("doc_id"))
+    val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val idf = dfv.crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0)
+          .as("idf"))
+    val candTok = tfb.join(broadcast(rel), Seq("doc_id"))
+      .join(broadcast(terms.select(col("token"))), Seq("token"), "left_anti")
+    candTok.join(idf, Seq("token"))
+      .select(col("token"),
+        round(col("tf").cast("double") * col("idf"), 6)
+          .cast(DecimalType(18, 6)).as("wc"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_rel_docs"), sum(col("wc")).cast("double").as("rocchio"))
+      .orderBy(col("rocchio").desc, col("token"))
+      .limit(PrfTerms)
+  }
+
   // ------------------------------------------------- unigram LM perplexity
   /** Unigram language-model quality score (the CCNet/KenLM-filter proxy):
     * train token probabilities on the corpus itself (cnt / N), score
@@ -1385,6 +1431,7 @@ object CorpusOps {
     "tfidf_cosine_topk"   -> (tfidfCosineTopk _),
     "rrf_fusion"          -> (rrfFusion _),
     "retrieval_tau"       -> (retrievalTau _),
+    "prf_expansion"       -> (prfExpansion _),
     "lang_source_pmi"     -> (langSourcePmi _))
 
   /** Shared oracle CTE stack for the RETRIEVAL family, ending at
@@ -1500,6 +1547,22 @@ object CorpusOps {
       s"""WITH $retrievalCtesSql
         |SELECT doc_id, bm25 FROM bm25s
         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    // bm25 head as the pseudo-relevant set; tf·idf mass per non-query
+    // token with round-6 DECIMAL contributions (the retrieval stack's
+    // shared CTEs: bm25s, tff, idf, terms)
+    "prf_expansion" ->
+      s"""WITH $retrievalCtesSql,
+        |rel AS (SELECT doc_id FROM bm25s
+        | ORDER BY bm25 DESC, doc_id LIMIT $PrfRelDocs),
+        |candt AS (SELECT tff.token, tff.tf
+        | FROM tff JOIN rel USING (doc_id)
+        | WHERE tff.token NOT IN (SELECT token FROM terms)),
+        |sc AS (SELECT c.token, CAST(count(*) AS BIGINT) AS n_rel_docs,
+        |  CAST(sum(CAST(round(CAST(c.tf AS DOUBLE) * idf.idf, 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS rocchio
+        | FROM candt c JOIN idf USING (token) GROUP BY c.token)
+        |SELECT token, n_rel_docs, rocchio FROM sc
+        |ORDER BY rocchio DESC, token LIMIT $PrfTerms""".stripMargin,
     "tfidf_cosine_topk" ->
       s"""WITH $retrievalCtesSql
         |SELECT doc_id, cos FROM dcos

@@ -1178,7 +1178,42 @@ object RelationalOps {
       .orderBy("s_name", "s_suppkey")
   }
 
+  /** Benford first-digit audit over the two money columns — the classic
+    * fabricated-data screen (Benford 1938; Nigrini's forensic MAD):
+    * per (column, leading digit), the observed share of values against
+    * Benford's log₁₀(1 + 1/d) expectation and the absolute deviation.
+    * A synthetic or truncated feed shows a flat digit profile; organic
+    * multiplicative quantities (price × quantity) track the law.
+    *
+    * Determinism: 2-dp prices become exact integer CENTS
+    * (round(x·100) — the money discipline), whose leading digit is the
+    * first character of the integer's decimal rendering (pure integer →
+    * string, no float formatting anywhere); expected shares are one
+    * identical ln chain over exact small integers; deviations subtract
+    * the two round-6 values. Scale: two map-side-combined digit
+    * aggregates (9-row key space each) — a pure scan-side pass, output
+    * 18 rows regardless of SF. */
+  def benfordMad(spark: SparkSession, sfDir: String): DataFrame = {
+    def digits(tbl: DataFrame, colName: String, label: String): DataFrame =
+      tbl.select(substring(round(col(colName) * 100, 0).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("col_name", lit(label))
+    val byCol = digits(Tables.lineitem(spark, sfDir), "l_extendedprice", "l_extendedprice")
+      .unionAll(digits(Tables.orders(spark, sfDir), "o_totalprice", "o_totalprice"))
+    val tot = byCol.groupBy(col("col_name")).agg(sum(col("n")).as("tot"))
+    val obs = round(col("n").cast("double") / col("tot").cast("double"), 6)
+    val exps = round(
+      log((col("digit") + 1).cast("double") / col("digit").cast("double")) / log(lit(10.0)), 6)
+    byCol.join(broadcast(tot), Seq("col_name"))
+      .select(col("col_name"), col("digit"), col("n"),
+        obs.as("obs_share"), exps.as("exp_share"),
+        round(abs(obs - exps), 6).as("abs_dev"))
+      .orderBy("col_name", "digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_mad"      -> (benfordMad _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_supplier_count" -> (q16SupplierCount _),
@@ -1259,6 +1294,32 @@ object RelationalOps {
       | FROM ids GROUP BY user_id, session_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact integer cents -> decimal rendering -> first char; the ln
+    // chain over (d+1)/d exact ints is identical in both engines
+    "benford_mad" ->
+      """WITH src AS (
+        | SELECT 'l_extendedprice' AS col_name,
+        |  CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'o_totalprice',
+        |  CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS INTEGER)
+        | FROM orders),
+        |cnt AS (SELECT col_name, digit, CAST(count(*) AS BIGINT) AS n
+        | FROM src GROUP BY col_name, digit),
+        |tot AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS tot
+        | FROM cnt GROUP BY col_name)
+        |SELECT c.col_name, c.digit, c.n,
+        | round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS obs_share,
+        | round(ln(CAST(c.digit + 1 AS DOUBLE) / CAST(c.digit AS DOUBLE))
+        |   / ln(10.0), 6) AS exp_share,
+        | round(abs(round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+        |  - round(ln(CAST(c.digit + 1 AS DOUBLE) / CAST(c.digit AS DOUBLE))
+        |     / ln(10.0), 6)), 6) AS abs_dev
+        |FROM cnt c JOIN tot t USING (col_name)
+        |ORDER BY col_name, digit""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH slice AS (SELECT p_partkey FROM part
         | WHERE p_size = 5 AND p_type = 'STANDARD'),

@@ -290,6 +290,49 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Adamic–Adar link prediction over the kNN graph
+    * ([[knnGraph]]'s edges, undirected): for every non-adjacent vector
+    * pair at distance 2, score = Σ_w 1/ln(deg w) over their common
+    * neighbors (Adamic & Adar 2003) — rare shared neighbors count more
+    * than hubs. On an embedding kNN graph the top predictions are the
+    * "missing edges" a denser index would add: the candidate pairs a
+    * graph-ANN refinement pass (or a semantic-dedup second sweep)
+    * checks first.
+    *
+    * Determinism: degrees are exact integers; each 1/ln(deg) term is
+    * round-6 DECIMAL(18,6) before the per-pair sum (order-exact); ties
+    * rank by (vec_a, vec_b). Common neighbors have degree ≥ 2 by
+    * construction, so ln is never 0. Scale shape: the wedge join is
+    * Σ_w deg(w)² — deg capped at ~2k by the kNN construction itself, so
+    * the fan-out is k²·|V|, linear in vectors; the anti-join removes
+    * existing edges; top-20 is a TakeOrderedAndProject. */
+  def adamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = knnEdges(spark, sfDir)
+      .select(least(col("vec_id"), col("nbr")).as("a"),
+        greatest(col("vec_id"), col("nbr")).as("b"))
+      .distinct()
+      .persist().transform(graft.api.Caches.tracked)
+    edges.count()
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val wedge = sym.as("s1")
+      .join(sym.as("s2"), col("s1.y") === col("s2.x") && col("s1.x") < col("s2.y"))
+      .select(col("s1.x").as("va"), col("s2.y").as("vb"), col("s1.y").as("w"))
+    val nonedge = wedge.join(edges,
+      col("va") === col("a") && col("vb") === col("b"), "left_anti")
+    nonedge.join(deg.withColumnRenamed("x", "wd"), col("w") === col("wd"))
+      .select(col("va"), col("vb"),
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("t"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_common"), sum(col("t")).cast("double").as("aa_score"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        col("n_common"), col("aa_score"))
+      .orderBy(col("aa_score").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   /** ANN index-quality evaluation: recall@5 of [[annLsh]] against the
     * exact brute-force top-5 for the probe — the metric an embedding
     * pipeline reports before trusting an approximate index. One row
@@ -1684,6 +1727,7 @@ object SimilarityOps {
     "embed_dedup_groups" -> (embedDedupGroups _),
     "knn_graph"          -> (knnGraph _),
     "knn_hubness"        -> (knnHubness _),
+    "adamic_adar"        -> (adamicAdar _),
     "embed_quantize"     -> (embedQuantize _),
     "jl_project"         -> (jlProject _),
     "jl_recall"          -> (jlRecall _),
@@ -1877,6 +1921,32 @@ object SimilarityOps {
         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
         | FROM sym) t
         |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+    // the knn_graph edge stack made undirected; wedges minus existing
+    // edges; round-6 DECIMAL 1/ln(deg) terms before the pair sum
+    "adamic_adar" ->
+      s"""WITH $neardupCtesSql,
+        |symk AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos FROM pairs
+        | UNION ALL SELECT vec_b, vec_a, cos FROM pairs),
+        |knn AS (SELECT vec_id, nbr FROM (
+        | SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cos DESC, nbr) AS rank FROM symk) t
+        | WHERE rank <= $KnnK),
+        |und AS (SELECT DISTINCT least(vec_id, nbr) AS a,
+        |  greatest(vec_id, nbr) AS b FROM knn),
+        |sym AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY x),
+        |wedge AS (SELECT s1.x AS va, s2.y AS vb, s1.y AS w
+        | FROM sym s1 JOIN sym s2 ON s1.y = s2.x AND s1.x < s2.y),
+        |nonedge AS (SELECT va, vb, w FROM wedge
+        | WHERE NOT EXISTS (SELECT 1 FROM und e
+        |  WHERE e.a = wedge.va AND e.b = wedge.vb)),
+        |sc AS (SELECT va AS vec_a, vb AS vec_b,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 6)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS aa_score
+        | FROM nonedge JOIN deg ON deg.x = nonedge.w GROUP BY va, vb)
+        |SELECT vec_a, vec_b, n_common, aa_score FROM sc
+        |ORDER BY aa_score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
     "knn_hubness" ->
       s"""WITH $neardupCtesSql,
         |sym AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos FROM pairs

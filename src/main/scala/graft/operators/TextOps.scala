@@ -642,6 +642,40 @@ object TextOps {
           (col("sa") + col("sb") - col("i")).cast("double"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Record-linkage SCORING tier over the LSH candidate pairs:
+    * Jaro–Winkler similarity on the [[EditPrefix]]-char normalized
+    * prefixes — [[editDistancePairs]]'s similarity twin. Levenshtein
+    * reports raw edit counts (length-sensitive, no prefix emphasis);
+    * JW is the record-linkage standard (Winkler 1990, US Census) that
+    * normalizes to [0,1] and boosts shared prefixes — the score a
+    * linkage pipeline actually thresholds on.
+    *
+    * Computed by graft's native codegen expression
+    * ([[graft.functions.JaroWinkler]] — a Scala UDF here would break
+    * the whole-stage span of this verify tier); the oracle is DuckDB's
+    * builtin `jaro_winkler_similarity` (semantics pinned byte-for-byte
+    * in [[graft.functions.JaroWinklerImpl]]'s doc, round-6 both sides).
+    * Cost is candidate-bounded like every verify stage, and the
+    * match-window algorithm is O([[EditPrefix]]²) worst case per pair —
+    * constant work, never corpus-dependent. */
+  def jwPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // one persisted normalized base for shingles + both join sides
+    // (editDistancePairs' one-base-per-query discipline)
+    val base = normed(spark, sfDir).persist().transform(graft.api.Caches.tracked)
+    base.count()
+    val nb = base.select(col("doc_id"), substring(col("norm"), 1, EditPrefix).as("prefix"))
+    val cand = candidatePairsFrom(shinglesOf(base, 3))
+    import org.apache.spark.sql.GraftColumnBridge
+    cand
+      .join(nb.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(nb.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(GraftColumnBridge.column(graft.functions.JaroWinkler(
+          GraftColumnBridge.expression(col("na.prefix")),
+          GraftColumnBridge.expression(col("nb.prefix")))), 6).as("jw"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Pairwise FEED-level shingle Jaccard: how much raw n-gram content
     * each pair of source feeds shares — the corpus-composition probe a
     * pipeline owner reads before merging feeds (near-1 pairs are mirror
@@ -927,6 +961,40 @@ object TextOps {
         round(col("n_dups").cast("double") * 100.0 / col("n_docs").cast("double"), 6)
           .as("dup_pct"))
       .orderBy("source")
+
+  /** SOFT dedup audit: instead of keep-one-per-component (hard dedup),
+    * keep each member independently with probability 1/|component| —
+    * expected one survivor per clone family, but duplicates retain a
+    * chance proportional to their family's share, preserving the
+    * corpus' natural redundancy distribution (the softer alternative
+    * pipelines reach for when hard dedup over-flattens boilerplate-heavy
+    * domains). Membership is a pure deterministic function of doc_id
+    * (the dataset_split md5 fence, seed "soft") modulo the component
+    * size, so the decision is retry-stable and never moves as other
+    * docs arrive into OTHER components. Reports the per-source keep
+    * rate next to the hard floor 1/sz would give.
+    *
+    * Scale: the CC labels are the shared dedup_groups kernel; the size
+    * frame is component-bounded; the keep decision is a map-side
+    * expression — nothing new shuffles beyond one group-keyed size
+    * join. (The 28-bit hash space is not an exact multiple of sz, so
+    * keep probability is 1/sz ± 2⁻²⁸ — documented bias, invisible at
+    * any real component size.) */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = dedupGroupsUnsorted(spark, sfDir)
+    val sz = groups.groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+    val kept = groups.join(sz, Seq("group_id"))
+      .select(col("doc_id"),
+        when(PipelineOps.keyHash("soft") % col("sz") === 0, 1L).otherwise(0L).as("kept"))
+    docs(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(kept, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("kept_share"))
+      .orderBy("source")
+  }
 
   /** Quality-aware survivorship: within each duplicate component the
     * HIGHEST-[[qualityScore]] member survives (min doc_id on ties) —
@@ -2016,6 +2084,8 @@ object TextOps {
     "jaccard_band_histogram" -> (jaccardBandHistogram _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "edit_distance_pairs" -> (editDistancePairs _),
+    "jw_pairs"            -> (jwPairs _),
+    "soft_dedup"          -> (softDedup _),
     "simhash"             -> (simhash _),
     "simhash_neardup"     -> (simhashNeardup _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
@@ -2492,6 +2562,41 @@ object TextOps {
         | JOIN pre a ON a.doc_id = c.doc_a
         | JOIN pre b ON b.doc_id = c.doc_b
         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    // same pair stack; DuckDB's builtin jaro_winkler_similarity is the
+    // oracle for graft's codegen JaroWinkler expression (semantics pinned
+    // in JaroWinklerImpl's scaladoc; round-6 both sides)
+    "jw_pairs" ->
+      s"""WITH $candCtesSql,
+        |pre AS (SELECT doc_id, substr($normSql, 1, $EditPrefix) AS prefix FROM documents)
+        |SELECT c.doc_a, c.doc_b,
+        | round(jaro_winkler_similarity(a.prefix, b.prefix), 6) AS jw
+        |FROM cand c
+        | JOIN pre a ON a.doc_id = c.doc_a
+        | JOIN pre b ON b.doc_id = c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    // the dedup_groups label stack + component sizes; the keep decision
+    // is the dataset_split md5 fence (seed "soft") mod component size
+    "soft_dedup" ->
+      s"""WITH RECURSIVE $candCtesSql,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        | UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT t.doc_id, e.dst FROM reach t JOIN edges e ON e.src = t.r),
+        |labels AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+        |gs AS (SELECT group_id, CAST(count(*) AS BIGINT) AS sz
+        | FROM labels GROUP BY group_id),
+        |keepf AS (SELECT l.doc_id,
+        |  CASE WHEN ${PipelineOps.keyHashSql("soft")} % gs.sz = 0
+        |   THEN 1 ELSE 0 END AS kept
+        | FROM labels l JOIN gs USING (group_id))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(kept) AS BIGINT) AS n_kept,
+        | round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |  AS kept_share
+        |FROM documents d JOIN keepf ON keepf.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $candCtesSql,
         |s3 AS (SELECT DISTINCT doc_id, sh FROM sh),

@@ -69,4 +69,74 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     val r = ds.select(OutcomeAggregator.outcomeStats.toColumn).head()
     assert(r.nOk == 2 && r.nError == 1 && math.abs(r.totalValue - 6.5) < 1e-9)
   }
+
+  test("JaroWinkler matches the DuckDB-probed reference values at 6dp") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    // every row probed against DuckDB's jaro_winkler_similarity (the
+    // oracle engine): published pairs, empties, and the boost-threshold
+    // edge (jaro <= 0.7 suppresses the prefix bonus)
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),
+      ("dixon", "dicksonx", 0.813333),
+      ("dwayne", "duane", 0.84),
+      ("jellyfish", "smellyfish", 0.896296),
+      ("prefixxx", "prefixyy", 0.9),
+      ("abcdef", "fedcba", 0.388889),
+      ("abcdxx", "abcdyy", 0.866667),
+      ("abcdefgh", "abzzzzzz", 0.5), // prefix 2 but jaro <= 0.7: no boost
+      ("abc", "abc", 1.0),
+      ("a", "b", 0.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(round(GraftColumnBridge.column(graft.functions.JaroWinkler(
+        GraftColumnBridge.expression(col("a")),
+        GraftColumnBridge.expression(col("b")))), 6).as("jw"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), jw) =>
+      assert(jw == want, s"jw($a, $b) = $jw, want $want")
+    }
+  }
+
+  test("JaroWinkler codegen and interpreted paths agree bit-for-bit") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("prefixxx", "prefixyy"), ("abcdefgh", "abzzzzzz"), ("", "x"))
+    pairs.foreach { case (a, b) =>
+      // interpreted: the expression's nullSafeEval
+      val interp = graft.functions.JaroWinkler(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(a)),
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(b)))
+        .eval(null).asInstanceOf[Double]
+      // codegen: whole-stage over a DataFrame (the hot-path form)
+      import spark.implicits._
+      import org.apache.spark.sql.GraftColumnBridge
+      val gen = Seq((a, b)).toDF("a", "b")
+        .select(GraftColumnBridge.column(graft.functions.JaroWinkler(
+          GraftColumnBridge.expression(col("a")),
+          GraftColumnBridge.expression(col("b")))))
+        .head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(interp) ==
+        java.lang.Double.doubleToLongBits(gen), s"($a, $b)")
+    }
+  }
+
+  test("JaroWinkler is null-safe and registers for SQL via GraftExtensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val out = Seq((Some("abc"), Option.empty[String])).toDF("a", "b")
+      .select(GraftColumnBridge.column(graft.functions.JaroWinkler(
+        GraftColumnBridge.expression(col("a")),
+        GraftColumnBridge.expression(col("b")))))
+      .collect()
+    assert(out(0).isNullAt(0))
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "jaro_winkler",
+        children => graft.functions.JaroWinkler(children(0), children(1)),
+        "scala_udf")
+    val r = spark.sql("SELECT round(jaro_winkler('martha', 'marhta'), 6) AS j").head()
+    assert(r.getDouble(0) == 0.961111)
+  }
 }

@@ -2526,4 +2526,92 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(kept / keptTotal - target(l).toDouble / denom) < 1e-6,
         s"$l realized share off target")
   }
+
+  test("benford_mad: digit shares partition each column's mass; expectations sum to 1") {
+    val rows = RelationalOps.benfordMad(spark, sf).collect()
+    val byCol = rows.groupBy(_.getString(0))
+    assert(byCol.keySet == Set("l_extendedprice", "o_totalprice"))
+    for ((c, rs) <- byCol) {
+      assert(rs.forall(r => (1 to 9).contains(r.getInt(1))), s"$c digit range")
+      val obsSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(obsSum - 1.0) < 1e-4, s"$c observed shares sum $obsSum")
+      val expSum = rs.map(_.getDouble(4)).sum
+      // Benford expectations over digits 1..9 are a telescoping sum = 1
+      assert(math.abs(expSum - 1.0) < 1e-4, s"$c expected shares sum $expSum")
+    }
+  }
+
+  test("survival_curve is a valid product-limit estimate") {
+    val rows = AnalyticOps.survivalCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // at-risk counts strictly decrease; survival is non-increasing in [0,1]
+    val ns = rows.map(_.getLong(1)); val surv = rows.map(_.getDouble(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b < a })
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // terminal point: everyone at risk exits there, so S hits exactly 0
+    assert(rows.last.getLong(1) == rows.last.getLong(2) && surv.last == 0.0)
+    // n(t) telescopes: next at-risk = current at-risk - current events
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getLong(1) == a.getLong(1) - a.getLong(2))
+    }
+  }
+
+  test("theil_sen_trend pairs the full daily spine and stays near OLS on clean data") {
+    val r = AnalyticOps.theilSenTrend(spark, sf).head()
+    val n = r.getLong(0); val np = r.getLong(1)
+    assert(np == n * (n - 1) / 2, "pair count is C(n_days, 2)")
+    // synthetic traffic has no adversarial outlier days: the two slope
+    // estimates agree loosely (robustness shows in the gap being small)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) <
+      math.max(1.0, math.abs(r.getDouble(3))) * 2.0 + 50.0)
+  }
+
+  test("adamic_adar predicts only non-edges, scored by shared neighbors") {
+    val pred = SimilarityOps.adamicAdar(spark, sf).collect()
+    val edges = SimilarityOps.knnGraph(spark, sf)
+      .select(least(col("vec_id"), col("nbr")), greatest(col("vec_id"), col("nbr")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pred.nonEmpty)
+    pred.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "canonical pair order")
+      assert(!edges.contains((a, b)), s"($a,$b) is an existing edge")
+      assert(r.getLong(2) >= 1 && r.getDouble(3) > 0.0)
+    }
+    // scores arrive ranked
+    val scores = pred.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => y <= x + 1e-12 })
+  }
+
+  test("jw_pairs scores the same candidate set as edit_distance_pairs, in [0,1]") {
+    val jw = TextOps.jwPairs(spark, sf).collect()
+    val ed = TextOps.editDistancePairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jw.map(r => (r.getLong(0), r.getLong(1))).toSet == ed)
+    assert(jw.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // LSH candidates are near-dups: JW should sit high on most pairs
+    assert(jw.count(_.getDouble(2) >= 0.7) * 2 >= jw.length)
+  }
+
+  test("soft_dedup keeps at most everything, and its decision is retry-stable") {
+    val a = TextOps.softDedup(spark, sf).collect()
+    val b = TextOps.softDedup(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "deterministic across runs")
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("prf_expansion proposes non-query terms present in the relevant docs") {
+    val exp = CorpusOps.prfExpansion(spark, sf).collect()
+    assert(exp.nonEmpty && exp.length <= 20)
+    exp.foreach { r =>
+      assert(r.getLong(1) >= 1, "every expansion term occurs in >= 1 relevant doc")
+      assert(r.getDouble(2) > 0.0)
+    }
+    val scores = exp.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (x, y) => y <= x + 1e-12 })
+  }
 }
