@@ -1353,4 +1353,47 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.map(_._1) == probes.map(_._1).toSet, "every probe answered")
     idx.unpersist()
   }
+
+  test("streaming benford monitor equals the batch digit kernel across waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.model.Tables.events(spark, sf).as[RawEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val stream = MemoryStream[RawEvent]
+    val q = graft.streaming.StreamingBenford.profile(stream.toDS())
+      .writeStream.format("memory").queryName("benford_out")
+      .option("checkpointLocation", tempDir("benford_ckpt"))
+      .outputMode("update").start()
+    try {
+      val half = all.length / 2
+      stream.addData(all.take(half): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(half): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a digit's running count each batch it moves:
+    // counts only grow, so the final snapshot is the per-digit max
+    val got = spark.table("benford_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).max }
+    // one batch pass over the same rows, through the batch audit's
+    // EXPRESSION chain (round -> cents -> decimal rendering -> head)
+    val expected = graft.model.Tables.events(spark, sf)
+      .filter(col("value") > 0.0)
+      .select(substring(round(col("value") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == expected, "streamed digit counts diverged from the batch chain")
+    // the profile helper replays the batch share/expectation chain
+    val rows = graft.streaming.StreamingBenford.profileRows(got)
+    val tot = got.values.sum
+    rows.foreach { r =>
+      assert(r.n == got(r.digit))
+      assert(r.obs_share ==
+        graft.streaming.StreamingBenford.round6(r.n.toDouble / tot.toDouble))
+      assert(r.abs_dev >= 0.0 && r.exp_share > 0.0 && r.exp_share < 0.5)
+    }
+    assert(math.abs(rows.map(_.exp_share).sum - 1.0) < 1e-4)
+  }
 }
