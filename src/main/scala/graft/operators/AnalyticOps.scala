@@ -1224,10 +1224,7 @@ object AnalyticOps {
     * counts (exact-rational slopes from integer deltas, round-6 at the
     * end). */
   def theilSenTrend(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
-      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-        .cast("long").as("d"))
-      .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val daily = dailyCounts(spark, sfDir)
       .persist().transform(graft.api.Caches.tracked)
     daily.count()
     val slopes = daily.as("a")
@@ -1301,10 +1298,126 @@ object AnalyticOps {
       .orderBy("dur_h")
   }
 
+  /** Shared daily-count spine for the trend family ([[theilSenTrend]],
+    * [[seasonalNaiveError]]): epoch day → event count, one map-combined
+    * aggregate over the log. */
+  private def dailyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+
+  /** MASE-style forecastability check of the daily event volume
+    * (Hyndman & Koehler 2006): the seasonal-naive forecast (repeat last
+    * week's value, lag 7) scored against the one-step naive scale
+    * (lag 1). MASE < 1 ⇒ weekly seasonality carries real signal beyond
+    * short-term persistence; ≈1 ⇒ the weekly pattern adds nothing — the
+    * first statistic a capacity-planning forecast reads before any
+    * model is fit.
+    *
+    * Determinism: both error legs are |integer − integer|; three exact
+    * sums close with one identical double chain (two divisions, one
+    * ratio), round-6. Degenerate guard: an all-constant series has
+    * naive MAE 0 — the query returns empty rather than ±∞ (the
+    * theil_sen n≥2 convention). Scale: daily-spine joins — calendar-
+    * bounded after one map-combined aggregate of the log. */
+  def seasonalNaiveError(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCounts(spark, sfDir)
+      .persist().transform(graft.api.Caches.tracked)
+    daily.count()
+    def maeLeg(lag: Int) = daily.as("a")
+      .join(daily.as("b"), col("a.d") - lit(lag.toLong) === col("b.d"))
+      .select(abs(col("a.cnt") - col("b.cnt")).as("e"))
+      .agg(count(lit(1)).as(s"n$lag"), sum(col("e")).as(s"s$lag"))
+    val mae7 = col("s7").cast("double") / col("n7").cast("double")
+    val mae1 = col("s1").cast("double") / col("n1").cast("double")
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(maeLeg(7))).crossJoin(broadcast(maeLeg(1)))
+      .filter(col("n7") >= 1 && col("n1") >= 1 && col("s1") > 0)
+      .select(col("n_days"), col("n7").as("n_seasonal_terms"),
+        round(mae7, 6).as("mae_seasonal"),
+        round(mae1, 6).as("mae_naive"),
+        round(mae7 / mae1, 6).as("mase"))
+  }
+
+  /** Index of dispersion (Fano factor) of each event type's hourly
+    * arrivals over the COMPLETE hour spine: sample-variance / mean of
+    * the hourly counts. 1 ⇒ Poisson-like arrivals; ≫1 ⇒ bursty
+    * (overdispersed — the load-balancing hazard `burst_hours` localizes
+    * in time, summarized here as one per-type number); <1 ⇒ regular.
+    * Zeros on the spine COUNT, exactly as in the burst family —
+    * observed-only moments would understate dispersion for sparse
+    * types.
+    *
+    * Determinism: var/mean closes algebraically to
+    * (n·Σc² − (Σc)²) / ((n−1)·Σc) — one double chain over exact
+    * integer moments, round-6. Scale: the spine cross join is
+    * calendar × types; moments are map-side combined; output is
+    * types-sized. */
+  def dispersionIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val spine = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .selectExpr("explode(sequence(hmin, hmax, interval 1 hour)) AS h")
+    val types = ev.select(col("event_type")).distinct()
+    val cells = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    val nd = col("n").cast("double"); val scd = col("sc").cast("double")
+    val sccd = col("scc").cast("double")
+    cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n") >= 2 && col("sc") > 0)
+      .select(col("event_type"), col("n").as("n_hours"),
+        round(scd / nd, 6).as("mean_per_hour"),
+        round((nd * sccd - scd * scd) / ((nd - 1.0) * scd), 6).as("dispersion"))
+      .orderBy("event_type")
+  }
+
+  /** Entropy rate of the user-journey Markov chain (the
+    * [[transitionMatrix]] summarized as one number): using the
+    * empirical from-state distribution as the weight, H = −Σ_{u,v}
+    * (c_uv/N)·ln(c_uv/c_u) nats/transition — how predictable the next
+    * event type is given the current one. 0 ⇒ deterministic journeys;
+    * ln(#types) ⇒ memoryless uniform noise. The one-number drift
+    * monitor over journey structure (compare across releases).
+    *
+    * Determinism: every ln operand is a ratio of exact integers and
+    * each cell's term is round-6 DECIMAL before the global sum — the
+    * bigram_entropy discipline verbatim (this IS bigram conditional
+    * entropy, over event transitions instead of tokens). Scale: one
+    * user-keyed lag window + a (types×types)-bounded aggregate. */
+  def markovEntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cuv = Tables.events(spark, sfDir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .persist().transform(graft.api.Caches.tracked)
+    cuv.count()
+    val cu = cuv.groupBy(col("from_type")).agg(sum(col("c")).as("cu"))
+    val nb = cuv.agg(sum(col("c")).as("nb"))
+    cuv.join(cu, Seq("from_type"))
+      .crossJoin(broadcast(nb))
+      .select(col("nb"),
+        round(-(col("c").cast("double") / col("nb").cast("double")) *
+          log(col("c").cast("double") / col("cu").cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("nb"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term")).cast("double").as("entropy_rate"))
+      .select(col("nb").as("n_transitions"), col("n_cells"), col("entropy_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "burst_hours_seasonal" -> (burstHoursSeasonal _),
     "theil_sen_trend"  -> (theilSenTrend _),
     "survival_curve"   -> (survivalCurve _),
+    "seasonal_naive_error" -> (seasonalNaiveError _),
+    "dispersion_index" -> (dispersionIndex _),
+    "markov_entropy_rate" -> (markovEntropyRate _),
     "rolling_median"   -> (rollingMedian _),
     "dow_hour_profile" -> (dowHourProfile _),
     "pivot_counts"     -> (pivotCounts _),
@@ -1402,6 +1515,67 @@ object AnalyticOps {
         | CASE WHEN zero = 1 THEN CAST(0.0 AS DOUBLE)
         |  ELSE round(exp(CAST(st AS DOUBLE)), 6) END AS survival
         |FROM sel ORDER BY dur_h""".stripMargin,
+    // both error legs are |int - int|; one shared double chain closes
+    "seasonal_naive_error" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |e7 AS (SELECT CAST(count(*) AS BIGINT) AS n7,
+        |  CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS s7
+        | FROM daily a JOIN daily b ON a.d - 7 = b.d),
+        |e1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+        |  CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS s1
+        | FROM daily a JOIN daily b ON a.d - 1 = b.d),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n7 AS n_seasonal_terms,
+        | round(CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6) AS mae_seasonal,
+        | round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mae_naive,
+        | round((CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+        |   / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS mase
+        |FROM nd, e7, e1 WHERE n7 >= 1 AND n1 >= 1 AND s1 > 0""".stripMargin,
+    // complete-spine moments (zeros count); var/mean closed to one
+    // chain over exact integer moments
+    "dispersion_index" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        | FROM ev GROUP BY event_type, h),
+        |mm AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ev),
+        |spine AS (SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        | FROM mm),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |cells AS (SELECT t.event_type, coalesce(c.c, 0) AS c
+        | FROM spine s CROSS JOIN types t
+        | LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = s.h),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        | FROM cells GROUP BY event_type)
+        |SELECT event_type, n AS n_hours,
+        | round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_per_hour,
+        | round((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+        |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |   / ((CAST(n AS DOUBLE) - 1.0) * CAST(sc AS DOUBLE)), 6) AS dispersion
+        |FROM m WHERE n >= 2 AND sc > 0 ORDER BY event_type""".stripMargin,
+    // bigram_entropy's round-6 DECIMAL term discipline over event
+    // transitions; the VARCHAR route forces DuckDB's DECIMAL sum to the
+    // same correctly-rounded double Spark's cast produces
+    "markov_entropy_rate" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS from_type
+        | FROM events),
+        |cuv AS MATERIALIZED (SELECT from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+        |cu AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS cu
+        | FROM cuv GROUP BY from_type),
+        |nbt AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cuv)
+        |SELECT nb AS n_transitions, CAST(count(*) AS BIGINT) AS n_cells,
+        | CAST(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |   ln(CAST(c AS DOUBLE) / CAST(cu AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |  AS VARCHAR) AS DOUBLE) AS entropy_rate
+        |FROM cuv JOIN cu USING (from_type), nbt GROUP BY nb""".stripMargin,
     "burst_hours_seasonal" ->
       s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c

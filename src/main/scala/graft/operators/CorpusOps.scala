@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -846,6 +846,129 @@ object CorpusOps {
       .limit(PrfTerms)
   }
 
+  /** NDCG@k agreement between the two retrieval stacks — the
+    * position-weighted companion of [[retrievalTau]]: score the dense
+    * (TF-IDF cosine) top-[[DenseTopK]] list against graded relevance
+    * derived from the BM25 ranking (gain = k+1−rank for BM25's top-k,
+    * 0 otherwise), with the standard log₂ position discount (Järvelin &
+    * Kekäläinen 2002). Tau asks "do they ORDER pairs alike"; NDCG asks
+    * "does the dense list put BM25's best docs NEAR THE TOP" — the two
+    * disagreement modes a fusion design weighs differently.
+    *
+    * Determinism: gains and positions are exact integers; each DCG term
+    * is round-6 DECIMAL(18,6) before its sum (ln-ratio log₂ written
+    * identically in both engines); IDCG places gain k+1−r at position r
+    * by construction, so it reads off the BM25 list itself. Scale: both
+    * lists are k-row frames off the shared [[tfBase]] kernel — the
+    * closing math is broadcast-trivial; the corpus cost is the two
+    * rankers', already priced. */
+  def retrievalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val tfb = tfBase(spark, sfDir)
+    val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wb = Window.orderBy(col("cos").desc, col("doc_id"))
+    val a = bm25From(spark, sfDir, tfb)
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val b = denseFrom(spark, sfDir, tfb)
+      .withColumn("rb", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val ln2 = log(lit(2.0))
+    val joined = b.join(broadcast(a), Seq("doc_id"), "left_outer")
+      .select(col("rb"),
+        coalesce(lit(Bm25TopK.toLong + 1L) - col("ra"), lit(0L)).as("g"))
+      .persist().transform(graft.api.Caches.tracked)
+    joined.count()
+    val dcg = joined
+      .select(round(col("g").cast("double") /
+        (log(col("rb").cast("double") + 1.0) / ln2), 6)
+        .cast(DecimalType(18, 6)).as("t"))
+      .agg(sum(col("t")).cast("double").as("dcg"))
+    val idcg = a
+      .select(round((lit(Bm25TopK.toLong + 1L) - col("ra")).cast("double") /
+        (log(col("ra").cast("double") + 1.0) / ln2), 6)
+        .cast(DecimalType(18, 6)).as("t"))
+      .agg(sum(col("t")).cast("double").as("idcg"))
+    val nCommon = joined.filter(col("g") > 0).agg(count(lit(1)).as("n_common"))
+    nCommon.crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+      // empty corpus -> no ranked lists -> empty result, not a NULL row
+      .filter(col("idcg").isNotNull)
+      .select(col("n_common"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** Per-source lexical-richness profile: token/type/hapax counts with
+    * the hapax share (types seen once in the source — Baayen's LNRE
+    * growth signal) and type-token ratio. A feed whose hapax share
+    * collapses is template-stamped boilerplate; one whose TTR spikes is
+    * OCR noise or ID-like garbage — the two directions quality filters
+    * then confirm. Scale: one (source, token) aggregate (map-side
+    * combined) then a sources-sized reduce; no vocabulary broadcast
+    * anywhere. */
+  def hapaxRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = TextOps.normed(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    st.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_share"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+      .orderBy("source")
+  }
+
+  /** Mutual information of the language × source contingency — the
+    * [[langSourcePmi]] cell table summarized as one number (with its
+    * min-entropy normalization): how much knowing the feed tells you
+    * about language, 0 ⇒ independent mix, NMI→1 ⇒ feeds are
+    * language-silos (a mix whose "diversity" is an illusion of feed
+    * routing). The one-number screen before reading the per-cell PMI
+    * table.
+    *
+    * Determinism: every probability is a ratio of exact integers; MI
+    * and both marginal entropies accumulate round-6 DECIMAL terms
+    * (order-exact), one double division closes NMI. Scale: cells are
+    * langs × sources — the corpus reduces in one map-combined
+    * aggregate. */
+  def langSourceMi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .persist().transform(graft.api.Caches.tracked)
+    cells.count()
+    val nl = cells.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val ns = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val tot = cells.agg(sum(col("n")).as("total"), count(lit(1)).as("n_cells"))
+    def entTerm(cnt: Column, total: Column) =
+      round(-(cnt.cast("double") / total.cast("double")) *
+        log(cnt.cast("double") / total.cast("double")), 6)
+        .cast(DecimalType(18, 6))
+    val hl = nl.crossJoin(broadcast(tot))
+      .select(entTerm(col("nl"), col("total")).as("t"))
+      .agg(sum(col("t")).cast("double").as("hl"))
+    val hs = ns.crossJoin(broadcast(tot))
+      .select(entTerm(col("ns"), col("total")).as("t"))
+      .agg(sum(col("t")).cast("double").as("hs"))
+    val mi = cells.join(broadcast(nl), Seq("lang"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(round((col("n").cast("double") / col("total").cast("double")) *
+        log(col("n").cast("double") * col("total").cast("double") /
+          (col("nl").cast("double") * col("ns").cast("double"))), 6)
+        .cast(DecimalType(18, 6)).as("t"))
+      .agg(sum(col("t")).cast("double").as("mi"))
+    tot.select(col("total").as("n_docs"), col("n_cells"))
+      // empty corpus -> no contingency table -> empty result
+      .filter(col("n_cells") > 0)
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(col("n_docs"), col("n_cells"), col("mi"),
+        round(col("mi") / least(col("hl"), col("hs")), 6).as("nmi"))
+  }
+
   // ------------------------------------------------- unigram LM perplexity
   /** Unigram language-model quality score (the CCNet/KenLM-filter proxy):
     * train token probabilities on the corpus itself (cnt / N), score
@@ -1432,6 +1555,9 @@ object CorpusOps {
     "rrf_fusion"          -> (rrfFusion _),
     "retrieval_tau"       -> (retrievalTau _),
     "prf_expansion"       -> (prfExpansion _),
+    "retrieval_ndcg"      -> (retrievalNdcg _),
+    "hapax_ratio"         -> (hapaxRatio _),
+    "lang_source_mi"      -> (langSourceMi _),
     "lang_source_pmi"     -> (langSourcePmi _))
 
   /** Shared oracle CTE stack for the RETRIEVAL family, ending at
@@ -1567,6 +1693,64 @@ object CorpusOps {
       s"""WITH $retrievalCtesSql
         |SELECT doc_id, cos FROM dcos
         |ORDER BY cos DESC, doc_id LIMIT $DenseTopK""".stripMargin,
+    // graded gains off the BM25 list (k+1-rank), log2 discount as the
+    // identical ln ratio, round-6 DECIMAL terms before both sums
+    "retrieval_ndcg" ->
+      s"""WITH $retrievalCtesSql,
+        |la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra
+        |       FROM (SELECT doc_id, bm25 FROM bm25s ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK) t),
+        |lb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rb
+        |       FROM (SELECT doc_id, cos FROM dcos ORDER BY cos DESC, doc_id LIMIT $DenseTopK) t),
+        |j AS MATERIALIZED (SELECT lb.rb,
+        |  coalesce(${Bm25TopK + 1} - la.ra, 0) AS g
+        | FROM lb LEFT JOIN la USING (doc_id)),
+        |dc AS (SELECT CAST(sum(CAST(round(CAST(g AS DOUBLE) /
+        |   (ln(CAST(rb AS DOUBLE) + 1.0) / ln(2.0)), 6) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS dcg FROM j),
+        |ic AS (SELECT CAST(sum(CAST(round(CAST(${Bm25TopK + 1} - ra AS DOUBLE) /
+        |   (ln(CAST(ra AS DOUBLE) + 1.0) / ln(2.0)), 6) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS idcg FROM la),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM j WHERE g > 0)
+        |SELECT n_common, dcg, idcg, round(dcg / idcg, 6) AS ndcg
+        |FROM nc, dc, ic WHERE idcg IS NOT NULL""".stripMargin,
+    // one (source, token) aggregate; hapax = singleton types per source
+    "hapax_ratio" ->
+      s"""WITH dn AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
+        |tokh AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM dn),
+        |st AS (SELECT d.source, t.token, CAST(count(*) AS BIGINT) AS c
+        | FROM tokh t JOIN documents d USING (doc_id)
+        | WHERE length(t.token) >= 1 GROUP BY d.source, t.token)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
+        | round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
+    // MI + min-entropy normalization over the lang x source cells;
+    // round-6 DECIMAL terms for MI and both marginal entropies
+    "lang_source_mi" ->
+      """WITH cells AS MATERIALIZED (
+        | SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY lang, source),
+        |nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY lang),
+        |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |hl AS (SELECT CAST(sum(CAST(round(-(CAST(nl AS DOUBLE) / CAST(total AS DOUBLE)) *
+        |   ln(CAST(nl AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS hl FROM nl, tot),
+        |hs AS (SELECT CAST(sum(CAST(round(-(CAST(ns AS DOUBLE) / CAST(total AS DOUBLE)) *
+        |   ln(CAST(ns AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS hs FROM ns, tot),
+        |mi AS (SELECT CAST(sum(CAST(round((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) *
+        |   ln(CAST(n AS DOUBLE) * CAST(total AS DOUBLE) /
+        |      (CAST(nl.nl AS DOUBLE) * CAST(ns.ns AS DOUBLE))), 6) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS mi
+        | FROM cells JOIN nl USING (lang) JOIN ns USING (source), tot)
+        |SELECT total AS n_docs, n_cells, mi,
+        | round(mi / least(hl, hs), 6) AS nmi
+        |FROM tot, mi, hl, hs WHERE n_cells > 0""".stripMargin,
     "retrieval_tau" ->
       s"""WITH $retrievalCtesSql,
         |la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra

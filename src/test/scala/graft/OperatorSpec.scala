@@ -2604,6 +2604,86 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("seasonal_naive_error legs cover the exact joinable spine") {
+    val r = AnalyticOps.seasonalNaiveError(spark, sf).head()
+    val nDays = r.getLong(0)
+    // contiguous synthetic calendar: lag-7 leg has n-7 terms, mase > 0
+    assert(r.getLong(1) == nDays - 7)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0)
+    assert(math.abs(r.getDouble(4) - r.getDouble(2) / r.getDouble(3)) < 1e-5)
+  }
+
+  test("dispersion_index moments reconcile with the event totals") {
+    val rows = AnalyticOps.dispersionIndex(spark, sf).collect()
+    val totals = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == totals.keySet)
+    rows.foreach { r =>
+      val t = r.getString(0); val nh = r.getLong(1)
+      // mean * n_hours recovers the type's event total (round-6 slack)
+      assert(math.abs(r.getDouble(2) * nh - totals(t)) < nh * 1e-5, t)
+      assert(r.getDouble(3) > 0.0, s"$t dispersion positive")
+    }
+    // all types share one complete spine
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("markov_entropy_rate equals the rate recomputed from raw transitions") {
+    val r = AnalyticOps.markovEntropyRate(spark, sf).head()
+    // re-derive transitions independently (same (ts, event_id) order)
+    val evs = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getTimestamp(1), x.getLong(2), x.getString(3)))
+    val trans = evs.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val cuv = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = cuv.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val n = cuv.values.sum
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = cuv.map { case ((u, _), c) =>
+      r6(-(c.toDouble / n.toDouble) * math.log(c.toDouble / cu(u).toDouble))
+    }.sum.toDouble
+    assert(r.getLong(0) == n && r.getLong(1) == cuv.size)
+    assert(math.abs(r.getDouble(2) - want) < 1e-9)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= math.log(5.0) + 1e-9)
+  }
+
+  test("hapax_ratio bounds hold per source") {
+    val rows = CorpusOps.hapaxRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("retrieval_ndcg's ideal DCG is the closed-form constant of the BM25 list") {
+    val r = CorpusOps.retrievalNdcg(spark, sf).head()
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val k = CorpusOps.Bm25TopK
+    val want = (1 to k).map(i =>
+      r6((k + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0)))).sum.toDouble
+    assert(math.abs(r.getDouble(2) - want) < 1e-9, "idcg closed form")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    assert(r.getLong(0) >= 1, "the two rankers share at least one doc")
+  }
+
+  test("lang_source_mi reconciles with the per-cell PMI table") {
+    val r = CorpusOps.langSourceMi(spark, sf).head()
+    val cells = CorpusOps.langSourcePmi(spark, sf).collect()
+    val total = cells.map(_.getLong(2)).sum
+    // MI = sum of cell-mass-weighted PMIs (PMI column is round-6, so
+    // the reconciliation carries rounding slack)
+    val approx = cells.map(c => c.getLong(2).toDouble / total * c.getDouble(3)).sum
+    assert(math.abs(r.getDouble(2) - approx) < 1e-3)
+    assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    assert(r.getLong(0) == total)
+  }
+
   test("prf_expansion proposes non-query terms present in the relevant docs") {
     val exp = CorpusOps.prfExpansion(spark, sf).collect()
     assert(exp.nonEmpty && exp.length <= 20)
