@@ -214,6 +214,27 @@ object StreamBench {
         s""","state_keys":$nKeys,""" +
           s""""state_longs_per_key":${operators.AnalyticOps.RollMedianW}""")
     }
+    // ---- streaming benford: nine longs of state TOTAL ------------------
+    stream("benford") {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      evs.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/benford_in")
+      val n = spark.read.parquet(s"$stage/benford_in").count()
+      val in = fileStream(s"$stage/benford_in", evs.schema).as[RawEvent]
+      val q = graft.streaming.StreamingBenford.profile(in)
+        .writeStream.format("memory").queryName("benford_bench")
+        .option("checkpointLocation", s"$stage/benford_ckpt")
+        .outputMode("update").start()
+      val sec = timed { try q.processAllAvailable() finally q.stop() }
+      // update mode: final snapshot = per-digit max of the emitted counts
+      val counted = spark.table("benford_bench")
+        .groupBy(col("digit")).agg(max(col("n")).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      val inScope = spark.read.parquet(s"$stage/benford_in")
+        .filter(col("value") > 0.0).count()
+      require(counted == inScope, s"benford counted $counted != in-scope $inScope")
+      report("benford", n, sec, s""","state_keys":9,"state_longs_per_key":1""")
+    }
     // ---- streaming cusum: offline moments, two longs of state per type
     stream("cusum") {
       val moments = graft.streaming.StreamingCusum.offlineMoments(spark, sfDir)

@@ -1376,6 +1376,77 @@ object AnalyticOps {
       .orderBy("event_type")
   }
 
+  /** Weekday seasonal decomposition of the daily event volume: per
+    * day-of-week, the seasonal mean and the mean absolute residual
+    * around it — the additive-decomposition read (classical seasonal
+    * means, the STL-lite a capacity planner fits first) that says how
+    * much of daily variance the weekly cycle explains, weekday by
+    * weekday. Complements [[seasonalNaiveError]] (which scores lag-7 as
+    * a FORECAST) with the fitted per-weekday profile itself.
+    *
+    * Determinism: dow is pure integer arithmetic on the epoch day
+    * ((d+3) mod 7, Monday=0 — epoch day 0 was a Thursday; no timezone
+    * or date function in the chain); each |residual| is the exact
+    * integer |cnt·n − Σcnt| so the only doubles are the two closing
+    * divisions, round-6. Scale: the daily spine reduces to 7 rows with
+    * map-combined exact-integer moments. */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCounts(spark, sfDir)
+      .withColumn("dow", pmod(col("d") + 3, lit(7L)))
+      .persist().transform(graft.api.Caches.tracked)
+    daily.count()
+    val mom = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sd"))
+    daily.join(broadcast(mom), Seq("dow"))
+      .select(col("dow"), col("n"), col("sd"),
+        abs(col("cnt") * col("n") - col("sd")).as("ar"))
+      .groupBy(col("dow"), col("n"), col("sd"))
+      .agg(sum(col("ar")).as("sar"))
+      .select(col("dow"), col("n").as("n_days"),
+        round(col("sd").cast("double") / col("n").cast("double"), 6).as("dow_mean"),
+        round(col("sar").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("mean_abs_resid"))
+      .orderBy("dow")
+  }
+
+  /** Single-level binary-segmentation changepoint over the daily
+    * volume (the first split of the classic binseg recursion; Scott &
+    * Knott's between-group maximization): the day boundary that
+    * maximizes the between-segment sum-of-squares statistic
+    * (s_l·n − S·k)² / (k·(n−k)) — CUSUM's [[cusumChangepoint]] locates
+    * level shifts per TYPE at event grain; this reads the one corpus-
+    * level "when did traffic change" day off the daily spine.
+    *
+    * Determinism: s_l·n − S·k is an exact integer (the cumulative and
+    * total sums are BIGINT); the square and division are one identical
+    * double chain; argmax orders by (stat DESC, day) so equal stats
+    * break to the earliest boundary. Both segments must hold ≥ 2 days
+    * (n < 4 → empty, the theil_sen degenerate convention). Scale: one
+    * map-combined daily aggregate, then a calendar-bounded single-
+    * partition cumulative window and a top-1 TakeOrderedAndProject. */
+  def binsegSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCounts(spark, sfDir)
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+    val diff = (col("sl") * col("n") - col("s") * col("k")).cast("double")
+    val stat = diff * diff /
+      (col("k").cast("double") * (col("n") - col("k")).cast("double"))
+    daily
+      .withColumn("k", row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .withColumn("sl", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") >= 4 && col("k") >= 2 && col("k") <= col("n") - 2)
+      .select(col("d").as("split_day"), col("k").as("n_left"),
+        (col("n") - col("k")).as("n_right"),
+        round(col("sl").cast("double") / col("k").cast("double"), 6).as("mean_left"),
+        round((col("s") - col("sl")).cast("double") /
+          (col("n") - col("k")).cast("double"), 6).as("mean_right"),
+        round(stat, 6).as("stat"))
+      .orderBy(col("stat").desc, col("split_day"))
+      .limit(1)
+  }
+
   /** Entropy rate of the user-journey Markov chain (the
     * [[transitionMatrix]] summarized as one number): using the
     * empirical from-state distribution as the weight, H = −Σ_{u,v}
@@ -1416,6 +1487,8 @@ object AnalyticOps {
     "theil_sen_trend"  -> (theilSenTrend _),
     "survival_curve"   -> (survivalCurve _),
     "seasonal_naive_error" -> (seasonalNaiveError _),
+    "seasonal_decompose" -> (seasonalDecompose _),
+    "binseg_split"     -> (binsegSplit _),
     "dispersion_index" -> (dispersionIndex _),
     "markov_entropy_rate" -> (markovEntropyRate _),
     "rolling_median"   -> (rollingMedian _),
@@ -1534,6 +1607,47 @@ object AnalyticOps {
         | round((CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE))
         |   / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS mase
         |FROM nd, e7, e1 WHERE n7 >= 1 AND n1 >= 1 AND s1 > 0""".stripMargin,
+    // dow via integer (d+3) mod 7; |residual| as the exact integer
+    // |cnt*n - sum| so only the two closing divisions are doubles
+    "seasonal_decompose" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |dd AS (SELECT (d + 3) % 7 AS dow, cnt FROM daily),
+        |m AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cnt) AS BIGINT) AS sd FROM dd GROUP BY dow),
+        |r AS (SELECT dd.dow, m.n, m.sd,
+        |  CAST(sum(abs(dd.cnt * m.n - m.sd)) AS BIGINT) AS sar
+        | FROM dd JOIN m USING (dow) GROUP BY dd.dow, m.n, m.sd)
+        |SELECT dow, n AS n_days,
+        | round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dow_mean,
+        | round(CAST(sar AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+        |  AS mean_abs_resid
+        |FROM r ORDER BY dow""".stripMargin,
+    // exact integer cusum diff sl*n - S*k; argmax (stat DESC, day)
+    "binseg_split" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cnt) AS BIGINT) AS s FROM daily),
+        |cum AS (SELECT d,
+        |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+        |  CAST(sum(cnt) OVER (ORDER BY d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+        | FROM daily),
+        |st AS (SELECT d, k, sl, n, s,
+        |  CAST(sl * n - s * k AS DOUBLE) * CAST(sl * n - s * k AS DOUBLE)
+        |   / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)) AS stat
+        | FROM cum, tot
+        | WHERE n >= 4 AND k >= 2 AND k <= n - 2)
+        |SELECT d AS split_day, k AS n_left, n - k AS n_right,
+        | round(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_left,
+        | round(CAST(s - sl AS DOUBLE) / CAST(n - k AS DOUBLE), 6) AS mean_right,
+        | round(stat, 6) AS stat
+        |FROM st ORDER BY stat DESC, split_day LIMIT 1""".stripMargin,
     // complete-spine moments (zeros count); var/mean closed to one
     // chain over exact integer moments
     "dispersion_index" ->

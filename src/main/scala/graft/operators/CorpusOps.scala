@@ -1493,6 +1493,57 @@ object CorpusOps {
     * DISTINCT length domain — value-domain-bounded (≤ max doc length),
     * the calendar-bounded-spine class, so the global cumulative window
     * is metadata-sized at any corpus size; everything joins broadcast. */
+  /** Pairwise 1-Wasserstein (earth-mover) distance between the source
+    * feeds' doc-length distributions — the MAGNITUDE companion of
+    * [[ksSourceDrift]]'s sup-norm: KS says whether two feeds differ,
+    * W1 = ∫|F_a − F_b| dℓ says by HOW MANY CHARACTERS of mass
+    * transport, in the unit the packing/budget planner actually spends
+    * (the matrix read when deciding which feeds can share a length-
+    * bucketed pipeline). Closed form on ℝ: integrate |ECDF difference|
+    * over the merged length spine.
+    *
+    * Determinism: each interval's term is gap · |ca·nb − cb·na| — exact
+    * integers in DECIMAL(38,0), summed exactly; ONE double division per
+    * pair closes (the ks VARCHAR-route discipline in the oracle).
+    * Scale: the pair join keys on the length spine, so the fan-out is
+    * feeds² × |spine| — value-domain-bounded (the ECDF spine is
+    * distinct lengths, ≤ max doc length), never doc-bounded; per-source
+    * cumulative windows partition by source. */
+  def wassersteinSourcePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    val perLen = d.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val lens = d.select(col("n_chars")).distinct()
+      .withColumn("gap",
+        lead(col("n_chars"), 1).over(Window.orderBy(col("n_chars"))) - col("n_chars"))
+    val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val cells = d.select(col("n_chars")).distinct()
+      .crossJoin(broadcast(srcs.select(col("source"))))
+      .join(perLen, Seq("source", "n_chars"), "left")
+      .select(col("source"), col("n_chars"), coalesce(col("c"), lit(0L)).as("c"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cs", sum(col("c")).over(ws))
+    val a = cum.select(col("source").as("source_a"), col("n_chars"), col("cs").as("ca"))
+    val b = cum.select(col("source").as("source_b"), col("n_chars"), col("cs").as("cb"))
+    a.join(b, Seq("n_chars")).filter(col("source_a") < col("source_b"))
+      .join(broadcast(lens.filter(col("gap").isNotNull)), Seq("n_chars"))
+      .join(broadcast(srcs.select(col("source").as("source_a"), col("ns").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(srcs.select(col("source").as("source_b"), col("ns").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        (abs(col("ca").cast(dec) * col("nb").cast(dec)
+          - col("cb").cast(dec) * col("na").cast(dec)) * col("gap").cast(dec))
+          .as("term"))
+      .groupBy(col("source_a"), col("source_b"), col("na"), col("nb"))
+      .agg(sum(col("term")).as("tsum"))
+      .select(col("source_a"), col("source_b"),
+        round(col("tsum").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6).as("w1"))
+      .orderBy("source_a", "source_b")
+  }
+
   def ksSourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val d = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
@@ -1554,6 +1605,7 @@ object CorpusOps {
     "tfidf_cosine_topk"   -> (tfidfCosineTopk _),
     "rrf_fusion"          -> (rrfFusion _),
     "retrieval_tau"       -> (retrievalTau _),
+    "wasserstein_source_pairs" -> (wassersteinSourcePairs _),
     "prf_expansion"       -> (prfExpansion _),
     "retrieval_ndcg"      -> (retrievalNdcg _),
     "hapax_ratio"         -> (hapaxRatio _),
@@ -1626,6 +1678,40 @@ object CorpusOps {
       | GROUP BY t.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact interval terms gap * |ca*nb - cb*na| summed in HUGEINT,
+    // the ks VARCHAR decimal->double route closes each pair
+    "wasserstein_source_pairs" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |pl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        | FROM d GROUP BY 1, 2),
+        |lens AS MATERIALIZED (SELECT n_chars,
+        |  lead(n_chars) OVER (ORDER BY n_chars) - n_chars AS gap
+        | FROM (SELECT DISTINCT n_chars FROM d) t),
+        |srcs AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        | FROM d GROUP BY 1),
+        |cells AS (SELECT s.source, l.n_chars, coalesce(pl.c, 0) AS c
+        | FROM (SELECT n_chars FROM lens) l
+        |  CROSS JOIN (SELECT source FROM srcs) s
+        |  LEFT JOIN pl ON pl.source = s.source AND pl.n_chars = l.n_chars),
+        |cum AS MATERIALIZED (SELECT source, n_chars,
+        |  CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+        | FROM cells),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n_chars, a.cs AS ca, b.cs AS cb
+        | FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source),
+        |terms AS (SELECT source_a, source_b, sa.ns AS na, sb.ns AS nb,
+        |  abs(CAST(ca AS HUGEINT) * sb.ns - CAST(cb AS HUGEINT) * sa.ns)
+        |   * l.gap AS term
+        | FROM pairs JOIN srcs sa ON sa.source = pairs.source_a
+        |  JOIN srcs sb ON sb.source = pairs.source_b
+        |  JOIN lens l ON l.n_chars = pairs.n_chars
+        | WHERE l.gap IS NOT NULL)
+        |SELECT source_a, source_b,
+        | round(CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE)
+        |   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1
+        |FROM terms GROUP BY source_a, source_b, na, nb
+        |ORDER BY source_a, source_b""".stripMargin,
     "ks_source_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         |pl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c

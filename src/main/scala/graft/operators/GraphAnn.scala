@@ -62,10 +62,11 @@ object GraphAnn {
       allowExtrapolated: Boolean = false)
 
   /** Largest shard node count the adaptive parameter curve has been
-    * MEASURED at (SCALING.md: 20k and 100k in r17, 250k in r18); past
-    * it m(n) is extrapolation and [[buildShard]] refuses unless
-    * [[Params.allowExtrapolated]] (or its conf) says otherwise. */
-  val MeasuredMaxShardNodes = 250000L
+    * MEASURED at (SCALING.md: 20k and 100k in r17, 250k in r18, 500k
+    * in the r18 saturation sweep); past it m(n) is extrapolation and
+    * [[buildShard]] refuses unless [[Params.allowExtrapolated]] (or
+    * its conf) says otherwise. */
+  val MeasuredMaxShardNodes = 500000L
 
   /** Conf override for [[Params.allowExtrapolated]], honored by the
     * three build entry points. */
@@ -98,12 +99,29 @@ object GraphAnn {
     * ef=264 holds recall 0.84 — inside the ≥0.80 band — while the 100k
     * anchor's m=24/efC=144/ef=192 degrades to 0.66 at the same size,
     * confirming both the slope and that degree (not beam width) stays
-    * the binding knob. The measured range is now 500..250k; past it
-    * [[buildShard]] REFUSES unless explicitly overridden. */
+    * the binding knob.
+    *
+    * r18 SATURATION at 500k (SCALING.md r18 "500k saturation sweep"):
+    * the log-linear slope does NOT continue — at 500k the 250k-measured
+    * m=33 HOLDS recall 0.87, while the slope-extrapolated m=40/efC=240/
+    * ef=320 measures 0.78 (below the band) at 8% more build time:
+    * past m≈33 the extra degree buys hub-dense neighborhoods that
+    * dilute the fixed-ratio beam instead of extending reach. The curve
+    * therefore CAPS at the measured m=33 ([[AdaptiveMCap]]) — growth to
+    * 250k is measured, the plateau from 250k to 500k is measured, and
+    * past [[MeasuredMaxShardNodes]] (500k) [[buildShard]] REFUSES
+    * unless explicitly overridden (on geometry whose cluster count
+    * grows with corpus size the demand could resume growing — the
+    * refusal is what keeps that assumption visible). */
   def adaptiveM(nodesPerShard: Long): Int = {
     val lg = math.log(math.max(2L, nodesPerShard).toDouble) / math.log(2.0)
-    math.max(8, math.round(6.9 * (lg - 14.2877) + 8.0).toInt)
+    math.min(AdaptiveMCap,
+      math.max(8, math.round(6.9 * (lg - 14.2877) + 8.0).toInt))
   }
+
+  /** Degree demand saturates at the 250k-measured m — see [[adaptiveM]]
+    * (500k: m=33 → 0.87 recall, extrapolated m=40 → 0.78). */
+  val AdaptiveMCap = 33
 
   /** [[Params]] derived from the expected shard node count along the
     * measured envelope — what a 100 TB deployment that shards by memory

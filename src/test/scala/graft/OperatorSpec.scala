@@ -2684,6 +2684,75 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(r.getLong(0) == total)
   }
 
+  private def dailyCountsLocal(): Seq[(Long, Long)] =
+    graft.model.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .groupBy("d").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("wasserstein_source_pairs matches a BigInt brute-force W1 on a sampled pair") {
+    val rows = CorpusOps.wassersteinSourcePairs(spark, sf).collect()
+    val srcs = graft.model.Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2)
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    // exact recompute for the lexicographically first pair
+    val (sa, sb) = (srcs(0), srcs(1))
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val lens = docs.map(_._2).distinct.sorted
+    def ecdfCounts(s: String) = {
+      val by = docs.filter(_._1 == s).groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+      lens.scanLeft(0L)((acc, l) => acc + by.getOrElse(l, 0L)).tail
+    }
+    val (ca, cb) = (ecdfCounts(sa), ecdfCounts(sb))
+    val (na, nb) = (docs.count(_._1 == sa).toLong, docs.count(_._1 == sb).toLong)
+    val tsum = lens.zip(lens.tail).zipWithIndex.map { case ((l0, l1), i) =>
+      BigInt(l1 - l0) * (BigInt(ca(i)) * nb - BigInt(cb(i)) * na).abs
+    }.sum
+    val want = (BigDecimal(tsum) / (BigDecimal(na) * BigDecimal(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(r => r.getString(0) == sa && r.getString(1) == sb).get.getDouble(2)
+    assert(math.abs(got - want) < 2e-6, s"w1($sa,$sb) = $got, want $want")
+  }
+
+  test("seasonal_decompose recovers the exact per-weekday means of the daily series") {
+    val daily = dailyCountsLocal()
+    val rows = AnalyticOps.seasonalDecompose(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == daily.length)
+    val byDow = daily.groupBy { case (d, _) => ((d + 3) % 7).toInt }
+    rows.foreach { r =>
+      val dow = r.getLong(0).toInt
+      val cnts = byDow(dow).map(_._2)
+      val mean = cnts.sum.toDouble / cnts.length
+      assert(math.abs(r.getDouble(2) - mean) < 1e-5, s"dow $dow mean")
+      val mar = cnts.map(c => math.abs(c * cnts.length - cnts.sum)).sum.toDouble /
+        (cnts.length.toLong * cnts.length)
+      assert(math.abs(r.getDouble(3) - mar) < 1e-5, s"dow $dow resid")
+    }
+  }
+
+  test("binseg_split finds the argmax between-segment statistic") {
+    val daily = dailyCountsLocal()
+    val n = daily.length.toLong
+    val s = daily.map(_._2).sum
+    var sl = 0L
+    val cand = daily.zipWithIndex.flatMap { case ((d, c), i) =>
+      sl += c
+      val k = i + 1L
+      if (k >= 2 && k <= n - 2) {
+        val diff = (sl * n - s * k).toDouble
+        Some((d, k, diff * diff / (k.toDouble * (n - k).toDouble)))
+      } else None
+    }
+    val best = cand.maxBy { case (d, _, st) => (st, -d) }
+    val r = AnalyticOps.binsegSplit(spark, sf).head()
+    assert(r.getLong(0) == best._1, "split day")
+    assert(r.getLong(1) == best._2 && r.getLong(2) == n - best._2)
+    assert(math.abs(r.getDouble(5) - best._3) < math.max(1e-6, best._3 * 1e-9))
+  }
+
   test("prf_expansion proposes non-query terms present in the relevant docs") {
     val exp = CorpusOps.prfExpansion(spark, sf).collect()
     assert(exp.nonEmpty && exp.length <= 20)

@@ -24,7 +24,10 @@ object AdaptiveProbe {
       .map { case (id, v) => (-v.zip(pv).map { case (a, b) => a * b }.sum, id) }
       .sorted.take(10).map(_._2).toSet
     val truth = probes.map { case (p, v) => p -> exact(p, v) }.toMap
-    val p = GraphAnn.Params(m = m, efConstruction = efC, efSearch = ef, nShards = 1)
+    // the probe IS the envelope measurement, so it opts into
+    // extrapolated parameters explicitly (the refusal's escape hatch)
+    val p = GraphAnn.Params(m = m, efConstruction = efC, efSearch = ef,
+      nShards = 1, allowExtrapolated = true)
     val t0 = System.nanoTime()
     val idx = GraphAnn.buildIndex(vecsDf, p).cache(); idx.count()
     val build = (System.nanoTime() - t0) / 1e9

@@ -333,7 +333,12 @@ class GraphAnnSpec extends AnyFunSuite with SparkTest {
     assert(GraphAnn.adaptiveM(250000L) == 33) // r18: measured 0.84 recall
     // ... where the 100k anchor's m=24 measured 0.66 at 250k — the slope
     // is load-bearing, not a safety margin
-    assert(GraphAnn.adaptiveM(1000000L) >= 40) // keeps growing with log n
+    // r18 saturation sweep: at 500k the slope's m=40 measured 0.78
+    // (below the band) while m=33 held 0.87 — the curve caps at the
+    // measured m and never exceeds it, however large the shard claims
+    assert(GraphAnn.adaptiveM(500000L) == GraphAnn.AdaptiveMCap)
+    assert(GraphAnn.adaptiveM(1000000L) == GraphAnn.AdaptiveMCap)
+    assert(GraphAnn.AdaptiveMCap == 33)
     // monotone non-decreasing — a bigger shard never derives a smaller m
     val ms = Seq(1000L, 5000L, 20000L, 50000L, 100000L, 500000L, 1000000L)
       .map(GraphAnn.adaptiveM)
