@@ -574,8 +574,10 @@ object CorpusOps {
     * broadcast; term selection is a TakeOrderedAndProject
     * (per-partition heaps), not a global sort; the final top-k
     * likewise. */
-  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
-    bm25From(spark, sfDir, tfBase(spark, sfDir))
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val tfb = tfBase(spark, sfDir)
+    bm25From(spark, sfDir, tfb, dfShared(tfb))
+  }
 
   /** The one persisted TERM-FREQUENCY base the retrieval family shares
     * ([[bm25Topk]], [[tfidfCosineTopk]], [[rrfFusion]] (which feeds BOTH
@@ -614,14 +616,40 @@ object CorpusOps {
     tf
   }
 
-  private def bm25From(spark: SparkSession, sfDir: String, tfb: DataFrame): DataFrame = {
+  /** Per-token document frequency off the shared [[tfBase]] — one
+    * map-combined count (tf rows are unique per (doc, token), so a plain
+    * count ≡ the count_distinct it replaced). Extracted in the r18
+    * optimization round so every retrieval entry point computes it ONCE
+    * and persists it ([[dfShared]]): the old shape re-aggregated the tf
+    * base for df/idf/terms inside each ranker — three to four identical
+    * corpus-wide aggregate subtrees per combined query (guide §2.4:
+    * operations keyed the same way should share one exchange; these now
+    * share the materialized result outright). */
+  private def dfOf(tfb: DataFrame): DataFrame =
+    tfb.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /** The derived mid-df query terms off a df frame — shared by every
+    * retrieval entry point (TakeOrderedAndProject, never a global sort). */
+  private def termsOf(dfv: DataFrame): DataFrame =
+    dfv.orderBy(col("df").desc, col("token"))
+      .offset(Bm25TermOffset).limit(Bm25Terms)
+
+  /** Persist + materialize the df frame for one retrieval query —
+    * vocab-sized (bounded by distinct tokens), far smaller than the tf
+    * base it reduces; every ranker subtree then reads the one cached
+    * copy instead of re-running the token-keyed aggregate. */
+  private def dfShared(tfb: DataFrame): DataFrame = {
+    val dfv = dfOf(tfb).persist().transform(graft.api.Caches.tracked)
+    dfv.count()
+    dfv
+  }
+
+  private def bm25From(spark: SparkSession, sfDir: String, tfb: DataFrame,
+      dfv: DataFrame): DataFrame = {
     // every statistic derives from the pre-reduced tf base: df is a
     // plain count (tf rows are unique per (doc, token)), dl a sum of
     // exact integer tfs — value-identical to the raw-stream aggregates
-    val dfv = tfb.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val terms = dfv.orderBy(col("df").desc, col("token"))
-      .offset(Bm25TermOffset).limit(Bm25Terms)
+    val terms = termsOf(dfv)
     val dl = tfb.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val dlStats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("ndl"))
@@ -640,10 +668,25 @@ object CorpusOps {
           (col("tf").cast("double") +
             lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)), 6)
           .cast(DecimalType(18, 6)).as("c"))
-    contrib.groupBy(col("doc_id"))
+    // Top-k via two-phase rank FILTERS, not orderBy().limit() — the
+    // denseFrom tail's AQE-replanning hazard reproduced HERE the moment
+    // the df frame became a second cached relation in this tree (r18
+    // optimization round: the write path returned the whole scored
+    // corpus, 497 rows at sf0.01, with the fused sort+limit dropped).
+    // Row-number filters survive replanning; the salted local phase
+    // bounds the global window input to ≤ 16·k rows.
+    val scored = contrib.groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("double").as("bm25"))
+    val local = Window.partitionBy(pmod(col("doc_id"), lit(16L)))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(Bm25TopK)
+    val global = Window.orderBy(col("bm25").desc, col("doc_id"))
+    scored
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= Bm25TopK)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
   }
 
   // ------------------------------------------- dense retrieval + fusion
@@ -669,35 +712,44 @@ object CorpusOps {
     * sides token-keyed — never a broadcast of the vocabulary); the
     * 5-term query and the two 1-row norms broadcast; both top-k cuts
     * are TakeOrderedAndProject. */
-  def tfidfCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
-    denseFrom(spark, sfDir, tfBase(spark, sfDir))
+  def tfidfCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val tfb = tfBase(spark, sfDir)
+    denseFrom(spark, sfDir, tfb, dfShared(tfb))
+  }
 
-  private def denseFrom(spark: SparkSession, sfDir: String, tfb: DataFrame): DataFrame = {
-    // df from the pre-reduced base (bm25From's derivation note applies)
-    val dfv = tfb.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
+  private def denseFrom(spark: SparkSession, sfDir: String, tfb: DataFrame,
+      dfv: DataFrame): DataFrame = {
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val idf = dfv.crossJoin(broadcast(nDocs))
       .select(col("token"),
         (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0)
           .as("idf"))
-    val terms = dfv.orderBy(col("df").desc, col("token"))
-      .offset(Bm25TermOffset).limit(Bm25Terms)
-    val w = tfb.join(idf, Seq("token"))
-      .select(col("doc_id"), col("token"),
-        (col("tf").cast("double") * col("idf")).as("w"))
-    val n2d = w.select(col("doc_id"),
-        round(col("w") * col("w"), 6).cast(DecimalType(18, 6)).as("w2"))
-      .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2d"))
+    val terms = termsOf(dfv)
     val qw = idf.join(broadcast(terms.select(col("token"))), Seq("token"))
     val n2q = qw.select(round(col("idf") * col("idf"), 6)
         .cast(DecimalType(18, 6)).as("q2"))
       .agg(sum(col("q2")).as("n2q"))
-    val dot = w.join(broadcast(qw.withColumnRenamed("idf", "qidf")), Seq("token"))
+    // ONE doc-keyed aggregate computes BOTH the doc norm and the query
+    // dot product (r18 optimization round): the old shape aggregated the
+    // weighted table twice (n2d, dot) and joined the two aggregates back
+    // together — two corpus-wide doc-keyed exchanges plus a SortMergeJoin
+    // where one exchange suffices (guide §2.4). The query-term weight
+    // rides in via a left-outer broadcast of the ≤[[Bm25Terms]]-row qw
+    // list: round(w·NULL, 6) is NULL and the decimal SUM skips NULLs, so
+    // `dot` is bit-identical to the old inner-join sum, and docs with no
+    // query term surface as NULL dot — exactly the rows the old inner
+    // join dropped (the filter below). n2d sums the identical row set
+    // (the left-outer preserves every weighted row; qw tokens are unique
+    // so no row duplicates).
+    val scored = tfb.join(idf, Seq("token"))
+      .join(broadcast(qw.select(col("token"), col("idf").as("qidf"))),
+        Seq("token"), "left_outer")
       .select(col("doc_id"),
-        round(col("w") * col("qidf"), 6).cast(DecimalType(18, 6)).as("d"))
-      .groupBy(col("doc_id")).agg(sum(col("d")).as("dot"))
-    val scored = dot.join(n2d, Seq("doc_id"))
+        (col("tf").cast("double") * col("idf")).as("w"), col("qidf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(col("w") * col("w"), 6).cast(DecimalType(18, 6))).as("n2d"),
+        sum(round(col("w") * col("qidf"), 6).cast(DecimalType(18, 6))).as("dot"))
+      .filter(col("dot").isNotNull)
       .crossJoin(broadcast(n2q))
       .select(col("doc_id"),
         round(col("dot").cast("double") /
@@ -735,11 +787,12 @@ object CorpusOps {
     * and round-6, doc_id tie-broken. */
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tfBase(spark, sfDir)
+    val dfv = dfShared(toks)
     val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
     val wb = Window.orderBy(col("cos").desc, col("doc_id"))
-    val a = bm25From(spark, sfDir, toks)
+    val a = bm25From(spark, sfDir, toks, dfv)
       .withColumn("ra", row_number().over(wa)).select("doc_id", "ra")
-    val b = denseFrom(spark, sfDir, toks)
+    val b = denseFrom(spark, sfDir, toks, dfv)
       .withColumn("rb", row_number().over(wb)).select("doc_id", "rb")
     val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
     a.join(b, Seq("doc_id"), "full_outer")
@@ -779,12 +832,13 @@ object CorpusOps {
     * ≤ k² pair rows — metadata at any corpus size. */
   def retrievalTau(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tfBase(spark, sfDir)
+    val dfv = dfShared(toks)
     val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
     val wb = Window.orderBy(col("cos").desc, col("doc_id"))
-    val a = bm25From(spark, sfDir, toks)
+    val a = bm25From(spark, sfDir, toks, dfv)
       .withColumn("ra", row_number().over(wa).cast("long"))
       .select(col("doc_id"), col("ra"))
-    val b = denseFrom(spark, sfDir, toks)
+    val b = denseFrom(spark, sfDir, toks, dfv)
       .withColumn("rb", row_number().over(wb).cast("long"))
       .select(col("doc_id"), col("rb"))
     val common = a.join(b, "doc_id")
@@ -825,10 +879,17 @@ object CorpusOps {
     * TakeOrderedAndProject. */
   def prfExpansion(spark: SparkSession, sfDir: String): DataFrame = {
     val tfb = tfBase(spark, sfDir)
-    val dfv = tfb.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val terms = dfv.orderBy(col("df").desc, col("token"))
-      .offset(Bm25TermOffset).limit(Bm25Terms)
-    val rel = bm25From(spark, sfDir, tfb).limit(PrfRelDocs).select(col("doc_id"))
+    val dfv = dfShared(tfb)
+    val terms = termsOf(dfv)
+    // rank-filter, not limit(): the bm25 head feeds broadcast joins, and
+    // a bare limit over the replanned cached-base tree rides the same
+    // AQE hazard as the bm25/denseFrom tails; the window input is ≤ 20
+    // rows (bm25From's own top-k)
+    val wrel = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val rel = bm25From(spark, sfDir, tfb, dfv)
+      .withColumn("rk", row_number().over(wrel))
+      .filter(col("rk") <= PrfRelDocs)
+      .select(col("doc_id"))
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val idf = dfv.crossJoin(broadcast(nDocs))
       .select(col("token"),
@@ -842,8 +903,18 @@ object CorpusOps {
           .cast(DecimalType(18, 6)).as("wc"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_rel_docs"), sum(col("wc")).cast("double").as("rocchio"))
+      // two-phase rank filters (the bm25From tail's hazard note): the
+      // candidate-token frame is bounded by 10 docs' vocabulary, and the
+      // salted local phase caps the global window at ≤ 16·k rows
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(pmod(xxhash64(col("token")), lit(16L)))
+          .orderBy(col("rocchio").desc, col("token"))))
+      .filter(col("lrn") <= PrfTerms)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rocchio").desc, col("token"))))
+      .filter(col("rk") <= PrfTerms)
+      .select(col("token"), col("n_rel_docs"), col("rocchio"))
       .orderBy(col("rocchio").desc, col("token"))
-      .limit(PrfTerms)
   }
 
   /** NDCG@k agreement between the two retrieval stacks — the
@@ -864,12 +935,13 @@ object CorpusOps {
     * rankers', already priced. */
   def retrievalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
     val tfb = tfBase(spark, sfDir)
+    val dfv = dfShared(tfb)
     val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
     val wb = Window.orderBy(col("cos").desc, col("doc_id"))
-    val a = bm25From(spark, sfDir, tfb)
+    val a = bm25From(spark, sfDir, tfb, dfv)
       .withColumn("ra", row_number().over(wa).cast("long"))
       .select(col("doc_id"), col("ra"))
-    val b = denseFrom(spark, sfDir, tfb)
+    val b = denseFrom(spark, sfDir, tfb, dfv)
       .withColumn("rb", row_number().over(wb).cast("long"))
       .select(col("doc_id"), col("rb"))
     val ln2 = log(lit(2.0))
