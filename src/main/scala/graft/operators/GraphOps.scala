@@ -86,6 +86,13 @@ object GraphOps {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      // persisted PRE-PARTITIONED on the per-round join key (r18
+      // optimization round, guide §2.4): every fixpoint round joins
+      // edges⋈labels on src, and the cached hashpartitioning(src)
+      // satisfies that distribution — one build-time exchange replaces
+      // one edge-list exchange per round (the distinct's (src, dst)
+      // partitioning never matched the src-only join key)
+      .repartition(col("src"))
       .persist().transform(graft.api.Caches.tracked)
     val edgeCount = edges.count()
     val localMax = graft.api.GraftConfig.getLong(pairs.sparkSession,
@@ -275,9 +282,16 @@ object GraphOps {
     // rank⋈outdeg⋈edge (one fewer shuffle join per iteration; on a
     // cluster the persisted edge partitioning is also reused verbatim
     // every round)
+    // persisted PRE-PARTITIONED on the per-round join key (r18
+    // optimization round, guide §2.4): the cached hashpartitioning(
+    // edge_src) satisfies the rank⋈edge join's distribution every
+    // iteration, so each round shuffles only the (node, rank) frame —
+    // one build-time exchange replaces one edge-list exchange per
+    // iteration
     val edgesDeg = edges
       .join(outdeg, col("src") === col("deg_node"))
       .select(col("src").as("edge_src"), col("dst"), col("outdeg"))
+      .repartition(col("edge_src"))
       .persist().transform(graft.api.Caches.tracked)
     edgesDeg.count()
     val nodes = edges.select(col("src").as("node_id")).distinct().persist().transform(graft.api.Caches.tracked)
@@ -288,13 +302,17 @@ object GraphOps {
       val contrib = pr
         .join(edgesDeg, col("node_id") === col("edge_src"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
-      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        .select(col("dst").as("sum_node"), col("s"))
-      pr = truncate(nodes
-        .join(sums, col("node_id") === col("sum_node"), "left_outer")
+      // The edge list is symmetric by construction (und ∪ reversed und),
+      // so EVERY node appears as a dst and receives ≥1 contribution:
+      // the old per-iteration `nodes LEFT JOIN sums` was row-for-row the
+      // identity (no null `s` can exist) — one redundant shuffle join per
+      // iteration removed (r18 optimization round, guide §2.4). The
+      // oracle still states the LEFT JOIN form; values are identical
+      // because the join never manufactured a row.
+      pr = truncate(contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .crossJoin(broadcast(nA))
-        .select(col("node_id"),
-          expr("150000000000L DIV n + (85 * coalesce(s, 0L)) DIV 100").as("pr")))
+        .select(col("dst").as("node_id"),
+          expr("150000000000L DIV n + (85 * s) DIV 100").as("pr")))
     }
     pr.select(col("node_id"),
         when(col("node_id") % 2 === 0, "part").otherwise("supp").as("kind"),
@@ -351,9 +369,15 @@ object GraphOps {
     // destination order key rides along so the wedge join can order its
     // two legs without another degree join; eager persist — the wedge
     // self-join consumes ek twice in one job
+    // persisted PRE-PARTITIONED on the wedge join key `u` (r18
+    // optimization round, guide §2.4): the wedge enumeration self-joins
+    // ek on u, and the cached hashpartitioning(u) satisfies BOTH sides'
+    // required distribution — the wedge join runs exchange-free instead
+    // of shuffling the oriented edge list into it
     val ek = oriented
       .join(deg.select(col("node").as("nv"), col("deg").as("vdeg")), col("nv") === col("v"))
       .select(col("u"), col("v"), col("vdeg"))
+      .repartition(col("u"))
       .persist().transform(graft.api.Caches.tracked)
     ek.count()
     val legOrder = col("e1.vdeg") < col("e2.vdeg") ||
@@ -412,17 +436,30 @@ object GraphOps {
       nodes: DataFrame, rounds: Int = LpaRounds): DataFrame = {
     val pairs = pairsIn.persist().transform(graft.api.Caches.tracked)
     pairs.count()
+    // The directed edge list is static across rounds: persist it
+    // PRE-PARTITIONED on the join key `u` (r18 optimization round,
+    // guide §2.4 — the pagerank/CC discipline), so each round's
+    // edge⋈label join shuffles only the label frame, never the 2|E|
+    // edge rows again.
     val ed = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
       .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .repartition(col("u"))
+      .persist().transform(graft.api.Caches.tracked)
+    ed.count()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
       val nb = ed.join(labels.select(col("node").as("u"), col("lbl").as("ulbl")),
           Seq("u"))
         .groupBy(col("v"), col("ulbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("ulbl"))
-      val best = nb.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v").as("node"), col("ulbl").as("nlbl"))
+      // rank-1 as a MIN-STRUCT aggregate, not a row_number window (r18
+      // optimization round): min(struct(-c, ulbl)) is exactly "count
+      // desc, label asc" — the same winner per node — but it partial-
+      // aggregates map-side and never sorts whole partitions, where the
+      // window paid a second exchange (v vs the groupBy's (v, ulbl))
+      // PLUS a per-partition sort every round.
+      val best = nb.groupBy(col("v").as("node"))
+        .agg(min(struct((col("c") * -1).as("negc"), col("ulbl"))).as("s"))
+        .select(col("node"), col("s.ulbl").as("nlbl"))
       labels = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .transform(truncate)
