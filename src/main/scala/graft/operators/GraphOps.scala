@@ -309,10 +309,18 @@ object GraphOps {
       // iteration removed (r18 optimization round, guide §2.4). The
       // oracle still states the LEFT JOIN form; values are identical
       // because the join never manufactured a row.
-      pr = truncate(contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // NO per-iteration truncate (r18 optimization round): the
+      // exponential-plan-growth hazard that forces eager checkpoints in
+      // the CC/LPA/k-core loops comes from MULTI-reference rounds (the
+      // round's frame consumed twice nests its plan twice); pagerank's
+      // rank frame is consumed exactly ONCE per iteration, so the
+      // un-truncated plan is depth-linear in the FIXED 3 iterations and
+      // the whole fixpoint runs as one job — three intermediate
+      // materialization jobs (32 block-writes each) removed.
+      pr = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .crossJoin(broadcast(nA))
         .select(col("dst").as("node_id"),
-          expr("150000000000L DIV n + (85 * s) DIV 100").as("pr")))
+          expr("150000000000L DIV n + (85 * s) DIV 100").as("pr"))
     }
     pr.select(col("node_id"),
         when(col("node_id") % 2 === 0, "part").otherwise("supp").as("kind"),
