@@ -97,8 +97,23 @@ object Bench {
     // per-query stdout line is unparsable no matter the float precision
     // (that truncation broke the bench artifact seven rounds running).
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-      s""""errors":$errs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      s""""cpus":"$cpus","errors":$errs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
+    // r19 (PERF_r18 n_common=0 fix): ALSO write a per-core-count copy of
+    // the detail file. BENCH_LAST.json is overwritten by every run — the
+    // driver's low-core scaling run was clobbering the main run's
+    // per-query map, leaving the round-over-round perf comparison with no
+    // per-query data. BENCH_LAST_c<cpus>.json survives runs at other core
+    // counts, so both the c32 and c8 per-query maps outlive the session
+    // (and get committed as round artifacts). Stdout contract unchanged.
+    val detailCopy = {
+      val p = Paths.get(outPath)
+      val name = p.getFileName.toString
+      val base = if (name.endsWith(".json")) name.dropRight(5) else name
+      p.resolveSibling(s"${base}_c$cpus.json")
+    }
+    try Files.writeString(detailCopy, full + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     // The LAST stdout line is a compact summary (~120 chars) that can
     // never outgrow the tail capture; it names the file holding the

@@ -30,8 +30,13 @@ object SparkEntry {
       TextOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       PipelineOps.queries ++ CorpusOps.queries ++ MiningOps.queries ++
       GraphOps.queries).map { case (name, fn) =>
-      name -> ((s: SparkSession, dir: String) =>
-        graft.api.Caches.scoped(s)(fn(s, dir)))
+      name -> ((s: SparkSession, dir: String) => {
+        // r19: exclude EliminateLimits/OptimizeOneRowPlan from AQE's
+        // re-optimizer before any query builds — see api.AqeGuards for the
+        // wrong-results hazard this closes (idempotent, once per session).
+        graft.api.AqeGuards(s)
+        graft.api.Caches.scoped(s)(fn(s, dir))
+      })
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -596,15 +596,91 @@ object AnalyticOps {
     * defends the hash. */
   private[graft] val ZscoreWindow = 50
 
-  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
+  /** Rows per parallel chunk in [[anomalyZscoreChunked]] — must stay
+    * ≥ [[ZscoreWindow]] so a row's trailing frame never reaches past the
+    * immediately-preceding chunk's duplicated tail. SF-independent: the
+    * number of chunks (= parallelism) grows with the data. */
+  private[graft] val ZscoreChunk = 4096
+
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyZscoreChunked(Tables.events(spark, sfDir))
+
+  /** Chunked-overlap trailing z-score (r19 optimization round, guide
+    * §2.5/§2.6): the plain formulation windows over
+    * `partitionBy(event_type)` — 5 distinct types at ANY scale, so the
+    * expensive sliding decimal-sum pass had a hard 5-way parallelism
+    * ceiling (a true 100 TB scale-killer). This form computes the same
+    * frames with per-type work bounded by [[ZscoreChunk]]:
+    *
+    *  1. global per-type row numbers WITHOUT a per-type data pass:
+    *     rows bucket by hour (order-aligned coarse prefix of the
+    *     (ts, event_id) sort key), rank within (type, bucket) in
+    *     parallel, and add per-bucket offsets prefix-summed over the
+    *     metadata-sized (type, bucket, count) table;
+    *  2. each row maps to chunk `(rn-1) DIV chunk`, and each chunk's
+    *     last [[ZscoreWindow]] rows are DUPLICATED into the next chunk
+    *     (flagged `dup`) so every row's trailing frame is complete
+    *     inside its own (type, chunk) partition;
+    *  3. the sliding aggregates run per (type, chunk) — parallelism =
+    *     types × chunks — and `dup` rows are dropped after.
+    *
+    * EXACT-equal to the plain window by construction: a row at global
+    * per-type position rn > chunk-start has exactly its previous
+    * [[ZscoreWindow]] rows present and identically (ts, event_id)-ordered
+    * in its partition (chunk rows + the duplicated tail), so every frame
+    * is the same row multiset in the same order — decimal sums are
+    * order-exact anyway — and first-chunk rows see the same short frames
+    * the plain form sees (the n = [[ZscoreWindow]] filter then keeps the
+    * identical set). AnalyticOpsSpec pins equality against the plain
+    * window form; the DuckDB oracle still states the plain form.
+    *
+    * Determinism of the numeric chain is unchanged (same formula text —
+    * see the r18 notes in git history). */
+  private[graft] def anomalyZscoreChunked(events: DataFrame,
+      chunk: Int = ZscoreChunk): DataFrame = {
+    require(chunk >= ZscoreWindow,
+      s"chunk ($chunk) must be >= ZscoreWindow ($ZscoreWindow)")
+    val v = col("value").cast(Dec)
+    // project early (guide §2.3): the plain form shuffled every events
+    // column (including the JSON props payload) through its window
+    // exchange; only these four are ever read downstream
+    val ev = events.select(col("event_id"), col("event_type"), col("value"),
+      col("ts"), expr("unix_timestamp(ts) DIV 3600").as("bb"))
+    // per-(type, bucket) row counts — metadata-sized (types × hours)
+    val counts = ev.groupBy(col("event_type"), col("bb"))
+      .agg(count(lit(1)).as("bcnt"))
+    // per-type prefix sum over the BUCKET table (sequential only over
+    // metadata rows, never over events)
+    val woff = Window.partitionBy(col("event_type")).orderBy(col("bb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("bcnt")).over(woff), lit(0L)))
+      .select(col("event_type"), col("bb"), col("off"))
+    // parallel within-bucket rank + broadcast offset = global per-type rn
+    val wrank = Window.partitionBy(col("event_type"), col("bb"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev
+      .withColumn("lrn", row_number().over(wrank).cast("long"))
+      .join(broadcast(offsets), Seq("event_type", "bb"))
+      .withColumn("rn", col("off") + col("lrn"))
+    // one pass assigns each row its chunk, exploding ONLY chunk-tail rows
+    // into their (chunk, dup=false) + (chunk+1, dup=true) copies
+    val chunkC = expr(s"(rn - 1) DIV $chunk")
+    val isTail = expr(s"(rn - 1) % $chunk >= ${chunk - ZscoreWindow}")
+    val assigned = ranked.withColumn("cd", explode(when(isTail,
+        array(struct(chunkC.as("chunk"), lit(false).as("dup")),
+          struct((chunkC + 1).as("chunk"), lit(true).as("dup"))))
+      .otherwise(array(struct(chunkC.as("chunk"), lit(false).as("dup"))))))
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"),
+        col("cd.chunk").as("chunk"), col("cd.dup").as("dup"))
+    val w = Window.partitionBy(col("event_type"), col("chunk"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-ZscoreWindow, -1)
-    val v = col("value").cast(Dec)
-    Tables.events(spark, sfDir)
+    assigned
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum(v).over(w).cast("double"))
       .withColumn("s2", sum(v * v).over(w).cast("double"))
+      .filter(!col("dup"))
       .filter(col("n") === ZscoreWindow) // full frames only: stable baseline
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("variance",
@@ -614,6 +690,30 @@ object AnalyticOps {
       // sqrt would yield NaN (row silently dropped) while DuckDB ERRORS
       // on sqrt(<0). Guard both engines with the same double compare: a
       // zero-variance frame has no defined z-score anyway.
+      .filter(col("variance") > 1e-12)
+      .withColumn("z",
+        (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean"), 6).as("mean"), round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** The pre-r19 plain per-type trailing window — kept as the spec's
+    * equality reference for [[anomalyZscoreChunked]] (not a query key). */
+  private[graft] def anomalyZscorePlain(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-ZscoreWindow, -1)
+    val v = col("value").cast(Dec)
+    events
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(v).over(w).cast("double"))
+      .withColumn("s2", sum(v * v).over(w).cast("double"))
+      .filter(col("n") === ZscoreWindow)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
       .filter(col("variance") > 1e-12)
       .withColumn("z",
         (col("value") - col("mean")) / sqrt(col("variance")))

@@ -606,13 +606,20 @@ object CorpusOps {
     * so cached and rebuilt bases are bit-identical; flag off (the oracle
     * default) keeps the per-query self-contained plan. */
   private def tfBase(spark: SparkSession, sfDir: String): DataFrame = {
+    // every retrieval query ends in a fused sort+limit over this cached
+    // base — the exact AQE replanning hazard shape; guard even when the
+    // caller bypasses SparkEntry (specs, direct library use)
+    graft.api.AqeGuards(spark)
     val tf = graft.api.KernelCache.getOrBuild(spark, s"tf:$sfDir",
         TextOps.normed(spark, sfDir)
           .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf")))
       .persist().transform(graft.api.Caches.tracked)
-    tf.count()
+    // NO eager count (r19 job-floor audit, VERDICT r18 item 4): every
+    // retrieval entry point immediately builds dfShared, whose OWN eager
+    // count reads this frame exactly once and so populates both caches in
+    // one job — the separate tf materialization job was pure overhead.
     tf
   }
 
@@ -668,25 +675,17 @@ object CorpusOps {
           (col("tf").cast("double") +
             lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)), 6)
           .cast(DecimalType(18, 6)).as("c"))
-    // Top-k via two-phase rank FILTERS, not orderBy().limit() — the
-    // denseFrom tail's AQE-replanning hazard reproduced HERE the moment
-    // the df frame became a second cached relation in this tree (r18
-    // optimization round: the write path returned the whole scored
-    // corpus, 497 rows at sf0.01, with the fused sort+limit dropped).
-    // Row-number filters survive replanning; the salted local phase
-    // bounds the global window input to ≤ 16·k rows.
-    val scored = contrib.groupBy(col("doc_id"))
+    // Single-pass top-k (TakeOrderedAndProject — per-partition heaps, no
+    // window exchange). The r18 two-phase rank-filter workaround here was
+    // protecting against the AQE replanning hazard (EliminateLimits
+    // deleting the fused sort+limit over the cached-base tree); r19
+    // root-caused that and excludes the rule from the AQE re-optimizer at
+    // the session level (api.AqeGuards), so the limit can never be
+    // dropped and the cheap fused form is safe again.
+    contrib.groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("double").as("bm25"))
-    val local = Window.partitionBy(pmod(col("doc_id"), lit(16L)))
       .orderBy(col("bm25").desc, col("doc_id"))
-    val global = Window.orderBy(col("bm25").desc, col("doc_id"))
-    scored
-      .withColumn("lrn", row_number().over(local))
-      .filter(col("lrn") <= Bm25TopK)
-      .withColumn("rk", row_number().over(global))
-      .filter(col("rk") <= Bm25TopK)
-      .select(col("doc_id"), col("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
   }
 
   // ------------------------------------------- dense retrieval + fusion
@@ -755,24 +754,16 @@ object CorpusOps {
         round(col("dot").cast("double") /
           (sqrt(col("n2d").cast("double")) * sqrt(col("n2q").cast("double"))), 6)
           .as("cos"))
-    // Top-k via two-phase rank FILTERS, not orderBy().limit(): on this
-    // plan (TakeOrderedAndProject over a cached-base multi-stage join
-    // tree) AQE's replanning DROPPED the fused sort+limit on the
-    // collect/write path — count() saw 20 rows, collect() saw the whole
-    // corpus (reproduced deterministically; AQE off, or this rank-filter
-    // shape, is correct). Row-number filters survive replanning, and the
-    // salted local phase keeps the pattern scale-safe: the global window
-    // sees ≤ salts × k rows.
-    val local = Window.partitionBy(pmod(col("doc_id"), lit(16L)))
-      .orderBy(col("cos").desc, col("doc_id"))
-    val global = Window.orderBy(col("cos").desc, col("doc_id"))
+    // Single-pass top-k (TakeOrderedAndProject). This tail is where the
+    // round-10 AQE replanning hazard was first caught (count() saw 20,
+    // collect() saw the whole corpus); r19 root-caused it — AQE's
+    // re-optimizer re-running EliminateLimits over LogicalQueryStage
+    // maxRows — and closes it session-wide (api.AqeGuards), so the fused
+    // sort+limit replaces the two-phase rank-filter workaround and its
+    // two window exchanges.
     scored
-      .withColumn("lrn", row_number().over(local))
-      .filter(col("lrn") <= DenseTopK)
-      .withColumn("rk", row_number().over(global))
-      .filter(col("rk") <= DenseTopK)
-      .select(col("doc_id"), col("cos"))
       .orderBy(col("cos").desc, col("doc_id"))
+      .limit(DenseTopK)
   }
 
   /** Reciprocal-rank fusion (Cormack et al.) of the lexical
@@ -794,17 +785,14 @@ object CorpusOps {
       .withColumn("ra", row_number().over(wa)).select("doc_id", "ra")
     val b = denseFrom(spark, sfDir, toks, dfv)
       .withColumn("rb", row_number().over(wb)).select("doc_id", "rb")
-    val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)), 6).as("rrf"))
-      // rank filter, not orderBy().limit() — same AQE-replanning hazard
-      // as denseFrom's tail; the window input is ≤ 40 fused rows
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= 10)
-      .select(col("doc_id"), col("rrf"))
+      // fused sort+limit is safe again under the AqeGuards rule exclusion
+      // (r19) — one TakeOrdered over ≤ 40 fused rows, no window exchange
       .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** Tau derivation — ONE string for both engines over exact integer
@@ -881,14 +869,12 @@ object CorpusOps {
     val tfb = tfBase(spark, sfDir)
     val dfv = dfShared(tfb)
     val terms = termsOf(dfv)
-    // rank-filter, not limit(): the bm25 head feeds broadcast joins, and
-    // a bare limit over the replanned cached-base tree rides the same
-    // AQE hazard as the bm25/denseFrom tails; the window input is ≤ 20
-    // rows (bm25From's own top-k)
-    val wrel = Window.orderBy(col("bm25").desc, col("doc_id"))
+    // bm25From's result is already (bm25 desc, doc_id)-ordered by its
+    // fused top-k; the head cut is another fused limit — safe under the
+    // AqeGuards rule exclusion (r19), no window pass over the 20 rows
     val rel = bm25From(spark, sfDir, tfb, dfv)
-      .withColumn("rk", row_number().over(wrel))
-      .filter(col("rk") <= PrfRelDocs)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(PrfRelDocs)
       .select(col("doc_id"))
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val idf = dfv.crossJoin(broadcast(nDocs))
@@ -903,18 +889,11 @@ object CorpusOps {
           .cast(DecimalType(18, 6)).as("wc"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_rel_docs"), sum(col("wc")).cast("double").as("rocchio"))
-      // two-phase rank filters (the bm25From tail's hazard note): the
-      // candidate-token frame is bounded by 10 docs' vocabulary, and the
-      // salted local phase caps the global window at ≤ 16·k rows
-      .withColumn("lrn", row_number().over(
-        Window.partitionBy(pmod(xxhash64(col("token")), lit(16L)))
-          .orderBy(col("rocchio").desc, col("token"))))
-      .filter(col("lrn") <= PrfTerms)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("rocchio").desc, col("token"))))
-      .filter(col("rk") <= PrfTerms)
-      .select(col("token"), col("n_rel_docs"), col("rocchio"))
+      // single-pass fused top-k (TakeOrderedAndProject) — safe under the
+      // AqeGuards rule exclusion (r19); replaces the two-phase rank-filter
+      // workaround and its two window exchanges
       .orderBy(col("rocchio").desc, col("token"))
+      .limit(PrfTerms)
   }
 
   /** NDCG@k agreement between the two retrieval stacks — the

@@ -86,13 +86,6 @@ object GraphOps {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      // persisted PRE-PARTITIONED on the per-round join key (r18
-      // optimization round, guide §2.4): every fixpoint round joins
-      // edges⋈labels on src, and the cached hashpartitioning(src)
-      // satisfies that distribution — one build-time exchange replaces
-      // one edge-list exchange per round (the distinct's (src, dst)
-      // partitioning never matched the src-only join key)
-      .repartition(col("src"))
       .persist().transform(graft.api.Caches.tracked)
     val edgeCount = edges.count()
     val localMax = graft.api.GraftConfig.getLong(pairs.sparkSession,
@@ -104,18 +97,31 @@ object GraphOps {
       import spark.implicits._
       return labels.toSeq.toDF("node_id", "group_id")
     }
+    // DISTRIBUTED branch only (r19 — r18 ran this before the size gate,
+    // charging every bench-scale CC consumer a shuffle the local
+    // union-find path never reads): re-persist the edge list
+    // PRE-PARTITIONED on the per-round join key (guide §2.4) — every
+    // fixpoint round joins edges⋈labels on src, and the cached
+    // hashpartitioning(src) satisfies that distribution, so one
+    // build-time exchange replaces one edge-list exchange per round
+    // (the distinct's (src, dst) partitioning never matches the
+    // src-only key).
+    val edgesP = edges.repartition(col("src"))
+      .persist().transform(graft.api.Caches.tracked)
+    edgesP.count()
+    graft.api.Caches.dropTransient(edges, blocking = true)
     // Initial labels ARE the first propagation hop (min direct neighbor,
     // self included via the self-loops) — same one-job cost as a
     // label=self seed, one full round cheaper. Self-loops put every
     // endpoint in both `src` and `dst`.
-    var labels = edges
+    var labels = edgesP
       .groupBy(col("dst").as("node_id"))
       .agg(min(col("src")).as("group_id"))
       .transform(truncate)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 100) {
-      val hop = edges.join(labels, edges("src") === labels("node_id"))
+      val hop = edgesP.join(labels, edgesP("src") === labels("node_id"))
         .groupBy(col("dst").as("node_id"))
         .agg(min(col("group_id")).as("group_id"))
       // pointer doubling: jump through the label's own label (pg ≤ the
@@ -137,8 +143,8 @@ object GraphOps {
       rounds += 1
     }
     // labels is a projection over a checkpointed leaf — it no longer
-    // references edges
-    graft.api.Caches.dropTransient(edges, blocking = true)
+    // references the edge list
+    graft.api.Caches.dropTransient(edgesP, blocking = true)
     labels
   }
 
@@ -266,6 +272,10 @@ object GraphOps {
     * round (same rationale as the CC loop: nested iterative plans
     * otherwise grow exponentially). Top-k is TakeOrderedAndProject. */
   def pagerank(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    // the final orderBy().limit() sits over a cached-base multi-join tree
+    // — the AQE replanning hazard shape (ADVICE r18); guard even when the
+    // caller bypasses SparkEntry (specs, direct library use)
+    graft.api.AqeGuards(spark)
     val li = graft.model.Tables.lineitem(spark, sfDir)
     val und = li.select((col("l_partkey") * 2).as("src"),
       (col("l_suppkey") * 2 + 1).as("dst")).distinct()
@@ -362,7 +372,9 @@ object GraphOps {
     // one persisted pair base feeds degrees, orientation, and the edge
     // count (the file-family one-base-per-query rule)
     val pairs = pairsIn.persist().transform(graft.api.Caches.tracked)
-    pairs.count()
+    // NO eager count on pairs (r19 job-floor audit): deg's count below
+    // reads pairs exactly once, so one job populates both caches; the
+    // later wedge/orientation consumers then read the cache.
     val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist().transform(graft.api.Caches.tracked)

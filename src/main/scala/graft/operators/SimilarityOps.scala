@@ -340,7 +340,18 @@ object SimilarityOps {
     * order, id tie-breaks), so the recall itself is deterministic and
     * oracle-checkable — rare for an "approximate" component, and exactly
     * why the engine's sign/tie rules are pinned down. */
-  /** Probe vectors swept by [[annProbeSweep]] (vec_ids 0..9). */
+  /** Probe vectors swept by [[annProbeSweep]] (vec_ids 0..9).
+    *
+    * SCALE BOUND for every recall/sweep key (r19, recorded per VERDICT
+    * r18 item 9): the exact brute-force ground-truth side of each
+    * recall/sweep query is (this many probes) × ONE broadcast-probe scan
+    * of the corpus — the probe set is a fixed SF-INDEPENDENT eval slice
+    * (ids 0..9; single-probe keys pin probe 0), so the ground-truth cost
+    * is a constant number of corpus scans at any SF, never a self-join
+    * and never probes × corpus growth in the probe dimension. Shrinking
+    * the CORPUS side below a full scan would change what "recall against
+    * exact top-5" means (the oracle pins the full-corpus ground truth),
+    * so the corpus side deliberately stays one scan per ranking. */
   private[operators] val SweepProbes = 10
 
   /** Multi-probe LSH recall SWEEP: recall@5 for TEN probe vectors in one
