@@ -25,8 +25,10 @@ import graft.model.Tables
   */
 object CorpusOps {
 
+  // fanned (r19): tokenize/ngram/bpe map work over a one-row-group
+  // scan — see Tables.fanned
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.fanned(spark, sfDir, "documents")
 
   // ------------------------------------------------------------ vocabulary
   /** Top-[[VocabTopK]] corpus vocabulary: occurrence count + document

@@ -39,8 +39,10 @@ import graft.model.Tables
   */
 object MiningOps {
 
+  // fanned (r19): tokenize/score map work over a one-row-group scan —
+  // see Tables.fanned
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.fanned(spark, sfDir, "documents")
 
   // ------------------------------------------------- temperature mixing
   /** Token budget distributed across sources by the temperature weights. */

@@ -21,8 +21,10 @@ import graft.model.Tables
   */
 object PipelineOps {
 
+  // fanned (r19): the quality battery's regexp map work over a
+  // one-row-group scan — see Tables.fanned
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.fanned(spark, sfDir, "documents")
 
   /** First 7 md5 hex digits of `seed:doc_id` as a bigint in [0, 2^28) —
     * the same 28-bit construction as TextOps token hashes (fits i32 in

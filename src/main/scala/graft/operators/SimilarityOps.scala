@@ -24,8 +24,10 @@ import graft.model.Tables
 object SimilarityOps {
 
   /** Embeddings with the float vector cast to double once. */
+  // fanned (r19): per-vector dot-product map work over a one-row-group
+  // scan — see Tables.fanned
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    Tables.fanned(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
 
