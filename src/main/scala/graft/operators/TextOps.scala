@@ -24,8 +24,11 @@ import graft.model.Tables
   */
 object TextOps {
 
+  // fanned (r19): the shingle/md5/normalize map work downstream is the
+  // suite's heaviest CPU stage and the single-row-group scan pins it to
+  // one task — see Tables.fanned
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.fanned(spark, sfDir, "documents")
 
   /** Whitespace-collapsed lowercase normalization — shared by the fuzzy
     * dedup family. */
